@@ -1,0 +1,83 @@
+"""Unified CLI: ``python -m peleanalysis_tpu <tool> key=value... [inputs]``.
+
+One entry point replaces the reference's ~35 separate executables
+(/root/reference/Src/GNUmakefile:14-40 EBASE selection) while keeping each
+tool's ParmParse key surface.
+"""
+from __future__ import annotations
+
+import importlib
+import sys
+
+from .parmparse import parse_argv
+
+# tool name -> module (each exposes main(args: dict))
+TOOLS = {
+    "grad": ".tools.grad",
+    "curvature": ".tools.curvature",
+    "isosurface": ".tools.isosurface",
+    "buildDistance": ".tools.build_distance",
+    "conditionalMean": ".tools.conditional_mean",
+    "jpdf": ".tools.jpdf",
+    "integral": ".tools.integral",
+    "rmsVel": ".tools.rms_vel",
+    "combinePlts": ".tools.combine_plts",
+    "subPlt": ".tools.sub_plt",
+    "regridPlt": ".tools.regrid_plt",
+    "flattenAMRFile": ".tools.flatten_amr",
+    "avgPlotfiles": ".tools.avg_plotfiles",
+    "filterPlt": ".tools.filter_plt",
+    "avgToPlane": ".tools.avg_to_plane",
+    "slicePlot": ".tools.slice_plot",
+    "amrToFE": ".tools.amr_to_fe",
+    "template": ".tools.template",
+    # MEF toolbox
+    "isoMEF": ".tools.mef_tools",
+    "combineMEF": ".tools.mef_tools",
+    "mergeMEF": ".tools.mef_tools",
+    "multMEF": ".tools.mef_tools",
+    "scaleMEF": ".tools.mef_tools",
+    "sliceMEF": ".tools.mef_tools",
+    "smoothMEF": ".tools.mef_tools",
+    "trimMEFgen": ".tools.mef_tools",
+    "binMEF": ".tools.mef_tools",
+    "decimateMEF": ".tools.mef_tools",
+    "surfDATtoMEF": ".tools.mef_tools",
+    "surfMEFtoDAT": ".tools.mef_tools",
+    "checkIso": ".tools.mef_tools",
+    # streamline subsystem
+    "stream": ".tools.stream",
+    "partStream": ".tools.part_stream",
+    "sampleStreamlines": ".tools.sample_streamlines",
+    "stream2plt": ".tools.stream2plt",
+    "streamSub": ".tools.stream_sub",
+    "streamScatter": ".tools.stream_scatter",
+    "streamTubeStats": ".tools.stream_tube_stats",
+    # chemistry-aware
+    "plotXtoY": ".tools.chem_tools",
+    "plotYtoX": ".tools.chem_tools",
+    "plotTransportCoeff": ".tools.chem_tools",
+    "plotTYtoLe": ".tools.chem_tools",
+    "plotQPD": ".tools.chem_tools",
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("tools:", " ".join(sorted(TOOLS)))
+        return 0
+    tool = argv[0]
+    if tool not in TOOLS:
+        print(f"unknown tool '{tool}'. tools: {' '.join(sorted(TOOLS))}")
+        return 2
+    mod = importlib.import_module(TOOLS[tool], package=__package__)
+    args = parse_argv(argv[1:])
+    args.setdefault("_tool", [tool])
+    mod.main(args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -177,7 +177,12 @@ def build_fill_plan(
         if interp == "pc":
             C = [np.floor_divide(np.broadcast_to(W[d], (nbox,) + S), ratio)
                  for d in range(ndim)]
-            crse_src = _crse_flat(C, own_c, dlo_c, ba_crse, Pc, need)
+            crse_src, found = _crse_flat(C, own_c, dlo_c, ba_crse, Pc,
+                                         geom.is_periodic)
+            if not bool(np.all(found[need])):
+                raise ValueError(
+                    "coarse-fine fill: ghost cells not covered by the coarse "
+                    "BoxArray (improper nesting for this ngrow)")
         elif interp == "linear":
             # fine cell center in coarse index space: (W + 0.5)/ratio - 0.5
             base = []
@@ -195,11 +200,25 @@ def build_fill_plan(
                 w = np.ones((nbox,) + S, dtype=np.float64)
                 for d in range(ndim):
                     w = w * (frac[d] if offs[d] else (1.0 - frac[d]))
-                corners.append(_crse_flat(C, own_c, dlo_c, ba_crse, Pc, need,
-                                          clamp=True))
+                flat_c, found = _crse_flat(C, own_c, dlo_c, ba_crse, Pc,
+                                           geom.is_periodic)
+                # corners outside the coarse union (interp stencil poking past
+                # the union edge / domain face) lose their weight; surviving
+                # corners are renormalized below — graceful degradation
+                # toward piecewise-constant right at the union edge.
+                w = np.where(found, w, 0.0)
+                corners.append(flat_c)
                 weights.append(w)
+            wt = np.stack(weights, axis=-1)
+            tot = wt.sum(axis=-1)
+            bad = need & (tot <= 0.0)
+            if bool(bad.any()):
+                raise ValueError(
+                    "coarse-fine fill: ghost cells entirely outside the "
+                    "coarse BoxArray (improper nesting for this ngrow)")
+            wt = wt / np.maximum(tot, 1e-300)[..., None]
             crse_src = np.stack(corners, axis=-1)
-            crse_wt = np.stack(weights, axis=-1)
+            crse_wt = wt
         else:
             raise ValueError(f"unknown interp {interp}")
         crse_flat_len = len(ba_crse) * int(np.prod(Pc))
@@ -217,30 +236,32 @@ def build_fill_plan(
     )
 
 
-def _crse_flat(C, own_c, dlo_c, ba_crse: BoxArray, Pc, need, clamp=False):
+def _crse_flat(C, own_c, dlo_c, ba_crse: BoxArray, Pc, periodic=()):
+    """Flat indices into the coarse batched array for global coarse coords C.
+    Returns (flat, found); uncovered cells get flat=0 and found=False."""
     ndim = len(C)
     dom_shape = own_c.shape
     Cc = []
+    in_dom = np.ones(C[0].shape, dtype=bool)
     for d in range(ndim):
         c = C[d] - dlo_c[d]
-        # periodic images were already wrapped at the fine level; clamp handles
-        # linear-interp corners that poke one cell past the coarse domain.
-        c = np.clip(c, 0, dom_shape[d] - 1)
+        if d < len(periodic) and periodic[d]:
+            c = c % dom_shape[d]
+        else:
+            in_dom &= (c >= 0) & (c < dom_shape[d])
+            # fine-level W was already wrapped/BC-mapped into the domain; only
+            # linear-interp corners can poke one cell past a domain face.
+            c = np.clip(c, 0, dom_shape[d] - 1)
         Cc.append(c)
     ob = own_c[tuple(Cc)]
-    found = ob >= 0
-    if need is not None and not bool(np.all(found[need])):
-        if not clamp:
-            raise ValueError(
-                "coarse-fine fill: some ghost cells are not covered by the "
-                "coarse BoxArray (improper nesting)")
+    found = (ob >= 0) & in_dom
     ob = np.where(found, ob, 0)
     flat = ob.astype(np.int64)
     for d in range(ndim):
         local = Cc[d] + dlo_c[d] - ba_crse.lo[:, d][ob]
         local = np.clip(local, 0, Pc[d] - 1)
         flat = flat * Pc[d] + local
-    return flat
+    return flat, found
 
 
 # ---------------------------------------------------------------------------

@@ -71,9 +71,12 @@ def make_amr_hierarchy(
     ndim: int = 3,
     refine_frac: float = 0.5,
     is_periodic: Sequence[bool] = (False, False, False),
+    nest_margin: int = 2,
 ) -> Tuple[List[Geometry], List[BoxArray], List[int]]:
     """Nested box hierarchy: each finer level covers the central
-    ``refine_frac`` fraction of the domain."""
+    ``refine_frac`` fraction of the domain, shrunk by ``nest_margin`` coarse
+    cells so ghost fills up to 2*ratio*nest_margin wide stay properly nested
+    (AMReX regrid's n_proper analog)."""
     dom0 = Box((0,) * ndim, (n_cell - 1,) * ndim)
     geom0 = Geometry(dom0, (0.0,) * ndim, (1.0,) * ndim, tuple(is_periodic[:ndim]))
     geoms = [geom0]
@@ -86,8 +89,9 @@ def make_amr_hierarchy(
         n = dom.shape[0]
         half = int(n * refine_frac / 2)
         ctr = n // 2
-        sub = Box(tuple(ctr - half for _ in range(ndim)),
-                  tuple(ctr + half - 1 for _ in range(ndim)))
+        m = nest_margin * ref_ratio if lev > 1 else 0
+        sub = Box(tuple(ctr - half + m for _ in range(ndim)),
+                  tuple(ctr + half - 1 - m for _ in range(ndim)))
         bas.append(decompose(sub, max_grid_size))
     return geoms, bas, ratios
 

@@ -1,0 +1,97 @@
+"""``grad`` — gradient + magnitude of a scalar on all AMR levels.
+
+TPU-native replacement for /root/reference/Src/grad.cpp (261 LoC): reads a
+plotfile variable (default ``temp``), computes the cell-centered gradient and
+its magnitude on every level, and writes a plotfile with components
+``[gradVar, aux..., <var>_gx, <var>_gy, <var>_gz, ||grad<var>||]``
+(naming per grad.cpp:243-250).
+
+Where the reference builds a composite MLPoisson and extracts MLMG face
+fluxes (grad.cpp:172-219), we FillPatch one ghost ring (linear coarse-fine
+interp) and apply a fused centered-difference + magnitude kernel per level —
+see peleanalysis_tpu/ops/stencil.py for the equivalence argument.
+BCs: periodic where ``is_per``; first-order extrap otherwise
+(grad.cpp:136-144); ``sym_dir`` selects an even reflection.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..amr.hierarchy import AmrState
+from ..ops.fill import FOEXTRAP, REFLECT_EVEN, FillPlan, apply_fill, get_fill_plan
+from ..ops.stencil import centered_gradient, magnitude
+
+
+def grad_bc(is_per: Sequence[bool], sym_dir: Optional[Sequence[int]] = None):
+    ndim = len(is_per)
+    bc = []
+    for d in range(ndim):
+        mode = REFLECT_EVEN if (sym_dir and sym_dir[d]) else FOEXTRAP
+        bc.append((mode, mode))
+    return tuple(bc)
+
+
+@partial(jax.jit, static_argnames=("dx",))
+def _grad_level(plan: FillPlan, data: jnp.ndarray, crse, dx) -> jnp.ndarray:
+    """One level: fill 1 ghost -> grad + |grad|. data: [nbox,1,*P] ->
+    [nbox,4,*P]."""
+    grown = apply_fill(plan, data, crse)
+    gx, gy, gz = centered_gradient(grown, dx, shrink=1)
+    mag = magnitude(gx, gy, gz)
+    return jnp.concatenate([gx, gy, gz, mag], axis=1)
+
+
+def compute_grad(state: AmrState, var: str,
+                 aux: Sequence[str] = (),
+                 sym_dir: Optional[Sequence[int]] = None,
+                 interp: str = "linear") -> AmrState:
+    meta = state.meta
+    bc = grad_bc([False] * meta.ndim, sym_dir)  # periodicity from geometry
+    ic = state.comp(var)
+    out_levels = []
+    for lev in range(meta.n_levels):
+        ba = meta.bas[lev]
+        geom = meta.geoms[lev]
+        if lev > 0:
+            ba_c, pshape_c = meta.bas[lev - 1], meta.pad_shape(lev - 1)
+            ratio = meta.ref_ratio[lev - 1]
+            crse = state.data[lev - 1][:, ic : ic + 1]
+        else:
+            ba_c = pshape_c = crse = None
+            ratio = 2
+        plan = get_fill_plan(ba, geom, 1, meta.pad_shape(lev), ba_c, pshape_c,
+                             ratio, bc, interp)
+        gcomp = _grad_level(plan, state.data[lev][:, ic : ic + 1], crse,
+                            geom.dx)
+        passthrough = [state.data[lev][:, state.comp(n) : state.comp(n) + 1]
+                       for n in (var,) + tuple(aux)]
+        out_levels.append(jnp.concatenate(passthrough + [gcomp], axis=1))
+    names = [var, *aux,
+             f"{var}_gx", f"{var}_gy", f"{var}_gz", f"||grad{var}||"]
+    return state.with_data(names, out_levels)
+
+
+def main(args: dict) -> None:
+    """CLI driver: grad infile=<plt> [gradVar=temp] [outfile=...]
+    [Aux_Variables=...] [is_per=1 1 1] [sym_dir=0 0 0]."""
+    from ..parmparse import ParmParse
+
+    pp = ParmParse(args)
+    infile = pp.get_str("infile")
+    var = pp.query_str("gradVar", "temp")
+    aux = pp.query_str_list("Aux_Variables", [])
+    is_per = pp.query_int_list("is_per", [1, 1, 1])
+    sym_dir = pp.query_int_list("sym_dir", [0, 0, 0])
+    outfile = pp.query_str("outfile", infile + "_gt")
+    finest = pp.query_int("finestLevel", None)
+
+    state = AmrState.from_plotfile(
+        infile, names=[var] + list(aux), max_level=finest,
+        is_periodic=[bool(p) for p in is_per])
+    out = compute_grad(state, var, aux=tuple(aux), sym_dir=sym_dir)
+    out.to_plotfile(outfile)
+    print(f"wrote {outfile}")
