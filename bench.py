@@ -4,6 +4,11 @@ single process — the per-rank workload of the reference's MPI build).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 value = TPU pipeline wall-clock (ms); vs_baseline = cpu_time / tpu_time.
+
+Timing method: the tunnel runtime in this container executes lazily and has
+~30 ms fetch latency, so we chain K pipeline steps on device (each step's
+input is the previous step's normalized gradient magnitude), fetch one scalar,
+and subtract the separately measured fetch latency.
 """
 from __future__ import annotations
 
@@ -27,16 +32,71 @@ def build_case(n_cell=64, n_levels=3, max_grid_size=32):
 
 def main():
     import jax
+
+    # persistent compile cache: the remote-compile path in this container is
+    # slow (~minutes); cache across driver invocations.
+    try:
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
-    from peleanalysis_tpu.ops.fill import apply_fill, get_fill_plan
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.ops.dense_fill import fill_dense_arrays
+    from peleanalysis_tpu.ops.fill import get_fill_plan
     from peleanalysis_tpu.ops.stencil import centered_gradient, magnitude
     from peleanalysis_tpu.reference_impl import numpy_grad_level
 
     state, raw = build_case()
     meta = state.meta
     ic = state.comp("temp")
+    dstate = DenseAmrState.from_batched(state)
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
+    def pipeline(levels, mask_list):
+        outs = []
+        for lev in range(meta.n_levels):
+            grown = fill_dense_arrays(meta, dstate.lmeta, levels, mask_list,
+                                      lev, 1, None, "linear")
+            gx, gy, gz = centered_gradient(grown, meta.geoms[lev].dx, 1)
+            outs.append(jnp.concatenate([gx, gy, gz, magnitude(gx, gy, gz)],
+                                        axis=0))
+        return outs
+
+    def chain_step(levels, mask_list):
+        outs = pipeline(levels, mask_list)
+        # feed normalized |grad| back in so iterations form a true on-device
+        # dependency chain (no host roundtrips, no value-memoized dispatches)
+        return [o[3:4] / (jnp.max(o[3:4]) + 1.0) for o in outs]
+
+    data = [d[ic : ic + 1] for d in dstate.data]
+    step = jax.jit(chain_step)
+    fetch = jax.jit(lambda ls: sum(jnp.sum(x) for x in ls))
+
+    cur = step(data, masks)           # compile
+    _ = float(fetch(cur))
+
+    fetch_s = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(fetch(data))
+        fetch_s.append(time.perf_counter() - t0)
+    fetch_s = min(fetch_s)
+
+    def run_chain(K):
+        t0 = time.perf_counter()
+        cur = data
+        for _ in range(K):
+            cur = step(cur, masks)
+        _ = float(fetch(cur))
+        return time.perf_counter() - t0
+
+    run_chain(10)  # warm
+    K = 100
+    tpu_ms = max(min(run_chain(K) for _ in range(3)) - fetch_s, 1e-9) / K * 1e3
+
+    # CPU baseline: identical numerics, numpy float64 (reference precision)
     plans = []
     for lev in range(meta.n_levels):
         ba_c = meta.bas[lev - 1] if lev > 0 else None
@@ -45,30 +105,6 @@ def main():
         plans.append(get_fill_plan(meta.bas[lev], meta.geoms[lev], 1,
                                    meta.pad_shape(lev), ba_c, ps_c, ratio,
                                    None, "linear"))
-
-    def tpu_step(levels):
-        outs = []
-        for lev in range(meta.n_levels):
-            crse = levels[lev - 1] if lev > 0 else None
-            grown = apply_fill(plans[lev], levels[lev], crse)
-            gx, gy, gz = centered_gradient(grown, meta.geoms[lev].dx, 1)
-            outs.append(jnp.concatenate([gx, gy, gz, magnitude(gx, gy, gz)],
-                                        axis=1))
-        return outs
-
-    data = [state.data[lev][:, ic : ic + 1] for lev in range(meta.n_levels)]
-    step = jax.jit(tpu_step)
-    outs = step(data)  # compile
-    jax.block_until_ready(outs)
-
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        outs = step(data)
-    jax.block_until_ready(outs)
-    tpu_ms = (time.perf_counter() - t0) / n_iter * 1e3
-
-    # CPU baseline: identical numerics, numpy float64 (reference precision)
     np_data = []
     for lev in range(meta.n_levels):
         arr = np.zeros((len(meta.bas[lev]), 1) + meta.pad_shape(lev))

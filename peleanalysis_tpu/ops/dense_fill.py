@@ -1,0 +1,200 @@
+"""Ghost fill for the dense canonical level representation.
+
+Everything here lowers to slices, concats and fixed-weight separable
+upsamples — no gathers — so XLA fuses fills straight into downstream stencils
+at HBM bandwidth.  Semantics follow FillPatchTwoLevels + PCInterp /
+CellBilinear and the physical-BC conventions of the reference
+(/root/reference/Src/grad.cpp:136-144, Src/isosurface.cpp:1509-1527,
+Src/stream.cpp:860-874); see ops/fill.py for the general gather-based path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..amr.box import Box
+from ..amr.dense import DenseAmrState
+from ..amr.geometry import Geometry
+from .fill import BCSpec, FOEXTRAP, REFLECT_EVEN, REFLECT_ODD, default_bc
+
+
+def _ax(a: jnp.ndarray, d: int) -> int:
+    return a.ndim - 3 + d
+
+
+def _slc(a: jnp.ndarray, d: int, sl: slice) -> jnp.ndarray:
+    idx = [slice(None)] * a.ndim
+    idx[_ax(a, d)] = sl
+    return a[tuple(idx)]
+
+
+def _grow_axis(a: jnp.ndarray, d: int, g: int, lo_mode: str, hi_mode: str,
+               periodic: bool) -> jnp.ndarray:
+    """Extend array by g ghost layers along spatial dim d (level-0 BC fill).
+    Assumes the array spans the full domain along periodic dims."""
+    if g == 0:
+        return a
+    ax = _ax(a, d)
+    if periodic:
+        lo = _slc(a, d, slice(-g, None))
+        hi = _slc(a, d, slice(0, g))
+    else:
+        def side(mode, is_lo):
+            if mode == FOEXTRAP:
+                edge = _slc(a, d, slice(0, 1) if is_lo else slice(-1, None))
+                reps = [1] * a.ndim
+                reps[ax] = g
+                return jnp.tile(edge, reps)
+            if mode in (REFLECT_EVEN, REFLECT_ODD):
+                blk = _slc(a, d, slice(0, g) if is_lo else slice(-g, None))
+                blk = jnp.flip(blk, axis=ax)
+                return -blk if mode == REFLECT_ODD else blk
+            raise ValueError(f"unknown BC mode {mode}")
+
+        lo = side(lo_mode, True)
+        hi = side(hi_mode, False)
+    return jnp.concatenate([lo, a, hi], axis=ax)
+
+
+def _upsample_axis(c: jnp.ndarray, d: int, r: int, linear: bool) -> jnp.ndarray:
+    """Refine along dim d by factor r.  Linear: fine center at coarse coord
+    (p+0.5)/r - 0.5 relative to its parent (CellBilinear weights); edges are
+    clamped (callers provide one spare coarse cell so clamped values are
+    sliced away)."""
+    ax = _ax(c, d)
+    if not linear:
+        return jnp.repeat(c, r, axis=ax)
+    c_m1 = jnp.concatenate([_slc(c, d, slice(0, 1)),
+                            _slc(c, d, slice(0, -1))], axis=ax)
+    c_p1 = jnp.concatenate([_slc(c, d, slice(1, None)),
+                            _slc(c, d, slice(-1, None))], axis=ax)
+    phases = []
+    for p in range(r):
+        off = (p + 0.5) / r - 0.5
+        if off < 0:
+            w = off + 1.0  # weight on c; (1-w) on c[i-1]
+            phases.append(c * jnp.asarray(w, c.dtype)
+                          + c_m1 * jnp.asarray(1.0 - w, c.dtype))
+        else:
+            w = off      # weight on c[i+1]
+            phases.append(c * jnp.asarray(1.0 - w, c.dtype)
+                          + c_p1 * jnp.asarray(w, c.dtype))
+    out = jnp.stack(phases, axis=ax + 1)
+    shape = list(c.shape)
+    shape[ax] = shape[ax] * r
+    return out.reshape(shape)
+
+
+def _apply_exterior_bc(grown: jnp.ndarray, gbox: Box, geom: Geometry,
+                       bc: BCSpec) -> jnp.ndarray:
+    """Overwrite layers of `grown` (covering gbox) that lie outside the
+    physical domain with BC-mapped copies of in-domain data.  Periodic dims
+    are skipped (they wrapped at the coarse level already)."""
+    dom = geom.domain
+    for d in range(3):
+        if geom.is_periodic[d]:
+            continue
+        n_lo = max(0, dom.lo[d] - gbox.lo[d])
+        n_hi = max(0, gbox.hi[d] - dom.hi[d])
+        ax = _ax(grown, d)
+        if n_lo > 0:
+            inner = _slc(grown, d, slice(n_lo, None))
+            blk = _bc_block(inner, d, n_lo, bc[d][0], True, ax)
+            grown = jnp.concatenate([blk, inner], axis=ax)
+        if n_hi > 0:
+            inner = _slc(grown, d, slice(0, grown.shape[ax] - n_hi))
+            blk = _bc_block(inner, d, n_hi, bc[d][1], False, ax)
+            grown = jnp.concatenate([inner, blk], axis=ax)
+    return grown
+
+
+def _bc_block(inner: jnp.ndarray, d: int, n: int, mode: str, is_lo: bool,
+              ax: int) -> jnp.ndarray:
+    if mode == FOEXTRAP:
+        edge = _slc(inner, d, slice(0, 1) if is_lo else slice(-1, None))
+        reps = [1] * inner.ndim
+        reps[ax] = n
+        return jnp.tile(edge, reps)
+    if mode in (REFLECT_EVEN, REFLECT_ODD):
+        blk = _slc(inner, d, slice(0, n) if is_lo else slice(-n, None))
+        blk = jnp.flip(blk, axis=ax)
+        return -blk if mode == REFLECT_ODD else blk
+    raise ValueError(f"unknown BC mode {mode}")
+
+
+def fill_dense_arrays(meta, lmeta, data_list, mask_list, lev: int, ngrow: int,
+                      bc: Optional[BCSpec] = None,
+                      interp: str = "linear") -> jnp.ndarray:
+    """Functional core of the dense fill (jit-friendly: data and masks are
+    traced arguments, never closure constants — huge boolean constants make
+    XLA constant-folding pathologically slow).
+
+    data_list[lev]: [ncomp, *bbox_shape]; mask_list[lev]: bool [*bbox_shape]
+    (True where the level's boxes cover).  Returns the grown dense array
+    [ncomp, *(bbox.grow(ngrow).shape)].
+    """
+    geom = meta.geoms[lev]
+    if bc is None:
+        bc = default_bc(3)
+    data = data_list[lev]
+    bbox = lmeta[lev].bbox
+
+    if lev == 0:
+        if bbox != geom.domain:
+            raise ValueError("level 0 must cover the domain")
+        out = data
+        for d in range(3):
+            out = _grow_axis(out, d, ngrow, bc[d][0], bc[d][1],
+                             geom.is_periodic[d])
+        return out
+
+    r = meta.ref_ratio[lev - 1]
+    linear = interp == "linear"
+    gbox = bbox.grow(ngrow)
+    cbox = gbox.coarsen(r).grow(1 if linear else 0)
+    bbox_c = lmeta[lev - 1].bbox
+    gc = 0
+    for d in range(3):
+        gc = max(gc, bbox_c.lo[d] - cbox.lo[d], cbox.hi[d] - bbox_c.hi[d])
+    gc = max(gc, 0)
+    crse_grown = fill_dense_arrays(meta, lmeta, data_list, mask_list,
+                                   lev - 1, gc, bc, interp)
+    cg_box = bbox_c.grow(gc)
+    # slice coarse region cbox out of the grown coarse array
+    sl = tuple(slice(cbox.lo[d] - cg_box.lo[d],
+                     cbox.hi[d] - cg_box.lo[d] + 1) for d in range(3))
+    c = crse_grown[(slice(None),) + sl]
+    for d in range(3):
+        c = _upsample_axis(c, d, r, linear)
+    # c now covers [cbox.lo*r, (cbox.hi+1)*r); slice to gbox
+    sl = tuple(slice(gbox.lo[d] - cbox.lo[d] * r,
+                     gbox.hi[d] + 1 - cbox.lo[d] * r) for d in range(3))
+    up = c[(slice(None),) + sl]
+
+    mask = mask_list[lev]
+    pad = [(0, 0)] + [(ngrow, ngrow)] * 3
+    fine_p = jnp.pad(data, pad)
+    mask_p = jnp.pad(mask, pad[1:])
+    grown = jnp.where(mask_p[None], fine_p, up)
+    return _apply_exterior_bc(grown, gbox, geom, bc)
+
+
+def fill_dense(state: DenseAmrState, lev: int, ngrow: int,
+               comps: Optional[Sequence[int]] = None,
+               bc: Optional[BCSpec] = None,
+               interp: str = "linear") -> jnp.ndarray:
+    """Grown dense level array [ncomp, *(bbox.grow(ngrow).shape)].
+
+    Hole/ghost cells take coarse-upsampled values; same-level data is used
+    wherever the level's boxes cover; out-of-domain layers get physical BCs.
+    (Convenience wrapper; jitted tools should use fill_dense_arrays with data
+    and masks passed as arguments.)
+    """
+    data_list = list(state.data)
+    if comps is not None:
+        data_list = [d[np.asarray(comps)] for d in data_list]
+    mask_list = [state.in_level_mask(l) for l in range(state.meta.n_levels)]
+    return fill_dense_arrays(state.meta, state.lmeta, data_list, mask_list,
+                             lev, ngrow, bc, interp)

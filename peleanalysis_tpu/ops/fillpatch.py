@@ -4,6 +4,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..amr.hierarchy import AmrState
 from .fill import BCSpec, apply_fill, get_fill_plan
@@ -34,10 +35,10 @@ def fill_grown(
                          ratio, bc, interp)
     data = state.data[lev]
     if comps is not None:
-        data = data[:, list(comps)]
+        data = data[:, np.asarray(comps)]
     crse = None
     if lev > 0:
         crse = state.data[lev - 1]
         if comps is not None:
-            crse = crse[:, list(comps)]
+            crse = crse[:, np.asarray(comps)]
     return apply_fill(plan, data, crse)

@@ -45,6 +45,42 @@ def _grad_level(plan: FillPlan, data: jnp.ndarray, crse, dx) -> jnp.ndarray:
     return jnp.concatenate([gx, gy, gz, mag], axis=1)
 
 
+def compute_grad_dense(dstate, var: str,
+                       aux: Sequence[str] = (),
+                       sym_dir: Optional[Sequence[int]] = None,
+                       interp: str = "linear"):
+    """Dense fast path: ghost fill + gradient as one fused slicing pipeline
+    per level (see amr/dense.py for the layout rationale)."""
+    import jax
+
+    from ..ops.dense_fill import fill_dense_arrays
+
+    meta = dstate.meta
+    bc = grad_bc([False] * meta.ndim, sym_dir)
+    ic = dstate.comp(var)
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+
+    def level_fn(lev):
+        def fn(data_list, mask_list):
+            grown = fill_dense_arrays(meta, dstate.lmeta, data_list,
+                                      mask_list, lev, 1, bc, interp)
+            gx, gy, gz = centered_gradient(grown, meta.geoms[lev].dx, 1)
+            return jnp.concatenate([gx, gy, gz, magnitude(gx, gy, gz)],
+                                   axis=0)
+        return fn
+
+    scalars = [d[ic : ic + 1] for d in dstate.data]
+    out_levels = []
+    for lev in range(meta.n_levels):
+        gcomp = jax.jit(level_fn(lev))(scalars, masks)
+        passthrough = [dstate.data[lev][dstate.comp(n) : dstate.comp(n) + 1]
+                       for n in (var,) + tuple(aux)]
+        out_levels.append(jnp.concatenate(passthrough + [gcomp], axis=0))
+    names = [var, *aux,
+             f"{var}_gx", f"{var}_gy", f"{var}_gz", f"||grad{var}||"]
+    return dstate.with_data(names, out_levels)
+
+
 def compute_grad(state: AmrState, var: str,
                  aux: Sequence[str] = (),
                  sym_dir: Optional[Sequence[int]] = None,
@@ -89,9 +125,12 @@ def main(args: dict) -> None:
     outfile = pp.query_str("outfile", infile + "_gt")
     finest = pp.query_int("finestLevel", None)
 
+    from ..amr.dense import DenseAmrState
+
     state = AmrState.from_plotfile(
         infile, names=[var] + list(aux), max_level=finest,
         is_periodic=[bool(p) for p in is_per])
-    out = compute_grad(state, var, aux=tuple(aux), sym_dir=sym_dir)
+    dstate = DenseAmrState.from_batched(state)
+    out = compute_grad_dense(dstate, var, aux=tuple(aux), sym_dir=sym_dir)
     out.to_plotfile(outfile)
     print(f"wrote {outfile}")

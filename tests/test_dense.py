@@ -1,0 +1,105 @@
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.box import Box, BoxArray, decompose
+from peleanalysis_tpu.amr.dense import DenseAmrState
+from peleanalysis_tpu.amr.geometry import Geometry
+from peleanalysis_tpu.amr.hierarchy import AmrMeta, AmrState
+from peleanalysis_tpu.ops.dense_fill import fill_dense
+from peleanalysis_tpu.ops.fillpatch import fill_grown
+from peleanalysis_tpu.testing import eval_on_box
+
+
+def linear_field():
+    return {"f": lambda x, y, z: 1.5 * x - 2.0 * y + 3.0 * z + 0.125}
+
+
+def make_two_level(fields, n=16, mgs=8, periodic=False):
+    dom0 = Box((0, 0, 0), (n - 1, n - 1, n - 1))
+    geom0 = Geometry(dom0, (0.0,) * 3, (1.0,) * 3, (periodic,) * 3)
+    ba0 = decompose(dom0, mgs)
+    geom1 = geom0.refine(2)
+    sub = Box((8, 8, 8), (23, 23, 23))
+    ba1 = decompose(sub, mgs)
+    meta = AmrMeta([geom0, geom1], [ba0, ba1], [2])
+    fabs = [[eval_on_box(b, g, fields) for b in ba]
+            for g, ba in zip([geom0, geom1], [ba0, ba1])]
+    st = AmrState.from_arrays(meta, list(fields), fabs, dtype=np.float64)
+    return st
+
+
+def test_dense_roundtrip(synthetic_plotfile):
+    sp = synthetic_plotfile
+    st = AmrState.from_plotfile(sp["path"], dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    back = ds.to_batched()
+    for lev in range(st.meta.n_levels):
+        np.testing.assert_array_equal(np.asarray(back.data[lev]),
+                                      np.asarray(st.data[lev]))
+
+
+def test_dense_fill_matches_gather_fill():
+    st = make_two_level(linear_field())
+    ds = DenseAmrState.from_batched(st)
+    g = 2
+    dense_grown = np.asarray(fill_dense(ds, 1, g))
+    batched_grown = np.asarray(fill_grown(st, 1, g, interp="linear"))
+    bbox = ds.lmeta[1].bbox
+    for i, b in enumerate(st.meta.bas[1]):
+        off = tuple(b.lo[d] - bbox.lo[d] for d in range(3))
+        sl = tuple(slice(off[d], off[d] + b.shape[d] + 2 * g)
+                   for d in range(3))
+        got = dense_grown[(0,) + sl]
+        want = batched_grown[i, 0][tuple(slice(0, b.shape[d] + 2 * g)
+                                         for d in range(3))]
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dense_fill_linear_exact():
+    st = make_two_level(linear_field())
+    ds = DenseAmrState.from_batched(st)
+    g = 2
+    grown = np.asarray(fill_dense(ds, 1, g))
+    geom1 = st.meta.geoms[1]
+    bbox = ds.lmeta[1].bbox.grow(g)
+    fn = linear_field()["f"]
+    cs = [geom1.prob_lo[d] + (np.arange(bbox.lo[d], bbox.hi[d] + 1) + 0.5)
+          * geom1.dx[d] for d in range(3)]
+    mesh = np.meshgrid(*cs, indexing="ij")
+    want = fn(*mesh)
+    # all ghost cells stay inside the domain here -> linear interp is exact
+    np.testing.assert_allclose(grown[0], want, rtol=1e-12)
+
+
+def test_dense_level0_periodic_fill():
+    fields = {"f": lambda x, y, z: np.sin(2 * np.pi * x) + 0 * y + 0 * z}
+    st = make_two_level(fields, periodic=True)
+    ds = DenseAmrState.from_batched(st)
+    g = 2
+    grown = np.asarray(fill_dense(ds, 0, g))
+    n = 16
+    interior = np.asarray(ds.data[0][0])
+    np.testing.assert_allclose(grown[0, :g, g:-g, g:-g],
+                               interior[-g:, :, :], rtol=1e-13)
+    np.testing.assert_allclose(grown[0, -g:, g:-g, g:-g],
+                               interior[:g, :, :], rtol=1e-13)
+
+
+def test_dense_masks(synthetic_plotfile):
+    sp = synthetic_plotfile
+    st = AmrState.from_plotfile(sp["path"], dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    # level 0: fully covered by boxes; covered_mask matches lev-1 footprint
+    assert bool(np.all(np.asarray(ds.in_level_mask(0))))
+    cov = np.asarray(ds.covered_mask(0))
+    ba1c = st.meta.bas[1].coarsen(2)
+    want = np.zeros_like(cov)
+    for b in ba1c:
+        want[tuple(slice(b.lo[d], b.hi[d] + 1) for d in range(3))] = True
+    np.testing.assert_array_equal(cov, want)
+    # composite cell counts: valid cells weighted by volume = domain volume
+    tot = 0.0
+    for lev in range(st.meta.n_levels):
+        vol = st.meta.geoms[lev].cell_volume()
+        tot += float(np.sum(np.asarray(ds.valid_mask(lev)))) * vol
+    assert abs(tot - 1.0) < 1e-12
