@@ -1,0 +1,43 @@
+"""Linear solves on dense levels — the MLMG/MLABecLaplacian replacement.
+
+The reference's only real solve is the implicit smoothing step
+``(I - beta ∇²) c~ = c`` in curvature (/root/reference/Src/curvature.cpp:
+328-406, MLABecLaplacian + MLMG::solve).  Here each level is solved with
+matrix-free conjugate gradient under jit (fixed iteration count — XLA-friendly
+static control flow); coarse-fine coupling is handled by solving coarse →
+fine with the fine level's ghost/hole cells pinned to the coarse solution
+(the ``setCoarseFineBC`` analog).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def cg_solve(apply_A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+             mask: Optional[jnp.ndarray], n_iter: int) -> jnp.ndarray:
+    """Masked conjugate gradient: solves A x = b on cells where mask=True
+    (off-mask cells keep x0; apply_A must treat them as boundary values)."""
+    m = (mask.astype(b.dtype) if mask is not None
+         else jnp.ones_like(b))
+
+    def dot(u, v):
+        return jnp.sum(u * v * m)
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Ap = apply_A(p) * m
+        alpha = rs / jnp.maximum(dot(p, Ap), 1e-300)
+        x = x + alpha * p * m
+        r = r - alpha * Ap
+        rs_new = dot(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-300)
+        p = (r + beta * p) * m
+        return (x, r, p, rs_new), rs_new
+
+    r0 = (b - apply_A(x0)) * m
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, r0, dot(r0, r0)),
+                                   None, length=n_iter)
+    return x

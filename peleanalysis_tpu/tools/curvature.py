@@ -1,0 +1,288 @@
+"""``curvature`` — mean/Gaussian curvature, flame normal, strain of a
+progress-variable field.
+
+TPU-native replacement for /root/reference/Src/curvature.cpp (849 LoC).
+Semantics reproduced (with formula citations):
+
+  * progress var c = (s - progMin)/(progMax - progMin), min/max scanned from
+    the file unless given (curvature.cpp:137-158, 308-321)
+  * optional implicit smoothing (I - beta ∇²) c~ = c (curvature.cpp:328-406);
+    here per-level matrix-free CG, coarse->fine with c-f values pinned
+  * G = ∇c~ (2nd-order centered on filled ghosts — see ops/stencil.py for the
+    MLMG-flux equivalence note); normgrad = -max(1e-14,|G|)
+    (curvature.cpp:465-484)
+  * flame normal N = G / normgrad = -G/|G|, "toward fresh gases"
+    (curvature.cpp:487-501)
+  * MeanCurvature = 0.5 * div(N) in 3D (curvature.cpp:508-546), each dN_i/dx_i
+    taken with the same derived-field fill the reference gets from per-level
+    MLPoisson with coarse-fine BC = coarse N (curvature.cpp:517-524)
+  * GaussianCurvature = (G . adj(H) . G)/normgrad^4 where H_ij = d G_i/dx_j
+    computed as gradient-of-gradient (matching the reference's two-pass
+    discretization, curvature.cpp:578-673)
+  * StrainRate = -NN:∇u + ∇·u.  NOTE the reference's second assignment at
+    curvature.cpp:745 overwrites the first, so its output is actually just
+    ∇·u; we compute the documented formula by default and provide
+    replicate_strain_bug=True for bit-parity (SURVEY.md §2.1 note).
+  * optional strain tensor ROST_dU[xyz]d[xyz] and VelFlameNormal = u·N
+    (curvature.cpp:754-789)
+  * thresholding: Km, N, Kg, VelFlameNormal zeroed where c < threshold or
+    c > 1-threshold (curvature.cpp:560-567)
+
+Output component names match curvature.cpp:796-829.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..amr.dense import DenseAmrState
+from ..ops.dense_fill import fill_dense_arrays
+from ..ops.solve import cg_solve
+from ..ops.stencil import centered_gradient, interior
+from .grad import grad_bc
+
+D = 3
+
+
+def _grad_multilevel(meta, lmeta, field_list, mask_list, bc, interp):
+    """Per-level gradients of a multi-level scalar field, each level's ghosts
+    filled from the coarser level of the SAME derived field (the reference's
+    setCoarseFineBC pattern)."""
+    grads = []
+    for lev in range(meta.n_levels):
+        grown = fill_dense_arrays(meta, lmeta, field_list, mask_list, lev, 1,
+                                  bc, interp)
+        grads.append(centered_gradient(grown, meta.geoms[lev].dx, 1))
+    return grads  # [lev][dim] -> [1, *bbox]
+
+
+def compute_curvature_dense(
+    dstate: DenseAmrState,
+    progress_name: str = "temp",
+    prog_min: Optional[float] = None,
+    prog_max: Optional[float] = None,
+    do_smooth: bool = False,
+    smooth_time: float = 1.0e-7,
+    smooth_iters: int = 50,
+    do_gauss: bool = True,
+    do_strain: bool = False,
+    get_strain_tensor: bool = False,
+    do_velnormal: bool = False,
+    do_threshold: bool = False,
+    threshold: float = 0.02,
+    replicate_strain_bug: bool = False,
+    sym_dir: Optional[Sequence[int]] = None,
+    interp: str = "linear",
+) -> DenseAmrState:
+    meta = dstate.meta
+    lmeta = dstate.lmeta
+    bc = grad_bc([False] * D, sym_dir)
+    ic = dstate.comp(progress_name)
+    need_vel = do_strain or do_velnormal
+    vel_names = ["x_velocity", "y_velocity", "z_velocity"]
+    iv = [dstate.comp(n) for n in vel_names] if need_vel else None
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+
+    # progress min/max scan over valid (uncovered, in-box) cells
+    if prog_min is None or prog_max is None:
+        lo, hi = np.inf, -np.inf
+        for lev in range(meta.n_levels):
+            v = dstate.data[lev][ic]
+            m = dstate.valid_mask(lev)
+            lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
+            hi = max(hi, float(jnp.max(jnp.where(m, v, -np.inf))))
+        prog_min = lo if prog_min is None else prog_min
+        prog_max = hi if prog_max is None else prog_max
+    if prog_min >= prog_max:
+        raise ValueError("progMin must be less than progMax")
+
+    def pipeline(data_list, mask_list):
+        scal = [d[ic : ic + 1] for d in data_list]
+        inv = 1.0 / (prog_max - prog_min)
+        prog = [jnp.asarray((s - prog_min) * inv, s.dtype) for s in scal]
+
+        # -- smoothing solve, coarse -> fine ---------------------------------
+        if do_smooth:
+            smoothed: List[jnp.ndarray] = list(prog)
+            for lev in range(meta.n_levels):
+                dx = meta.geoms[lev].dx
+
+                def apply_A(x, lev=lev):
+                    flds = smoothed[:lev] + [x] + prog[lev + 1:]
+                    grown = fill_dense_arrays(meta, lmeta, flds, mask_list,
+                                              lev, 1, bc, interp)
+                    lap = 0.0
+                    from ..ops.stencil import laplacian
+                    lap = laplacian(grown, dx, 1)
+                    return x - smooth_time * lap
+
+                m = mask_list[lev][None]
+                smoothed[lev] = cg_solve(apply_A, prog[lev], prog[lev], m,
+                                         smooth_iters)
+        else:
+            smoothed = prog
+
+        # -- gradient of smoothed progress -----------------------------------
+        g = _grad_multilevel(meta, lmeta, smoothed, mask_list, bc, interp)
+        G = [jnp.concatenate(g[lev], axis=0) for lev in range(meta.n_levels)]
+        normg = [-jnp.maximum(1e-14, jnp.sqrt(jnp.sum(G[lev] ** 2, axis=0,
+                                                      keepdims=True)))
+                 for lev in range(meta.n_levels)]
+        N = [G[lev] / normg[lev] for lev in range(meta.n_levels)]
+
+        # -- mean curvature: 0.5 * div(N) -------------------------------------
+        Km = []
+        for lev in range(meta.n_levels):
+            div = 0.0
+            for d in range(D):
+                comp = [N[l][d : d + 1] for l in range(meta.n_levels)]
+                gl = _grad_multilevel(meta, lmeta, comp, mask_list, bc,
+                                      interp)
+                div = div + gl[lev][d]
+            Km.append(0.5 * div)
+
+        # -- Gaussian curvature ------------------------------------------------
+        Kg = []
+        if do_gauss:
+            for lev in range(meta.n_levels):
+                H = []  # H[i][j] = d G_i / dx_j
+                for i in range(D):
+                    comp = [G[l][i : i + 1] for l in range(meta.n_levels)]
+                    gl = _grad_multilevel(meta, lmeta, comp, mask_list, bc,
+                                          interp)
+                    H.append([gl[lev][j][0] for j in range(D)])
+                adj = [[H[(i + 1) % 3][(j + 1) % 3] * H[(i + 2) % 3][(j + 2) % 3]
+                        - H[(i + 1) % 3][(j + 2) % 3] * H[(i + 2) % 3][(j + 1) % 3]
+                        for j in range(D)] for i in range(D)]
+                Gl = G[lev]
+                num = 0.0
+                for i in range(D):
+                    for j in range(D):
+                        # adj as built above is the adjugate transpose of H;
+                        # H is symmetric to truncation error so adj ~ adj^T
+                        num = num + Gl[i] * adj[i][j] * Gl[j]
+                Kg.append((num / normg[lev][0] ** 4)[None])
+
+        # -- strain ------------------------------------------------------------
+        SR, ROST, VN = [], [], []
+        if need_vel:
+            vel = [jnp.stack([d[k] for k in iv], axis=0) for d in data_list]
+        if do_strain:
+            for lev in range(meta.n_levels):
+                gradU = []  # gradU[i][j] = d u_i / dx_j
+                for i in range(D):
+                    comp = [vel[l][i : i + 1] for l in range(meta.n_levels)]
+                    gl = _grad_multilevel(meta, lmeta, comp, mask_list, bc,
+                                          interp)
+                    gradU.append([gl[lev][j][0] for j in range(D)])
+                divu = gradU[0][0] + gradU[1][1] + gradU[2][2]
+                if replicate_strain_bug:
+                    sr = divu  # reference's overwrite at curvature.cpp:745
+                else:
+                    nn = 0.0
+                    for i in range(D):
+                        for j in range(D):
+                            nn = nn + gradU[i][j] * N[lev][i] * N[lev][j]
+                    sr = -nn + divu
+                SR.append(sr[None])
+                if get_strain_tensor:
+                    ROST.append(jnp.stack(
+                        [gradU[i][j] for i in range(D) for j in range(D)],
+                        axis=0))
+        if do_velnormal:
+            for lev in range(meta.n_levels):
+                VN.append(jnp.sum(vel[lev] * N[lev], axis=0,
+                                  keepdims=True))
+
+        # -- thresholding ------------------------------------------------------
+        outs = []
+        for lev in range(meta.n_levels):
+            if do_threshold:
+                bad = ((prog[lev] < threshold)
+                       | (prog[lev] > 1.0 - threshold))
+                Km[lev] = jnp.where(bad, 0.0, Km[lev])
+                Nl = jnp.where(bad, 0.0, N[lev])
+                if do_gauss:
+                    Kg[lev] = jnp.where(bad, 0.0, Kg[lev])
+                if do_velnormal:
+                    VN[lev] = jnp.where(bad, 0.0, VN[lev])
+            else:
+                Nl = N[lev]
+            comps = [data_list[lev][ic : ic + 1]]
+            if need_vel:
+                comps.append(vel[lev])
+            comps += [prog[lev], smoothed[lev], Km[lev], Nl]
+            if do_gauss:
+                comps.append(Kg[lev])
+            if do_strain:
+                comps.append(SR[lev])
+            if get_strain_tensor:
+                comps.append(ROST[lev])
+            if do_velnormal:
+                comps.append(VN[lev])
+            outs.append(jnp.concatenate(comps, axis=0))
+        return outs
+
+    out_levels = jax.jit(pipeline)(list(dstate.data), masks)
+
+    names = [progress_name]
+    if need_vel:
+        names += vel_names
+    names += ["Progress", "SmoothedProgress",
+              f"MeanCurvature_{progress_name}",
+              f"FlameNormalX_{progress_name}",
+              f"FlameNormalY_{progress_name}",
+              f"FlameNormalZ_{progress_name}"]
+    if do_gauss:
+        names.append(f"GaussianCurvature_{progress_name}")
+    if do_strain:
+        names.append(f"StrainRate_{progress_name}")
+    if get_strain_tensor:
+        names += [f"ROST_dU{m}d{n}" for m in "xyz" for n in "xyz"]
+    if do_velnormal:
+        names.append("VelFlameNormal")
+    return dstate.with_data(names, out_levels)
+
+
+def main(args: dict) -> None:
+    """CLI: curvature infile=<plt> [progressName=temp] [progMin= progMax=]
+    [do_smooth=0] [smoothing_time=1e-7] [do_gaussCurv=1] [do_strain=0]
+    [getStrainTensor=0] [do_velnormal=0] [threshold_prog=0] [threshold=0.02]
+    [is_per=...] [outfile=...]"""
+    from ..amr.hierarchy import AmrState
+    from ..parmparse import ParmParse
+
+    pp = ParmParse(args)
+    infile = pp.get_str("infile")
+    progress_name = pp.query_str("progressName", "temp")
+    do_strain = pp.query_bool("do_strain", False)
+    do_velnormal = pp.query_bool("do_velnormal", False)
+    is_per = pp.query_int_list("is_per", [0, 0, 0])
+    names = [progress_name]
+    if do_strain or do_velnormal:
+        names += ["x_velocity", "y_velocity", "z_velocity"]
+    state = AmrState.from_plotfile(
+        infile, names=names, max_level=pp.query_int("finestLevel", None),
+        is_periodic=[bool(p) for p in is_per])
+    dstate = DenseAmrState.from_batched(state)
+    out = compute_curvature_dense(
+        dstate, progress_name,
+        prog_min=pp.query_float("progMin", None),
+        prog_max=pp.query_float("progMax", None),
+        do_smooth=pp.query_bool("do_smooth", False),
+        smooth_time=pp.query_float("smoothing_time", 1.0e-7),
+        do_gauss=pp.query_bool("do_gaussCurv", True),
+        do_strain=do_strain,
+        get_strain_tensor=pp.query_bool("getStrainTensor", False),
+        do_velnormal=do_velnormal,
+        do_threshold=pp.query_bool("threshold_prog", False),
+        threshold=pp.query_float("threshold", 0.02),
+        replicate_strain_bug=pp.query_bool("replicate_strain_bug", False),
+        sym_dir=pp.query_int_list("sym_dir", [0, 0, 0]),
+    )
+    outfile = pp.query_str("outfile", infile + "_K")
+    out.to_plotfile(outfile)
+    print(f"wrote {outfile}")

@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.dense import DenseAmrState
+from peleanalysis_tpu.amr.hierarchy import AmrState
+from peleanalysis_tpu.testing import cell_centers, write_synthetic_plotfile
+from peleanalysis_tpu.tools.curvature import compute_curvature_dense
+
+
+@pytest.fixture(scope="module")
+def sphere_state(tmp_path_factory):
+    # Gaussian ball: level sets are spheres centered at (.5,.5,.5)
+    path = str(tmp_path_factory.mktemp("pltc") / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2)
+    st = AmrState.from_plotfile(path, dtype=np.float64)
+    return DenseAmrState.from_batched(st)
+
+
+def radial(lev_state, lev, fieldvals):
+    """Return r at every cell of the dense bbox of level lev."""
+    geom = lev_state.meta.geoms[lev]
+    bbox = lev_state.lmeta[lev].bbox
+    cs = [geom.prob_lo[d] + (np.arange(bbox.lo[d], bbox.hi[d] + 1) + 0.5)
+          * geom.dx[d] for d in range(3)]
+    X, Y, Z = np.meshgrid(*cs, indexing="ij")
+    return np.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2 + (Z - 0.5) ** 2)
+
+
+def test_sphere_curvatures(sphere_state):
+    ds = sphere_state
+    out = compute_curvature_dense(ds, "progress", do_gauss=True)
+    assert f"MeanCurvature_progress" in out.names
+    lev = 1
+    km = np.asarray(out.data[lev][out.comp("MeanCurvature_progress")])
+    kg = np.asarray(out.data[lev][out.comp("GaussianCurvature_progress")])
+    nx = np.asarray(out.data[lev][out.comp("FlameNormalX_progress")])
+    r = radial(ds, lev, None)
+    geom = ds.meta.geoms[lev]
+    bbox = ds.lmeta[lev].bbox
+    cs = [geom.prob_lo[d] + (np.arange(bbox.lo[d], bbox.hi[d] + 1) + 0.5)
+          * geom.dx[d] for d in range(3)]
+    X, Y, Z = np.meshgrid(*cs, indexing="ij")
+    # test shell away from center (grad=0) and bbox edges
+    sel = (r > 0.08) & (r < 0.17)
+    # keep 2 cells off the bbox faces
+    inner = np.zeros_like(sel)
+    inner[2:-2, 2:-2, 2:-2] = True
+    sel &= inner
+    assert sel.sum() > 1000
+    h = geom.dx[0]
+    # mean curvature of the sphere r: Km = 1/r
+    np.testing.assert_allclose(km[sel], 1.0 / r[sel], rtol=0.08)
+    # Gaussian curvature: Kg = 1/r^2
+    np.testing.assert_allclose(kg[sel], 1.0 / r[sel] ** 2, rtol=0.12)
+    # flame normal points outward (toward fresh gas = low progress)
+    want_nx = (X - 0.5) / np.maximum(r, 1e-9)
+    np.testing.assert_allclose(nx[sel], want_nx[sel], atol=0.03)
+
+
+def test_progress_normalization(sphere_state):
+    out = compute_curvature_dense(sphere_state, "progress", do_gauss=False)
+    for lev in range(2):
+        p = np.asarray(out.data[lev][out.comp("Progress")])
+        v = np.asarray(sphere_state.valid_mask(lev))
+        assert p[v].min() > -1e-12 and p[v].max() < 1 + 1e-12
+
+
+def test_smoothing_reduces_noise(tmp_path):
+    rng = np.random.default_rng(0)
+
+    def noisy(x, y, z):
+        base = np.exp(-((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) / 0.15**2)
+        return base + 0.02 * np.sin(40 * x) * np.sin(40 * y) * np.sin(40 * z)
+
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=1,
+                             fields={"temp": noisy})
+    ds = DenseAmrState.from_batched(AmrState.from_plotfile(path,
+                                                           dtype=np.float64))
+    out_raw = compute_curvature_dense(ds, "temp", do_gauss=False,
+                                      do_smooth=False)
+    out_sm = compute_curvature_dense(ds, "temp", do_gauss=False,
+                                     do_smooth=True, smooth_time=1e-3,
+                                     smooth_iters=100)
+    raw = np.asarray(out_raw.data[0][out_raw.comp("SmoothedProgress")])
+    sm = np.asarray(out_sm.data[0][out_sm.comp("SmoothedProgress")])
+    # smoothing kills high-frequency content
+    def hf_energy(a):
+        d = a[2:] - 2 * a[1:-1] + a[:-2]
+        return float(np.mean(d * d))
+    assert hf_energy(sm) < 0.5 * hf_energy(raw)
+    # but preserves the mean
+    assert abs(sm.mean() - raw.mean()) < 1e-3
+
+
+def test_strain_and_velnormal(sphere_state):
+    out = compute_curvature_dense(
+        sphere_state, "progress", do_gauss=False, do_strain=True,
+        get_strain_tensor=True, do_velnormal=True)
+    # velocity field: u=(-(y-c)+.1 sin(2pi x), (x-c)+.1 cos(2pi y), 0.25)
+    # => du/dx = .2 pi cos(2pi x); divu = .2 pi (cos - sin terms)
+    lev = 0
+    geom = sphere_state.meta.geoms[lev]
+    bbox = sphere_state.lmeta[lev].bbox
+    cs = [geom.prob_lo[d] + (np.arange(bbox.lo[d], bbox.hi[d] + 1) + 0.5)
+          * geom.dx[d] for d in range(3)]
+    X, Y, Z = np.meshgrid(*cs, indexing="ij")
+    dudx = np.asarray(out.data[lev][out.comp("ROST_dUxdx")])
+    want = 0.1 * 2 * np.pi * np.cos(2 * np.pi * X)
+    inner = (slice(2, -2),) * 3
+    np.testing.assert_allclose(dudx[inner], want[inner], atol=0.02)
+    # ROST_dUxdy = -1 (solid rotation)
+    dudy = np.asarray(out.data[lev][out.comp("ROST_dUxdy")])
+    np.testing.assert_allclose(dudy[inner], -1.0, atol=0.01)
+    assert "StrainRate_progress" in out.names
+    assert "VelFlameNormal" in out.names
+
+
+def test_strain_bug_parity(sphere_state):
+    out_fix = compute_curvature_dense(sphere_state, "progress",
+                                      do_gauss=False, do_strain=True)
+    out_bug = compute_curvature_dense(sphere_state, "progress",
+                                      do_gauss=False, do_strain=True,
+                                      replicate_strain_bug=True)
+    a = np.asarray(out_fix.data[0][out_fix.comp("StrainRate_progress")])
+    b = np.asarray(out_bug.data[0][out_bug.comp("StrainRate_progress")])
+    # bug mode = divu only; fixed mode adds -NN:gradU, so they differ
+    assert not np.allclose(a, b)
