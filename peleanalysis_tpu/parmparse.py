@@ -114,10 +114,13 @@ class ParmParse:
         return [float(x) for x in self._raw(key)]
 
     def query_str_list(self, key: str, default):
-        return self.get_str_list(key) if key in self.table else list(default)
+        return self.get_str_list(key) if key in self.table else (
+            None if default is None else list(default))
 
     def query_int_list(self, key: str, default):
-        return self.get_int_list(key) if key in self.table else list(default)
+        return self.get_int_list(key) if key in self.table else (
+            None if default is None else list(default))
 
     def query_float_list(self, key: str, default):
-        return self.get_float_list(key) if key in self.table else list(default)
+        return self.get_float_list(key) if key in self.table else (
+            None if default is None else list(default))

@@ -1,0 +1,144 @@
+"""``conditionalMean`` — conditional mean/std of variables binned by another.
+
+TPU-native replacement for /root/reference/Src/conditionalMean.cpp (406 LoC):
+across a list of plotfiles, bin ``avgComps`` by ``binComp`` over
+[binMin,binMax) x nBins, weighting each cell by its refinement volume
+(weights[lev] = prod of ref ratios to the finest level,
+conditionalMean.cpp:198-205), with fine-covered cells masked
+(conditionalMean.cpp:246-258).  Output: Tecplot/gnuplot ASCII with
+sum/sumSq/avg/std[/min/max]/N/p columns (conditionalMean.cpp:310-399).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..amr.dense import DenseAmrState
+from ..amr.hierarchy import AmrState
+from ..ops.stats import binned_stats
+from ..parmparse import ParmParse
+
+
+def refinement_weights(ref_ratio: Sequence[int], n_levels: int) -> List[int]:
+    w = [1] * n_levels
+    for lev in range(n_levels - 2, -1, -1):
+        w[lev] = w[lev + 1] * ref_ratio[lev] ** 3
+    return w
+
+
+def accumulate_conditional_mean(
+    dstate: DenseAmrState,
+    bin_name: str,
+    avg_names: Sequence[str],
+    nbins: int,
+    bin_min: float,
+    bin_max: float,
+    with_minmax: bool = False,
+):
+    meta = dstate.meta
+    weights = refinement_weights(meta.ref_ratio, meta.n_levels)
+    hits = np.zeros(nbins)
+    sums = np.zeros((nbins, len(avg_names)))
+    sumsq = np.zeros((nbins, len(avg_names)))
+    mins = np.full((nbins, len(avg_names)), np.inf)
+    maxs = np.full((nbins, len(avg_names)), -np.inf)
+    ib = dstate.comp(bin_name)
+    ia = np.array([dstate.comp(n) for n in avg_names])
+    for lev in range(meta.n_levels):
+        h, s, s2, mn, mx = binned_stats(
+            dstate.data[lev][ib], dstate.data[lev][ia],
+            float(weights[lev]), dstate.valid_mask(lev),
+            bin_min, bin_max, nbins, clamp=False, with_minmax=with_minmax)
+        hits += np.asarray(h)
+        sums += np.asarray(s)
+        sumsq += np.asarray(s2)
+        if with_minmax:
+            mins = np.minimum(mins, np.asarray(mn))
+            maxs = np.maximum(maxs, np.asarray(mx))
+    return hits, sums, sumsq, mins, maxs
+
+
+def write_cm_dat(path: str, bin_name: str, avg_names: Sequence[str],
+                 nbins: int, bin_min: float, bin_max: float,
+                 hits, sums, sumsq, mins=None, maxs=None,
+                 with_minmax: bool = False) -> None:
+    """Tecplot-style ASCII matching conditionalMean.cpp:310-399."""
+    with open(path, "w") as f:
+        cols = ["VARIABLES = " + bin_name]
+        for suf in ("sum", "sumSq", "avg", "std"):
+            cols += [f"{n}_{suf}" for n in avg_names]
+        if with_minmax:
+            for suf in ("min", "max"):
+                cols += [f"{n}_{suf}" for n in avg_names]
+        f.write(" ".join(cols) + "  N  p \n")
+        f.write(f"ZONE I={nbins} DATAPACKING=POINT\n")
+        dv = (bin_max - bin_min) / nbins
+        ntot = hits.sum()
+        for i in range(nbins):
+            row = [bin_min + dv * (0.5 + i)]
+            row += list(sums[i])
+            row += list(sumsq[i])
+            if hits[i] > 0:
+                row += list(sums[i] / hits[i])
+                var = sumsq[i] / hits[i] - (sums[i] / hits[i]) ** 2
+                row += list(np.sqrt(np.maximum(var, 0.0)))
+            else:
+                row += [0.0] * (2 * len(avg_names))
+            if with_minmax:
+                row += list(mins[i])
+                row += list(maxs[i])
+            row += [hits[i], hits[i] / max(ntot, 1)]
+            f.write(" ".join(f"{v:e}" for v in row) + "\n")
+
+
+def _resolve(name_or_idx: str, var_names: Sequence[str]) -> str:
+    """The reference takes integer component indices; accept both."""
+    try:
+        return var_names[int(name_or_idx)]
+    except ValueError:
+        return name_or_idx
+
+
+def main(args: dict) -> None:
+    """CLI: conditionalMean infile=<plt>... binComp=<i|name> avgComps=<i|name>...
+    nBins= binMin= binMax= [writeBinMinMax=0] [finestLevel=] [aja=0]"""
+    from ..io.plotfile import PlotfileReader
+
+    pp = ParmParse(args)
+    infiles = pp.get_str_list("infile")
+    nbins = pp.query_int("nBins", 64)
+    bin_min = pp.get_float("binMin")
+    bin_max = pp.get_float("binMax")
+    with_minmax = pp.query_bool("writeBinMinMax", False)
+    finest = pp.query_int("finestLevel", None)
+    aja = pp.query_bool("aja", False)
+
+    var_names = PlotfileReader(infiles[0]).var_names
+    bin_name = _resolve(pp.get_str("binComp"), var_names)
+    avg_names = [_resolve(s, var_names) for s in pp.get_str_list("avgComps")]
+
+    nb = len(avg_names)
+    hits = np.zeros(nbins)
+    sums = np.zeros((nbins, nb))
+    sumsq = np.zeros((nbins, nb))
+    mins = np.full((nbins, nb), np.inf)
+    maxs = np.full((nbins, nb), -np.inf)
+    for plt in infiles:
+        st = AmrState.from_plotfile(plt, names=[bin_name] + avg_names,
+                                    max_level=finest)
+        ds = DenseAmrState.from_batched(st)
+        h, s, s2, mn, mx = accumulate_conditional_mean(
+            ds, bin_name, avg_names, nbins, bin_min, bin_max, with_minmax)
+        hits += h
+        sums += s
+        sumsq += s2
+        mins = np.minimum(mins, mn)
+        maxs = np.maximum(maxs, mx)
+
+    out = (infiles[0] + f"/CM_{bin_name}.dat" if aja
+           else f"CM_{bin_name}.dat")
+    out = pp.query_str("outfile", out)
+    write_cm_dat(out, bin_name, avg_names, nbins, bin_min, bin_max,
+                 hits, sums, sumsq, mins, maxs, with_minmax)
+    print(f"wrote {out}")

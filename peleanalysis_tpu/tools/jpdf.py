@@ -1,0 +1,303 @@
+"""``jpdf`` — joint PDFs of every pair of variables.
+
+TPU-native replacement for /root/reference/Src/jpdf.cpp (1075 LoC):
+for each of the n(n-1)/2 variable pairs, a volume-weighted nBins^2 joint
+histogram over all uncovered cells of all levels (out-of-range values clamp
+into edge bins, jpdf.cpp:489-496), plus conditional-mean accumulators
+binX1/binX2.  Features reproduced:
+
+  * per-variable min/max scan with ``useminmax%i`` overrides
+    (jpdf.cpp:296-326)
+  * conditioning window on cVar incl. normalized (norm_cVal) and c(1-c)
+    (do_conditioning=2) modes (jpdf.cpp:110-152, 476-487)
+  * derived "Stoichiometry" variable 0.5*sum(X*H)/sum(X*O) from per-variable
+    H/O atom counts (jpdf.cpp:193-243, 388-420)
+  * writers: gnuplot/matlab/tecplot/fab/scatter/2-D plotfile with the
+    reference's normalization — binX /= bin then bin /= domainVol
+    (jpdf.cpp:560-740); multi-file ``do_average`` pass (jpdf.cpp:935-1049)
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..amr.box import Box
+from ..amr.dense import DenseAmrState
+from ..amr.geometry import Geometry
+from ..amr.hierarchy import AmrState
+from ..io.fab import write_fab
+from ..ops.stats import joint_pdf
+from ..parmparse import ParmParse
+
+SMALL = 1.0e-7
+
+
+def valid_minmax(dstate: DenseAmrState, comp: int) -> Tuple[float, float]:
+    import jax.numpy as jnp
+    lo, hi = np.inf, -np.inf
+    for lev in range(dstate.meta.n_levels):
+        v = dstate.data[lev][comp]
+        m = dstate.valid_mask(lev)
+        lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
+        hi = max(hi, float(jnp.max(jnp.where(m, v, -np.inf))))
+    return lo, hi
+
+
+def stoichiometry_field(dstate: DenseAmrState, var_names: Sequence[str],
+                        h_list: Sequence[int], o_list: Sequence[int]):
+    """0.5 * sum_v X_v*H_v / sum_v X_v*O_v per level (jpdf.cpp:410-417)."""
+    import jax.numpy as jnp
+    out = []
+    idx = [dstate.comp(n) for n in var_names]
+    h = np.asarray(h_list, dtype=np.float64)
+    o = np.asarray(o_list, dtype=np.float64)
+    for lev in range(dstate.meta.n_levels):
+        X = dstate.data[lev][np.asarray(idx)]
+        sumH = jnp.tensordot(jnp.asarray(h, X.dtype), X, axes=1)
+        sumO = jnp.tensordot(jnp.asarray(o, X.dtype), X, axes=1)
+        out.append(0.5 * sumH / sumO)
+    return out
+
+
+def compute_jpdf_pair(dstate: DenseAmrState, f1_levels, f2_levels,
+                      v1min, v1max, v2min, v2max, nbins,
+                      cond_levels=None):
+    """Accumulate one pair over all levels. f*_levels: [lev] -> [*bbox]."""
+    b = np.zeros((nbins, nbins))
+    bx1 = np.zeros((nbins, nbins))
+    bx2 = np.zeros((nbins, nbins))
+    for lev in range(dstate.meta.n_levels):
+        vol = float(np.prod(dstate.meta.geoms[lev].dx))
+        mask = dstate.valid_mask(lev)
+        if cond_levels is not None:
+            mask = mask & cond_levels[lev]
+        bb, b1, b2 = joint_pdf(f1_levels[lev], f2_levels[lev], vol, mask,
+                               v1min, v1max, v2min, v2max, nbins)
+        b += np.asarray(bb)
+        bx1 += np.asarray(b1)
+        bx2 += np.asarray(b2)
+    return b, bx1, bx2
+
+
+def normalize_pair(b, bx1, bx2, v1min, v1max, v2min, v2max, domain_vol):
+    """Reference normalization (jpdf.cpp:572-588): binX/=bin (bin centers
+    where empty), then bin/=domainVol."""
+    nbins = b.shape[0]
+    dv1 = (v1max - v1min) / nbins
+    dv2 = (v2max - v2min) / nbins
+    c1 = v1min + dv1 * (0.5 + np.arange(nbins))
+    c2 = v2min + dv2 * (0.5 + np.arange(nbins))
+    C1, C2 = np.meshgrid(c1, c2, indexing="ij")
+    nz = b > 0
+    bx1 = np.where(nz, bx1 / np.where(nz, b, 1.0), C1)
+    bx2 = np.where(nz, bx2 / np.where(nz, b, 1.0), C2)
+    return b / domain_vol, bx1, bx2, C1, C2
+
+
+# ---------------------------------------------------------------------------
+# writers (formats per jpdf.cpp:595-740)
+# ---------------------------------------------------------------------------
+
+def write_gnuplot(path, C1, C2, b):
+    with open(path, "w") as f:
+        for i in range(b.shape[0]):
+            for j in range(b.shape[1]):
+                f.write(f"{C1[i, j]:e} {C2[i, j]:e} {b[i, j]:e}\n")
+
+
+def write_matlab(base, n1, n2, C1, C2, b, bx1, bx2):
+    np.savetxt(f"{base}/Pdf_{n1}_{n2}.dat", b, fmt="%e")
+    np.savetxt(f"{base}/Pdf_{n1}_x.dat", C1[:, 0], fmt="%e")
+    np.savetxt(f"{base}/Pdf_{n2}_x.dat", C2[0, :], fmt="%e")
+    np.savetxt(f"{base}/PdfX1_{n1}_{n2}.dat", bx1, fmt="%e")
+    np.savetxt(f"{base}/PdfX2_{n1}_{n2}.dat", bx2, fmt="%e")
+
+
+def write_tecplot(path, n1, n2, C1, C2, b):
+    nbins = b.shape[0]
+    with open(path, "w") as f:
+        f.write(f"VARIABLES = {n1} {n2} logpdf pdf\n")
+        f.write(f"ZONE N={nbins*nbins} E={(nbins-1)*(nbins-1)} "
+                "F=FEPOINT ET=QUADRILATERAL\n")
+        for i in range(nbins):
+            for j in range(nbins):
+                p = b[i, j]
+                f.write(f"{C1[i,j]:e} {C2[i,j]:e} {np.log(p + SMALL):e} "
+                        f"{p:e}\n")
+        for i in range(nbins - 1):
+            for j in range(nbins - 1):
+                i1 = i * nbins + j + 1
+                i2 = (i + 1) * nbins + j + 1
+                i3 = (i + 1) * nbins + (j + 1) + 1
+                i4 = i * nbins + (j + 1) + 1
+                f.write(f"{i1} {i2} {i3} {i4}\n")
+
+
+def write_fab_pdf(path, C1, C2, b):
+    nbins = b.shape[0]
+    data = np.stack([C1, C2, np.log(b + SMALL), b])[..., None]  # z extent 1
+    with open(path, "wb") as f:
+        write_fab(f, Box((0, 0, 0), (nbins - 1, nbins - 1, 0)), data)
+
+
+def write_scatter(path, C1, C2, b):
+    with open(path, "w") as f:
+        for i in range(b.shape[0]):
+            for j in range(b.shape[1]):
+                if b[i, j] > 0:
+                    f.write(f"{C1[i,j]:e} {C2[i,j]:e}\n")
+
+
+def write_pdf_plotfile(path, n1, n2, v1min, v1max, v2min, v2max, b):
+    """2-D plotfile rendering of the pdf (jpdf.cpp:733-.. analog): a
+    single-level nbins x nbins x 1 grid in (v1,v2) space."""
+    from ..io.plotfile import write_plotfile
+    from ..amr.box import BoxArray
+    nbins = b.shape[0]
+    dom = Box((0, 0, 0), (nbins - 1, nbins - 1, 0))
+    geom = Geometry(dom, (v1min, v2min, 0.0), (v1max, v2max, 1.0),
+                    (False, False, False))
+    fab = np.stack([np.log(b + SMALL), b])[..., None]
+    write_plotfile(path, ["logpdf", "pdf"], 0.0, [geom], [],
+                   [BoxArray([dom])], [[fab]])
+
+
+def _protect(name: str) -> str:
+    return name.replace("/", "_")
+
+
+def main(args: dict) -> None:
+    """CLI: jpdf infile=<plt>... vars=<name>... [nBins=64] [useminmax%i=lo hi]
+    [do_conditioning=0|1|2 cVar=i norm_cVal=0 cNormMin/Max cMin cMax]
+    [do_stoichiometry=0 Hlist=... Olist=...] [do_average=0]
+    [output_gnuplot/matlab/tecplot/fab/scatter/plotfile=..] [outSuffix=]"""
+    pp = ParmParse(args)
+    infiles = pp.get_str_list("infile")
+    nbins = pp.query_int("nBins", 64)
+    var_in = pp.get_str_list("vars")
+    do_stoich = pp.query_bool("do_stoichiometry", False)
+    do_avg = pp.query_bool("do_average", False)
+    out_suffix = pp.query_str("outSuffix", "")
+    outputs = {k: pp.query_bool("output_" + k, k == "plotfile")
+               for k in ("gnuplot", "matlab", "tecplot", "fab", "scatter",
+                         "plotfile")}
+    finest = pp.query_int("finestLevel", None)
+
+    names = list(var_in)
+    if do_stoich:
+        h_list = pp.get_int_list("Hlist")
+        o_list = pp.get_int_list("Olist")
+        names_all = names + ["Stoichiometry"]
+    else:
+        names_all = names
+
+    do_cond = pp.query_int("do_conditioning", 0)
+    cvar = pp.query_int("cVar", 0)
+    norm_c = pp.query_int("norm_cVal", 0) or (do_cond == 2)
+    cnmin = pp.query_float("cNormMin", 0.0)
+    cnmax = pp.query_float("cNormMax", 1.0)
+    cmin = pp.query_float("cMin", 0.0)
+    cmax = pp.query_float("cMax", 1.0)
+
+    nvars = len(names_all)
+    npairs = nvars * (nvars - 1) // 2
+    avg = [None] * npairs
+
+    for plt in infiles:
+        st = AmrState.from_plotfile(plt, names=names, max_level=finest)
+        ds = DenseAmrState.from_batched(st)
+        fields = {n: [ds.data[lev][ds.comp(n)]
+                      for lev in range(ds.meta.n_levels)] for n in names}
+        if do_stoich:
+            fields["Stoichiometry"] = stoichiometry_field(ds, names, h_list,
+                                                          o_list)
+        vmin, vmax = {}, {}
+        for i, n in enumerate(names_all):
+            if n == "Stoichiometry":
+                vmin[n], vmax[n] = 0.0, 2.0
+            else:
+                vmin[n], vmax[n] = valid_minmax(ds, ds.comp(n))
+            mm = pp.query_float_list(f"useminmax{i+1}", None)
+            if mm:
+                vmin[n], vmax[n] = mm[0], mm[1]
+
+        cond_levels = None
+        if do_cond:
+            import jax.numpy as jnp
+            cname = names_all[cvar]
+            cond_levels = []
+            for lev in range(ds.meta.n_levels):
+                cval = fields[cname][lev]
+                if norm_c:
+                    cval = (cval - cnmin) / (cnmax - cnmin)
+                if do_cond == 2:
+                    cval = cval * (1.0 - cval)
+                cond_levels.append((cval >= cmin) & (cval <= cmax))
+
+        g = ds.meta.geoms[0]
+        domain_vol = float(np.prod([h - l for l, h in
+                                    zip(g.prob_lo, g.prob_hi)]))
+        base = plt + out_suffix
+        if out_suffix and not os.path.isdir(base):
+            os.makedirs(base, exist_ok=True)
+        if not out_suffix:
+            base = plt
+        os.makedirs(base, exist_ok=True)
+
+        ipair = 0
+        for a in range(nvars):
+            for bvar in range(a + 1, nvars):
+                n1, n2 = names_all[a], names_all[bvar]
+                b, bx1, bx2 = compute_jpdf_pair(
+                    ds, fields[n1], fields[n2],
+                    vmin[n1], vmax[n1], vmin[n2], vmax[n2], nbins,
+                    cond_levels)
+                if do_avg:
+                    if avg[ipair] is None:
+                        avg[ipair] = [np.zeros_like(b) for _ in range(3)]
+                    avg[ipair][0] += b
+                    avg[ipair][1] += bx1
+                    avg[ipair][2] += bx2
+                bn, bx1n, bx2n, C1, C2 = normalize_pair(
+                    b, bx1, bx2, vmin[n1], vmax[n1], vmin[n2], vmax[n2],
+                    domain_vol)
+                _emit(outputs, base, _protect(n1), _protect(n2), n1, n2,
+                      C1, C2, bn, bx1n, bx2n,
+                      vmin[n1], vmax[n1], vmin[n2], vmax[n2])
+                ipair += 1
+
+    if do_avg:
+        base = infiles[0] + out_suffix + "_avg"
+        os.makedirs(base, exist_ok=True)
+        ipair = 0
+        for a in range(nvars):
+            for bvar in range(a + 1, nvars):
+                n1, n2 = names_all[a], names_all[bvar]
+                b, bx1, bx2 = avg[ipair]
+                bn, bx1n, bx2n, C1, C2 = normalize_pair(
+                    b, bx1, bx2, vmin[n1], vmax[n1], vmin[n2], vmax[n2],
+                    domain_vol * len(infiles))
+                _emit(outputs, base, _protect(n1), _protect(n2), n1, n2,
+                      C1, C2, bn, bx1n, bx2n,
+                      vmin[n1], vmax[n1], vmin[n2], vmax[n2])
+                ipair += 1
+    print("jpdf done")
+
+
+def _emit(outputs, base, p1, p2, n1, n2, C1, C2, b, bx1, bx2,
+          v1min, v1max, v2min, v2max):
+    if outputs["gnuplot"]:
+        write_gnuplot(f"{base}/Pdf_{p1}_{p2}.gpd", C1, C2, b)
+    if outputs["matlab"]:
+        write_matlab(base, p1, p2, C1, C2, b, bx1, bx2)
+    if outputs["tecplot"]:
+        write_tecplot(f"{base}/Pdf_{p1}_{p2}.tpd", n1, n2, C1, C2, b)
+    if outputs["fab"]:
+        write_fab_pdf(f"{base}/Pdf_{p1}_{p2}.fab", C1, C2, b)
+    if outputs["scatter"]:
+        write_scatter(f"{base}/Scatter_{p1}_{p2}.dat", C1, C2, b)
+    if outputs["plotfile"]:
+        write_pdf_plotfile(f"{base}/Pdf_{p1}_{p2}_plt", n1, n2,
+                           v1min, v1max, v2min, v2max, b)

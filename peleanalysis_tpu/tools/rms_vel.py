@@ -1,0 +1,51 @@
+"""``rmsVel`` — u' RMS per plotfile in a time series.
+
+TPU-native replacement for /root/reference/Src/rmsVel.cpp (142 LoC): reads
+x/y/z_velocity at the finest level only, accumulates volume-weighted <u> and
+<u^2> (rmsVel.cpp:82-116), writes "RmsVel.dat" rows of (time, urms) with
+urms = sqrt(mean over dims of (<u_d^2> - <u_d>^2)) (rmsVel.cpp:125-127).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..amr.dense import DenseAmrState
+from ..amr.hierarchy import AmrState
+from ..parmparse import ParmParse
+
+VEL = ["x_velocity", "y_velocity", "z_velocity"]
+
+
+def rms_velocity(ds: DenseAmrState) -> float:
+    """Finest-level-only, matching the reference (all finest cells count —
+    no covered-mask since nothing covers the finest level)."""
+    fin = ds.meta.n_levels - 1
+    m = ds.in_level_mask(fin)
+    vol = float(np.sum(np.asarray(m)))
+    var_sum = 0.0
+    for name in VEL:
+        u = ds.data[fin][ds.comp(name)]
+        ub = float(jnp.sum(jnp.where(m, u, 0.0))) / vol
+        u2 = float(jnp.sum(jnp.where(m, u * u, 0.0))) / vol
+        var_sum += u2 - ub * ub
+    return float(np.sqrt(var_sum / 3.0))
+
+
+def main(args: dict) -> None:
+    """CLI: rmsVel infile=<plt>... [finestLevel=] [outfile=RmsVel.dat]"""
+    pp = ParmParse(args)
+    infiles = pp.get_str_list("infile")
+    finest = pp.query_int("finestLevel", None)
+    out = pp.query_str("outfile", "RmsVel.dat")
+    rows = []
+    for plt in infiles:
+        st = AmrState.from_plotfile(plt, names=VEL, max_level=finest)
+        ds = DenseAmrState.from_batched(st)
+        rows.append((st.meta.time, rms_velocity(ds)))
+    with open(out, "w") as f:
+        for t, u in rows:
+            f.write(f"{t:e} {u:e}\n")
+    print(f"wrote {out}")

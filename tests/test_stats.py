@@ -1,0 +1,154 @@
+import os
+
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.dense import DenseAmrState
+from peleanalysis_tpu.amr.hierarchy import AmrState
+from peleanalysis_tpu.testing import write_synthetic_plotfile
+from peleanalysis_tpu.tools.conditional_mean import (
+    accumulate_conditional_mean, refinement_weights)
+from peleanalysis_tpu.tools.integral import integrate_along
+from peleanalysis_tpu.tools.jpdf import compute_jpdf_pair, normalize_pair
+from peleanalysis_tpu.tools.rms_vel import rms_velocity
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plts") / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=3)
+    return DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float64))
+
+
+def test_refinement_weights():
+    assert refinement_weights([2, 2], 3) == [64, 8, 1]
+    assert refinement_weights([2, 4], 3) == [8 * 64, 64, 1]
+
+
+def test_conditional_mean_constant_field(ds):
+    # binning a field by itself: avg in each bin must equal bin-sample values
+    hits, sums, sumsq, mn, mx = accumulate_conditional_mean(
+        ds, "temp", ["temp"], nbins=16, bin_min=300.0, bin_max=1800.0)
+    total_w = hits.sum()
+    # total weight = number of finest-equivalent cells with temp in range
+    # temp in [300, 1800] never reaches 1800 exactly but min=300 at corners
+    nf = 128 ** 3
+    assert total_w <= nf
+    assert total_w > 0.9 * nf
+    avg = np.where(hits > 0, sums[:, 0] / np.maximum(hits, 1), 0)
+    centers = 300 + (1800 - 300) / 16 * (0.5 + np.arange(16))
+    sel = hits > 0
+    # avg of temp conditioned on temp-bin must lie within the bin
+    halfw = (1800 - 300) / 16 / 2
+    assert np.all(np.abs(avg[sel] - centers[sel]) <= halfw + 1e-9)
+
+
+def test_conditional_mean_vs_numpy(ds):
+    # brute-force numpy check on a 2-level subset
+    hits, sums, _, _, _ = accumulate_conditional_mean(
+        ds, "progress", ["density"], nbins=8, bin_min=0.0, bin_max=1.0)
+    w = refinement_weights(ds.meta.ref_ratio, ds.meta.n_levels)
+    hits_np = np.zeros(8)
+    sums_np = np.zeros(8)
+    for lev in range(ds.meta.n_levels):
+        p = np.asarray(ds.data[lev][ds.comp("progress")])
+        d = np.asarray(ds.data[lev][ds.comp("density")])
+        m = np.asarray(ds.valid_mask(lev))
+        idx = np.floor(p * 8).astype(int)
+        ok = m & (idx >= 0) & (idx < 8)
+        np.add.at(hits_np, idx[ok], w[lev])
+        np.add.at(sums_np, idx[ok], w[lev] * d[ok])
+    np.testing.assert_allclose(hits, hits_np, rtol=1e-12)
+    np.testing.assert_allclose(sums[:, 0], sums_np, rtol=1e-12)
+
+
+def test_jpdf_mass_conservation(ds):
+    f1 = [ds.data[l][ds.comp("temp")] for l in range(3)]
+    f2 = [ds.data[l][ds.comp("progress")] for l in range(3)]
+    b, bx1, bx2 = compute_jpdf_pair(ds, f1, f2, 300.0, 1801.0, -0.1, 1.1, 32)
+    # clamped histogram: total volume = domain volume (all cells counted)
+    np.testing.assert_allclose(b.sum(), 1.0, rtol=1e-10)
+    bn, bx1n, bx2n, C1, C2 = normalize_pair(b, bx1, bx2, 300.0, 1801.0,
+                                            -0.1, 1.1, 1.0)
+    np.testing.assert_allclose(bn.sum(), 1.0, rtol=1e-10)
+    # conditional means lie within their bins (where populated)
+    nz = b > 0
+    dv1 = (1801.0 - 300.0) / 32
+    assert np.all(np.abs(bx1n[nz] - C1[nz]) <= dv1 / 2 + 1e-9)
+
+
+def test_integral_volume(ds):
+    # integral of 1-like field: use density; compare against direct sum
+    coords, w, fields = integrate_along(ds, ["density"], [0, 1, 2])
+    assert abs(float(w) - 1.0) < 1e-12  # domain volume = 1
+    direct = 0.0
+    for lev in range(3):
+        vol = float(np.prod(ds.meta.geoms[lev].dx))
+        m = np.asarray(ds.valid_mask(lev))
+        direct += np.sum(np.asarray(ds.data[lev][ds.comp("density")])[m]) * vol
+    np.testing.assert_allclose(float(fields[0]), direct, rtol=1e-12)
+
+
+def test_integral_along_one_dir(ds):
+    coords, w, fields = integrate_along(ds, ["density"], [2])
+    # column measure: every column spans the domain -> w == 1 everywhere
+    np.testing.assert_allclose(w, 1.0, rtol=1e-12)
+    assert fields[0].shape == (128, 128)
+    # averaged version equals integral since w == 1
+    _, _, favg = integrate_along(ds, ["density"], [2], avg=True)
+    np.testing.assert_allclose(favg[0], fields[0], rtol=1e-12)
+
+
+def test_integral_conditioned(ds):
+    _, w_all, _ = integrate_along(ds, ["density"], [0, 1, 2])
+    _, w_cond, _ = integrate_along(ds, ["density"], [0, 1, 2],
+                                   c_name="progress", c_min=0.5, c_max=2.0)
+    assert 0 < float(w_cond) < float(w_all)
+
+
+def test_rms_velocity(ds):
+    u = rms_velocity(ds)
+    # analytic field: solid rotation + sin/cos perturbations on the fine
+    # subregion; just sanity-bound it
+    assert 0.01 < u < 1.0
+
+
+def test_cli_conditional_mean(ds, tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=2)
+    monkeypatch.chdir(tmp_path)
+    rc = main(["conditionalMean", f"infile={path}", "binComp=progress",
+               "avgComps=temp density", "nBins=8", "binMin=0", "binMax=1"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "CM_progress.dat")
+    lines = open(tmp_path / "CM_progress.dat").read().splitlines()
+    assert lines[0].startswith("VARIABLES = progress temp_sum density_sum")
+    assert len(lines) == 2 + 8
+
+
+def test_cli_jpdf(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=2)
+    monkeypatch.chdir(tmp_path)
+    rc = main(["jpdf", f"infile={path}", "vars=temp progress", "nBins=16",
+               "output_gnuplot=1", "output_plotfile=1"])
+    assert rc == 0
+    assert os.path.exists(path + "/Pdf_temp_progress.gpd")
+    from peleanalysis_tpu.io.plotfile import PlotfileReader
+    r = PlotfileReader(path + "/Pdf_temp_progress_plt")
+    assert r.var_names == ["logpdf", "pdf"]
+
+
+def test_cli_integral_and_rms(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=2)
+    monkeypatch.chdir(tmp_path)
+    assert main(["integral", f"infile={path}", "vars=density",
+                 "integralDimension=3"]) == 0
+    assert os.path.exists(path + "_int.dat")
+    assert main(["rmsVel", f"infile={path}"]) == 0
+    assert os.path.exists(tmp_path / "RmsVel.dat")
