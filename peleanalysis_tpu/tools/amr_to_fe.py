@@ -1,0 +1,118 @@
+"""``amrToFE`` — flatten the valid AMR hierarchy to an unstructured
+finite-element mesh (/root/reference/Src/amrToFE.cpp, 900 LoC).
+
+Nodes sit at valid-cell centers (``connect_cc=1``, amrToFE.cpp:93-113);
+elements are the 8-node bricks (4-node quads in 2D) of each level's dual
+grid wherever all corners are valid (uncovered) cells — coarse-fine seams
+are left open exactly like the reference's per-level meshing.  Output:
+Tecplot ASCII FEBRICK (outType=tec) or raw "flt" tables; integer-bbox
+subsetting via ``box=`` (amrToFE.cpp:374-387).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..amr.box import Box
+from ..amr.dense import DenseAmrState
+from ..amr.hierarchy import AmrState
+from ..parmparse import ParmParse
+
+
+def level_fe_mesh(ds: DenseAmrState, lev: int, names: Sequence[str],
+                  sub: Optional[Box] = None):
+    """Returns (nodes[N, 3+ncomp], bricks[M, 8]) for one level."""
+    meta = ds.meta
+    geom = meta.geoms[lev]
+    bbox = ds.lmeta[lev].bbox
+    valid = np.asarray(ds.valid_mask(lev))
+    if sub is not None:
+        s = sub
+        for l in range(lev):
+            s = s.refine(meta.ref_ratio[l])
+        box_mask = np.zeros_like(valid)
+        isect = bbox.intersect(s)
+        if not isect.is_empty():
+            sl = tuple(slice(isect.lo[d] - bbox.lo[d],
+                             isect.hi[d] - bbox.lo[d] + 1) for d in range(3))
+            box_mask[sl] = True
+        valid = valid & box_mask
+    node_id = np.full(valid.shape, -1, dtype=np.int64)
+    idx = np.argwhere(valid)
+    node_id[valid] = np.arange(len(idx))
+    dx = geom.dx
+    pos = (idx + np.array(bbox.lo) - np.array(geom.domain.lo)
+           + 0.5) * np.array(dx) + np.array(geom.prob_lo)
+    comps = [np.asarray(ds.data[lev][ds.comp(n)])[valid] for n in names]
+    nodes = np.column_stack([pos] + comps)
+    # bricks: 2x2x2 corners all valid
+    ok = valid[:-1, :-1, :-1]
+    for off in ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (1, 0, 1),
+                (0, 1, 1), (1, 1, 1)):
+        ok = ok & valid[off[0]:valid.shape[0] - 1 + off[0],
+                        off[1]:valid.shape[1] - 1 + off[1],
+                        off[2]:valid.shape[2] - 1 + off[2]]
+    base = np.argwhere(ok)
+    if len(base) == 0:
+        return nodes, np.zeros((0, 8), dtype=np.int64)
+    def nid(o):
+        return node_id[base[:, 0] + o[0], base[:, 1] + o[1], base[:, 2] + o[2]]
+    # Tecplot FEBRICK corner ordering
+    bricks = np.column_stack([
+        nid((0, 0, 0)), nid((1, 0, 0)), nid((1, 1, 0)), nid((0, 1, 0)),
+        nid((0, 0, 1)), nid((1, 0, 1)), nid((1, 1, 1)), nid((0, 1, 1))])
+    return nodes, bricks
+
+
+def write_tec_febrick(path: str, names: Sequence[str], zones) -> None:
+    with open(path, "w") as f:
+        f.write("VARIABLES = X Y Z " + " ".join(names) + "\n")
+        for zi, (nodes, bricks) in enumerate(zones):
+            if len(nodes) == 0:
+                continue
+            f.write(f'ZONE T="level{zi}" N={len(nodes)} E={max(len(bricks),1)}'
+                    " F=FEPOINT ET=BRICK\n")
+            np.savetxt(f, nodes, fmt="%.9g")
+            if len(bricks) == 0:
+                f.write(" ".join(["1"] * 8) + "\n")
+            else:
+                np.savetxt(f, bricks + 1, fmt="%d")
+
+
+def write_flt(path: str, names: Sequence[str], zones) -> None:
+    """Raw float table: per zone, node rows then element rows
+    (amrToFE.cpp "flt" output analog)."""
+    with open(path, "wb") as f:
+        nz = np.int32(len(zones))
+        nz.tofile(f)
+        for nodes, bricks in zones:
+            np.array([nodes.shape[0], nodes.shape[1], bricks.shape[0]],
+                     dtype=np.int32).tofile(f)
+            nodes.astype(np.float32).tofile(f)
+            bricks.astype(np.int32).tofile(f)
+
+
+def main(args: dict) -> None:
+    """CLI: amrToFE infile= [vars=all] [outType=tec|flt] [connect_cc=1]
+    [box=lo... hi...] [finestLevel=] outfile="""
+    pp = ParmParse(args)
+    infile = pp.get_str("infile")
+    st = AmrState.from_plotfile(infile,
+                                max_level=pp.query_int("finestLevel", None))
+    names = pp.query_str_list("vars", st.names)
+    ds = DenseAmrState.from_batched(st)
+    sub = None
+    if pp.contains("box"):
+        b = pp.get_int_list("box")
+        sub = Box(tuple(b[:3]), tuple(b[3:6]))
+    zones = [level_fe_mesh(ds, lev, names, sub)
+             for lev in range(st.meta.n_levels)]
+    out_type = pp.query_str("outType", "tec")
+    outfile = pp.query_str("outfile",
+                           infile + (".dat" if out_type == "tec" else ".flt"))
+    if out_type == "tec":
+        write_tec_febrick(outfile, names, zones)
+    else:
+        write_flt(outfile, names, zones)
+    print(f"wrote {outfile}")

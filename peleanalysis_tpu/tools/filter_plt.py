@@ -1,0 +1,65 @@
+"""``filterPlt`` — apply a box/Gaussian filter to plotfile components
+(/root/reference/Src/filterPlt.cpp, 230 LoC).
+
+Filter-to-grid ratio handling per filterPlt.cpp:22-31,70-85:
+  * same_fgr_all_levels=1: constant fgr on every level (filter width shrinks
+    with dx)
+  * same_fgr_all_levels=0: constant ABSOLUTE width — fgr on the coarsest
+    level, scaled by the accumulated ref ratio on finer levels.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..amr.dense import DenseAmrState
+from ..amr.hierarchy import AmrState
+from ..ops.dense_fill import fill_dense_arrays
+from ..ops.filter import filter_weights, separable_filter
+from ..parmparse import ParmParse
+
+
+def filter_state(dstate: DenseAmrState, kind: str = "box", fgr: int = 2,
+                 same_fgr_all_levels: bool = True,
+                 names=None) -> DenseAmrState:
+    meta = dstate.meta
+    names = list(names) if names is not None else list(dstate.names)
+    comps = [dstate.comp(n) for n in names]
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+    data = [d[np.asarray(comps)] for d in dstate.data]
+
+    out = []
+    fgr_lev = fgr
+    for lev in range(meta.n_levels):
+        if lev > 0 and not same_fgr_all_levels:
+            fgr_lev = fgr_lev * meta.ref_ratio[lev - 1]
+        w = filter_weights(kind, fgr_lev)
+        half = (len(w) - 1) // 2
+
+        def level_fn(data_list, mask_list, lev=lev, w=w, half=half):
+            grown = fill_dense_arrays(meta, dstate.lmeta, data_list,
+                                      mask_list, lev, half)
+            return separable_filter(grown, w)
+
+        out.append(jax.jit(level_fn)(data, masks))
+    return dstate.with_data(names, out)
+
+
+def main(args: dict) -> None:
+    """CLI: filterPlt infile= outfile= [filter_type=box|gaussian] [fgr=2]
+    [same_fgr_all_levels=1] [vars=all]"""
+    pp = ParmParse(args)
+    infile = pp.get_str("infile")
+    st = AmrState.from_plotfile(infile)
+    ds = DenseAmrState.from_batched(st)
+    names = pp.query_str_list("vars", st.names)
+    out = filter_state(
+        ds,
+        kind=pp.query_str("filter_type", "box"),
+        fgr=pp.query_int("fgr", 2),
+        same_fgr_all_levels=pp.query_bool("same_fgr_all_levels", True),
+        names=names)
+    outfile = pp.query_str("outfile", infile + "_filt")
+    out.to_plotfile(outfile)
+    print(f"wrote {outfile}")

@@ -1,0 +1,140 @@
+import os
+
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.box import Box
+from peleanalysis_tpu.amr.hierarchy import AmrState
+from peleanalysis_tpu.cli import main
+from peleanalysis_tpu.io.plotfile import PlotfileReader
+from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+
+@pytest.fixture(scope="module")
+def plt(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pltt") / "plt")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=2)
+    return path
+
+
+def test_combine_plts(plt, tmp_path):
+    out = str(tmp_path / "comb")
+    assert main(["combinePlts", f"infile1={plt}", f"infile2={plt}",
+                 "comps1=temp", "comps2=density", f"outfile={out}"]) == 0
+    r = PlotfileReader(out)
+    assert r.var_names == ["temp", "density"]
+    src = PlotfileReader(plt)
+    np.testing.assert_array_equal(r.read_box(0, 0)[0],
+                                  src.read_box(0, 0, [src.var_index("temp")])[0])
+
+
+def test_sub_plt(plt, tmp_path):
+    out = str(tmp_path / "sub")
+    assert main(["subPlt", f"infile={plt}", f"outfile={out}",
+                 "box=4 4 4 11 11 11", "comps=temp"]) == 0
+    r = PlotfileReader(out)
+    assert r.meta.prob_domain[0] == Box((4, 4, 4), (11, 11, 11))
+    assert r.var_names == ["temp"]
+    # prob extents shrink to the sub box
+    np.testing.assert_allclose(r.meta.prob_lo, (0.25, 0.25, 0.25))
+    np.testing.assert_allclose(r.meta.prob_hi, (0.75, 0.75, 0.75))
+    # data round-trips (float32 output)
+    src = AmrState.from_plotfile(plt, dtype=np.float64)
+    got = r.read_box(0, 0)
+    assert np.isfinite(got).all()
+
+
+def test_regrid_plt(plt, tmp_path):
+    out = str(tmp_path / "rg")
+    assert main(["regridPlt", f"infile={plt}", f"outfile={out}",
+                 "max_grid_size=4"]) == 0
+    r = PlotfileReader(out)
+    src = PlotfileReader(plt)
+    # same cell coverage, different chunking
+    assert r.box_array(0).total_cells() == src.box_array(0).total_cells()
+    assert r.box_array(1).total_cells() == src.box_array(1).total_cells()
+    assert all(max(b.shape) <= 4 for b in r.box_array(0))
+    # values preserved: compare flattened sums
+    a0 = sum(float(f.sum()) for f in r.read_level(0))
+    b0 = sum(float(f.sum()) for f in src.read_level(0))
+    np.testing.assert_allclose(a0, b0, rtol=1e-12)
+
+
+def test_flatten_amr(plt, tmp_path):
+    out = str(tmp_path / "flat")
+    assert main(["flattenAMRFile", f"infile={plt}", f"outfile={out}",
+                 "output_level=1", "output_max_grid_size=16"]) == 0
+    r = PlotfileReader(out)
+    assert r.meta.finest_level == 0
+    assert r.meta.prob_domain[0].shape == (32, 32, 32)
+    # where the fine level existed, data matches the source exactly
+    src = AmrState.from_plotfile(plt, dtype=np.float64)
+    fine_ba = src.meta.bas[1]
+    got = {}
+    ba = r.box_array(0)
+    # reconstruct dense from output
+    dense = np.zeros((len(r.var_names), 32, 32, 32))
+    for i, b in enumerate(ba):
+        dense[(slice(None),) + tuple(slice(b.lo[d], b.hi[d] + 1)
+                                     for d in range(3))] = r.read_box(0, i)
+    for i, b in enumerate(fine_ba):
+        want = np.asarray(src.data[1][i])[:, : b.shape[0], : b.shape[1],
+                                          : b.shape[2]]
+        sl = (slice(None),) + tuple(slice(b.lo[d], b.hi[d] + 1)
+                                    for d in range(3))
+        np.testing.assert_allclose(dense[sl], want, rtol=1e-12)
+
+
+def test_avg_plotfiles(plt, tmp_path):
+    # average of a file with itself = itself
+    out = str(tmp_path / "avg")
+    assert main(["avgPlotfiles", f"infile={plt} {plt}",
+                 f"outfile={out}"]) == 0
+    r = PlotfileReader(out)
+    src = PlotfileReader(plt)
+    assert r.meta.finest_level == 1
+    a = sum(float(f.sum()) for f in r.read_level(1))
+    b = sum(float(f.sum()) for f in src.read_level(1))
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_filter_plt(plt, tmp_path):
+    out = str(tmp_path / "filt")
+    assert main(["filterPlt", f"infile={plt}", f"outfile={out}",
+                 "filter_type=box", "fgr=2", "vars=temp"]) == 0
+    r = PlotfileReader(out)
+    src = PlotfileReader(plt)
+    # filtering reduces variance, preserves smooth mean approximately
+    a = np.concatenate([f[0].ravel() for f in r.read_level(1)])
+    b = np.concatenate([f[0].ravel()
+                        for f in src.read_level(1, [src.var_index("temp")])])
+    assert a.var() < b.var()
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.02
+
+
+def test_slice_and_avg_to_plane(plt, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert main(["slicePlot", f"infile={plt}", "var=temp", "dir=2",
+                 "format=ppm", "outfile=s.ppm"]) == 0
+    assert open("s.ppm", "rb").read(2) == b"P6"
+    assert main(["avgToPlane", f"infile={plt}", "vars=temp", "dir=2",
+                 "format=dat", "outfile_base=ap"]) == 0
+    arr = np.loadtxt("ap_temp.dat")
+    assert arr.shape == (32, 32)
+
+
+def test_amr_to_fe(plt, tmp_path):
+    out = str(tmp_path / "fe.dat")
+    assert main(["amrToFE", f"infile={plt}", "vars=temp", "outType=tec",
+                 f"outfile={out}"]) == 0
+    txt = open(out).read()
+    assert "FEPOINT ET=BRICK" in txt
+    assert txt.startswith("VARIABLES = X Y Z temp")
+
+
+def test_template(plt, tmp_path):
+    out = str(tmp_path / "tmpl")
+    assert main(["template", f"infile={plt}", f"outfile={out}"]) == 0
+    r = PlotfileReader(out)
+    src = PlotfileReader(plt)
+    assert r.var_names == src.var_names
