@@ -1,0 +1,281 @@
+"""Marching-cubes isosurface extraction on the dual grid of the AMR
+hierarchy — the engine behind the ``isosurface`` tool.
+
+TPU-native re-design of /root/reference/Src/isosurface.cpp:1278-2269:
+
+  * The dual grid's node coordinates are *data*: cell-center coordinate
+    fields filled with the same piecewise-constant FillPatch as the state, so
+    ghost/hole nodes collapse onto their coarse parents' centers and the
+    coarse-fine seam is watertight by construction (isosurface.cpp:1450-1479,
+    "degenerate water-tight hexes").
+  * Per level, dual cells are processed where (a) every corner is uncovered
+    by finer levels (the mask<0 bail, isosurface.cpp:435-437,1535-1563),
+    (b) at least one corner belongs to the level (the union of per-box
+    grow(validbox,1) loops, isosurface.cpp:1566-1570), (c) corners stay
+    inside the (periodically grown) domain.
+  * Node identity is an integer edge key — the sorted pair of packed
+    (level, global-cell) ids of the edge's two corners, with collapsed ghost
+    corners keyed by their coarse parent (the level-extended key SURVEY.md §7
+    describes).  Dedup within and ACROSS levels is then an exact integer
+    sort-unique — no epsilon-ball positional compare (improves on the
+    reference's Node::operator<, isosurface.cpp:834-873).
+  * Phase 1 (cube classification over the full dense level) runs jitted on
+    device; phase 2 (vertex interpolation + table lookup) runs vectorized on
+    the tiny active subset.
+
+Orientation follows the standard table order; the reference's
+CheckSurfaceNormal diagnostic is covered by the watertightness tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..amr.box import Box
+from ..amr.dense import DenseAmrState
+from ..io.mef import MEF
+from ..ops.dense_fill import fill_dense_arrays
+from ..ops.fill import default_bc
+from .mc_tables import (CORNER_OFFSETS, CORNER_PAIRS, EDGE_TABLE, TRI_COUNT,
+                        TRI_TABLE)
+
+_LEV_SHIFT = 54
+_C_BITS = 18
+_C_MASK = (1 << _C_BITS) - 1
+
+
+def _pack_key(lev: np.ndarray, gx, gy, gz) -> np.ndarray:
+    return ((lev.astype(np.int64) + 1) << _LEV_SHIFT
+            | (gx.astype(np.int64) << (2 * _C_BITS))
+            | (gy.astype(np.int64) << _C_BITS)
+            | gz.astype(np.int64))
+
+
+def _coord_levels(dstate: DenseAmrState):
+    """Per-level [3, *bbox] cell-center coordinate fields."""
+    out = []
+    for lev in range(dstate.meta.n_levels):
+        geom = dstate.meta.geoms[lev]
+        bbox = dstate.lmeta[lev].bbox
+        cs = [geom.prob_lo[d]
+              + (np.arange(bbox.lo[d], bbox.hi[d] + 1)
+                 - geom.domain.lo[d] + 0.5) * geom.dx[d] for d in range(3)]
+        X, Y, Z = np.meshgrid(*cs, indexing="ij")
+        out.append(jnp.asarray(np.stack([X, Y, Z]),
+                               dstate.data[lev].dtype))
+    return out
+
+
+def _grown_masks(dstate: DenseAmrState, lev: int):
+    """Host masks on the grown bbox: (covered_by_finer, in_level_padded)."""
+    meta = dstate.meta
+    gbox = dstate.lmeta[lev].bbox.grow(1)
+    cov = np.zeros(gbox.shape, dtype=bool)
+    if lev + 1 < meta.n_levels:
+        r = meta.ref_ratio[lev]
+        from ..amr.hierarchy import _periodic_shifts
+        per = meta.geoms[lev].is_periodic
+        dom = meta.geoms[lev].domain
+        for fb in meta.bas[lev + 1].coarsen(r):
+            for sh in _periodic_shifts(per, dom):
+                isect = gbox.intersect(fb.shift(sh))
+                if not isect.is_empty():
+                    sl = tuple(slice(isect.lo[d] - gbox.lo[d],
+                                     isect.hi[d] - gbox.lo[d] + 1)
+                               for d in range(3))
+                    cov[sl] = True
+    inlev = np.pad(np.asarray(dstate.in_level_mask(lev)), 1)
+    return cov, inlev
+
+
+def _corner_keys(dstate: DenseAmrState, lev: int,
+                 inlev_p: np.ndarray) -> np.ndarray:
+    """Packed (level, global cell) key for every cell of the grown bbox;
+    collapsed ghost/hole corners are keyed by their coarse parent."""
+    meta = dstate.meta
+    geom = meta.geoms[lev]
+    dom = geom.domain
+    gbox = dstate.lmeta[lev].bbox.grow(1)
+    idx = [np.arange(gbox.lo[d], gbox.hi[d] + 1) for d in range(3)]
+    # wrap periodic dims into the domain
+    widx = []
+    for d in range(3):
+        if geom.is_periodic[d]:
+            widx.append((idx[d] - dom.lo[d]) % dom.shape[d])
+        else:
+            widx.append(np.clip(idx[d] - dom.lo[d], 0, dom.shape[d] - 1))
+    G = np.meshgrid(*widx, indexing="ij")
+    fine_key = _pack_key(np.full(gbox.shape, lev), *G)
+    if lev == 0:
+        return fine_key
+    r = meta.ref_ratio[lev - 1]
+    dom_c = dom.coarsen(r)
+    Gc = [np.floor_divide(G[d] + dom.lo[d], r) - dom_c.lo[d]
+          for d in range(3)]
+    crse_key = _pack_key(np.full(gbox.shape, lev - 1), *Gc)
+    return np.where(inlev_p, fine_key, crse_key)
+
+
+@partial(jax.jit, static_argnames=())
+def _classify(field_grown: jnp.ndarray, iso_val) -> jnp.ndarray:
+    """cubeindex [S0-1,S1-1,S2-1] from the 8 corner signs (<isoVal => bit,
+    isosurface.cpp:747-755)."""
+    inside = (field_grown < iso_val).astype(jnp.int32)
+    ci = 0
+    for b, (oi, oj, ok) in enumerate(np.asarray(CORNER_OFFSETS)):
+        view = inside[oi: inside.shape[0] - 1 + oi,
+                      oj: inside.shape[1] - 1 + oj,
+                      ok: inside.shape[2] - 1 + ok]
+        ci = ci + view * (1 << b)
+    return ci
+
+
+def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
+                  iso_val: float, grown: np.ndarray, keys: np.ndarray,
+                  cov: np.ndarray, inlev_p: np.ndarray):
+    """Triangles of one level: returns (edge_keys [Nt,3,2], vdata [Nt,3,nf])."""
+    meta = dstate.meta
+    geom = meta.geoms[lev]
+    dom = geom.domain
+    gbox = dstate.lmeta[lev].bbox.grow(1)
+    nf = grown.shape[0]
+
+    field = grown[iso_comp]
+    ci = np.asarray(_classify(jnp.asarray(field), iso_val))
+
+    # corner windows over base cells
+    def win(a, o):
+        return a[o[0]: a.shape[-3] - 1 + o[0],
+                 o[1]: a.shape[-2] - 1 + o[1],
+                 o[2]: a.shape[-1] - 1 + o[2]]
+
+    ok = np.ones(ci.shape, dtype=bool)
+    touch = np.zeros(ci.shape, dtype=bool)
+    for o in np.asarray(CORNER_OFFSETS):
+        ok &= ~win(cov, o)
+        touch |= win(inlev_p, o)
+    # corners must stay inside the (periodically grown) domain
+    for d in range(3):
+        base = np.arange(gbox.lo[d], gbox.hi[d])  # base-cell coords, len S-1
+        lo_ok = base >= (dom.lo[d] - 1 if geom.is_periodic[d] else dom.lo[d])
+        hi_ok = base + 1 <= (dom.hi[d] + 1 if geom.is_periodic[d]
+                             else dom.hi[d])
+        sh = [1, 1, 1]
+        sh[d] = -1
+        ok &= (lo_ok & hi_ok).reshape(sh)
+    active = ok & touch & (EDGE_TABLE[ci] != 0)
+    ai, aj, ak = np.nonzero(active)
+    if len(ai) == 0:
+        return (np.zeros((0, 3, 2), np.int64), np.zeros((0, 3, nf)))
+    cia = ci[ai, aj, ak]                                   # [Na]
+
+    # gather 8 corners: values, keys, data
+    cf = np.empty((8, len(ai)))
+    ck = np.empty((8, len(ai)), dtype=np.int64)
+    cd = np.empty((8, len(ai), nf))
+    for b, o in enumerate(np.asarray(CORNER_OFFSETS)):
+        ii, jj, kk = ai + o[0], aj + o[1], ak + o[2]
+        cf[b] = field[ii, jj, kk]
+        ck[b] = keys[ii, jj, kk]
+        cd[b] = np.moveaxis(grown[:, ii, jj, kk], 0, -1)
+
+    # 12 edge vertices per active cell
+    ekeys = np.empty((len(ai), 12, 2), dtype=np.int64)
+    evals = np.empty((len(ai), 12, nf))
+    for e, (a, b) in enumerate(np.asarray(CORNER_PAIRS)):
+        fa, fb = cf[a], cf[b]
+        denom = fb - fa
+        t = np.where(np.abs(denom) > 1e-300, (iso_val - fa)
+                     / np.where(denom == 0, 1.0, denom), 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        evals[:, e, :] = cd[a] + t[:, None] * (cd[b] - cd[a])
+        ka, kb = ck[a], ck[b]
+        ekeys[:, e, 0] = np.minimum(ka, kb)
+        ekeys[:, e, 1] = np.maximum(ka, kb)
+
+    # triangles from the table
+    tt = TRI_TABLE[cia]                                     # [Na,16]
+    cnt = TRI_COUNT[cia]                                    # [Na]
+    max_t = int(cnt.max())
+    tri_e = tt[:, : 3 * max_t].reshape(len(ai), max_t, 3)   # edge ids or -1
+    valid = (np.arange(max_t)[None, :] < cnt[:, None])      # [Na,max_t]
+    ci_idx, ti_idx = np.nonzero(valid)
+    edges = tri_e[ci_idx, ti_idx]                           # [Nt,3]
+    tri_keys = ekeys[ci_idx[:, None], edges]                # [Nt,3,2]
+    tri_vals = evals[ci_idx[:, None], edges]                # [Nt,3,nf]
+    return tri_keys, tri_vals
+
+
+def extract_isosurface(
+    dstate: DenseAmrState,
+    iso_name: str,
+    iso_val: float,
+    extra_names: Sequence[str] = (),
+    bc=None,
+    label: Optional[str] = None,
+) -> MEF:
+    """Marching-cubes isosurface over all levels -> deduplicated MEF."""
+    meta = dstate.meta
+    names = [iso_name] + [n for n in extra_names if n != iso_name]
+    comps = [dstate.comp(n) for n in names]
+    if bc is None:
+        bc = default_bc(3)
+
+    coord_levels = _coord_levels(dstate)
+    data_levels = [jnp.concatenate(
+        [coord_levels[lev], dstate.data[lev][np.asarray(comps)]], axis=0)
+        for lev in range(meta.n_levels)]
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+
+    all_keys, all_vals = [], []
+    for lev in range(meta.n_levels):
+        grown = np.asarray(fill_dense_arrays(
+            meta, dstate.lmeta, data_levels, masks, lev, 1, bc, "pc"),
+            dtype=np.float64)
+        # periodic unwrap of ghost-ring coordinates (isosurface.cpp:1482-1507)
+        geom = meta.geoms[lev]
+        gbox = dstate.lmeta[lev].bbox.grow(1)
+        for d in range(3):
+            if not geom.is_periodic[d]:
+                continue
+            L = geom.prob_hi[d] - geom.prob_lo[d]
+            if gbox.lo[d] < geom.domain.lo[d]:
+                sl = [slice(None)] * 3
+                sl[d] = 0
+                grown[(d,) + tuple(sl)] -= L
+            if gbox.hi[d] > geom.domain.hi[d]:
+                sl = [slice(None)] * 3
+                sl[d] = grown.shape[1 + d] - 1
+                grown[(d,) + tuple(sl)] += L
+        cov, inlev_p = _grown_masks(dstate, lev)
+        keys = _corner_keys(dstate, lev, inlev_p)
+        tk, tv = extract_level(dstate, lev, 3, iso_val, grown, keys, cov,
+                               inlev_p)
+        all_keys.append(tk)
+        all_vals.append(tv)
+
+    tri_keys = np.concatenate(all_keys)      # [Nt,3,2]
+    tri_vals = np.concatenate(all_vals)      # [Nt,3,nf]
+    if len(tri_keys) == 0:
+        nf = 3 + len(names)
+        return MEF(label or "0", ["X", "Y", "Z"] + names,
+                   np.zeros((0, nf)), np.zeros((0, 3), np.int32))
+
+    flat_keys = tri_keys.reshape(-1, 2)
+    uniq, inv = np.unique(flat_keys, axis=0, return_inverse=True)
+    # first occurrence provides the node data (identical across duplicates)
+    first = np.full(len(uniq), len(flat_keys), dtype=np.int64)
+    order = np.arange(len(flat_keys))
+    np.minimum.at(first, inv, order)
+    nodes = tri_vals.reshape(-1, tri_vals.shape[-1])[first]
+    elements = inv.reshape(-1, 3).astype(np.int32)
+    return MEF(label or "0", ["X", "Y", "Z"] + names, nodes, elements)
+
+
+def surface_area(mef: MEF) -> float:
+    """computeArea analog (isosurface.cpp:2237-2264)."""
+    return mef.total_area()

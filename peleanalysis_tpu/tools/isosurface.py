@@ -1,0 +1,56 @@
+"""``isosurface`` — marching-cubes isosurface of a plotfile variable -> MEF.
+
+TPU-native replacement for /root/reference/Src/isosurface.cpp (2269 LoC);
+the engine lives in peleanalysis_tpu/geom/marching_cubes.py.  CLI keys match
+isosurface.cpp:1295-1399,1894-2238: infile, isoCompName (default temp),
+isoVal, comps (extra node fields), finestLevel, is_per, writeSurf,
+outfile_base, computeArea; build_distance_function via the ``buildDistance``
+tool / geom.sdf.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..amr.dense import DenseAmrState
+from ..amr.hierarchy import AmrState
+from ..geom.marching_cubes import extract_isosurface, surface_area
+from ..io.mef import write_mef, write_mef_tecplot
+from ..parmparse import ParmParse
+
+
+def main(args: dict) -> None:
+    """CLI: isosurface infile= [isoCompName=temp] [isoVal=1000]
+    [comps=<extra node fields>] [finestLevel=] [is_per=0 0 0]
+    [writeSurf=1] [surfFormat=MEF|DAT] [outfile_base=] [computeArea=0]"""
+    from ..io.plotfile import PlotfileReader
+
+    pp = ParmParse(args)
+    infile = pp.get_str("infile")
+    iso_name = pp.query_str("isoCompName", "temp")
+    iso_val = pp.query_float("isoVal", 1000.0)
+    is_per = pp.query_int_list("is_per", [0, 0, 0])
+    finest = pp.query_int("finestLevel", None)
+
+    var_names = PlotfileReader(infile).var_names
+    extras = pp.query_str_list("comps", [])
+    extras = [var_names[int(c)] if c.isdigit() else c for c in extras]
+
+    load = [iso_name] + [n for n in extras if n != iso_name]
+    st = AmrState.from_plotfile(infile, names=load, max_level=finest,
+                                is_periodic=[bool(p) for p in is_per],
+                                dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    mef = extract_isosurface(ds, iso_name, iso_val, extras,
+                             label=f"{st.meta.time:g}")
+    base = pp.query_str("outfile_base", f"{infile}_{iso_name}_{iso_val:g}")
+    if pp.query_bool("writeSurf", True):
+        fmt = pp.query_str("surfFormat", "MEF")
+        if fmt.upper() == "MEF":
+            write_mef(base + ".mef", mef)
+            print(f"wrote {base}.mef  ({mef.n_nodes} nodes, "
+                  f"{mef.n_elts} elements)")
+        else:
+            write_mef_tecplot(base + ".dat", mef)
+            print(f"wrote {base}.dat")
+    if pp.query_bool("computeArea", False):
+        print(f"Total area of surface: {surface_area(mef):.10g}")

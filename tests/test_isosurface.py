@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.dense import DenseAmrState
+from peleanalysis_tpu.amr.hierarchy import AmrState
+from peleanalysis_tpu.geom.marching_cubes import extract_isosurface
+from peleanalysis_tpu.io.mef import read_mef
+from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+
+def edge_incidence(mef):
+    """Each interior edge of a watertight closed surface borders exactly 2
+    elements (checkIso semantics, /root/reference/Src/checkIso.cpp:33ff).
+    Degenerate (repeated-node) elements are excluded like trivial hexes."""
+    e = mef.elements
+    good = (e[:, 0] != e[:, 1]) & (e[:, 1] != e[:, 2]) & (e[:, 0] != e[:, 2])
+    e = e[good]
+    edges = np.concatenate([e[:, [0, 1]], e[:, [1, 2]], e[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    return counts
+
+
+@pytest.fixture(scope="module")
+def sphere_ds(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("iso") / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2)
+    st = AmrState.from_plotfile(path, dtype=np.float64)
+    return DenseAmrState.from_batched(st)
+
+
+def test_sphere_single_level(tmp_path):
+    # single level: clean closed sphere
+    path = str(tmp_path / "plt1")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=1)
+    ds = DenseAmrState.from_batched(AmrState.from_plotfile(path,
+                                                           dtype=np.float64))
+    # progress = exp(-r^2/w^2) = 0.5 => r = w*sqrt(ln 2)
+    iso = 0.5
+    r = 0.15 * np.sqrt(np.log(2.0))
+    mef = extract_isosurface(ds, "progress", iso)
+    assert mef.n_elts > 100
+    # all nodes on the sphere radius (within h)
+    pos = mef.positions()
+    rr = np.linalg.norm(pos - 0.5, axis=1)
+    h = ds.meta.geoms[0].dx[0]
+    assert np.abs(rr - r).max() < h
+    # area parity: 4 pi r^2 within a few percent
+    area = mef.total_area()
+    assert abs(area - 4 * np.pi * r**2) < 0.05 * 4 * np.pi * r**2
+    # watertight: every edge borders exactly 2 triangles
+    counts = edge_incidence(mef)
+    assert (counts == 2).all()
+    # Euler characteristic of a sphere: V - E + F = 2
+    e = mef.elements
+    good = (e[:, 0] != e[:, 1]) & (e[:, 1] != e[:, 2]) & (e[:, 0] != e[:, 2])
+    used = np.unique(e[good])
+    E = len(np.unique(np.sort(np.concatenate(
+        [e[good][:, [0, 1]], e[good][:, [1, 2]], e[good][:, [2, 0]]]),
+        axis=1), axis=0))
+    assert len(used) - E + good.sum() == 2
+
+
+def test_sphere_two_level_watertight(sphere_ds):
+    # isosurface crossing the coarse-fine boundary: c=0.05 sphere has
+    # r = 0.15*sqrt(ln 20) ~ 0.26 -> extends beyond the fine union (|x|<0.25)
+    iso = 0.05
+    r = 0.15 * np.sqrt(np.log(1 / iso))
+    mef = extract_isosurface(sphere_ds, "progress", iso)
+    pos = mef.positions()
+    rr = np.linalg.norm(pos - 0.5, axis=1)
+    h0 = sphere_ds.meta.geoms[0].dx[0]
+    assert np.abs(rr - r).max() < 1.5 * h0
+    counts = edge_incidence(mef)
+    # watertight across the c-f seam
+    assert (counts == 2).all(), f"open edges: {(counts != 2).sum()}"
+    area = mef.total_area()
+    assert abs(area - 4 * np.pi * r**2) < 0.08 * 4 * np.pi * r**2
+
+
+def test_fine_region_resolution(sphere_ds):
+    # iso well inside the fine union: triangles should be at fine resolution
+    iso = 0.5
+    mef = extract_isosurface(sphere_ds, "progress", iso)
+    counts = edge_incidence(mef)
+    assert (counts == 2).all()
+    # typical triangle edge ~ fine h
+    p = mef.positions()
+    e = mef.elements
+    l01 = np.linalg.norm(p[e[:, 0]] - p[e[:, 1]], axis=1)
+    h1 = sphere_ds.meta.geoms[1].dx[0]
+    good = l01 > 0
+    assert np.median(l01[good]) < 2.5 * h1
+
+
+def test_extra_comps(sphere_ds):
+    mef = extract_isosurface(sphere_ds, "progress", 0.5,
+                             extra_names=("temp", "density"))
+    assert mef.names == ["X", "Y", "Z", "progress", "temp", "density"]
+    # interpolated progress on surface == isoVal
+    np.testing.assert_allclose(mef.field("progress"), 0.5, atol=1e-12)
+    # temp = 300 + 1500*progress on these analytic fields
+    np.testing.assert_allclose(mef.field("temp"), 300 + 1500 * 0.5,
+                               rtol=1e-10)
+
+
+def test_isosurface_cli(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=2)
+    monkeypatch.chdir(tmp_path)
+    rc = main(["isosurface", f"infile={path}", "isoCompName=temp",
+               "isoVal=1000", "comps=density", "outfile_base=surf",
+               "computeArea=1"])
+    assert rc == 0
+    mef = read_mef("surf.mef")
+    assert mef.n_elts > 10
+    assert mef.names == ["X", "Y", "Z", "temp", "density"]
+    np.testing.assert_allclose(mef.field("temp"), 1000.0, atol=1e-9)
