@@ -134,9 +134,21 @@ def _classify(field_grown: jnp.ndarray, iso_val) -> jnp.ndarray:
     return ci
 
 
+def _classify_numpy(field: np.ndarray, iso_val: float) -> np.ndarray:
+    inside = (field < iso_val).astype(np.int32)
+    ci = 0
+    for b, (oi, oj, ok) in enumerate(np.asarray(CORNER_OFFSETS)):
+        view = inside[oi: inside.shape[0] - 1 + oi,
+                      oj: inside.shape[1] - 1 + oj,
+                      ok: inside.shape[2] - 1 + ok]
+        ci = ci + view * (1 << b)
+    return ci
+
+
 def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
                   iso_val: float, grown: np.ndarray, keys: np.ndarray,
-                  cov: np.ndarray, inlev_p: np.ndarray):
+                  cov: np.ndarray, inlev_p: np.ndarray,
+                  classify: str = "device"):
     """Triangles of one level: returns (edge_keys [Nt,3,2], vdata [Nt,3,nf])."""
     meta = dstate.meta
     geom = meta.geoms[lev]
@@ -145,7 +157,10 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
     nf = grown.shape[0]
 
     field = grown[iso_comp]
-    ci = np.asarray(_classify(jnp.asarray(field), iso_val))
+    if classify == "numpy":
+        ci = _classify_numpy(field, iso_val)
+    else:
+        ci = np.asarray(_classify(jnp.asarray(field), iso_val))
 
     # corner windows over base cells
     def win(a, o):
@@ -217,6 +232,7 @@ def extract_isosurface(
     extra_names: Sequence[str] = (),
     bc=None,
     label: Optional[str] = None,
+    classify: str = "device",
 ) -> MEF:
     """Marching-cubes isosurface over all levels -> deduplicated MEF."""
     meta = dstate.meta
@@ -254,7 +270,7 @@ def extract_isosurface(
         cov, inlev_p = _grown_masks(dstate, lev)
         keys = _corner_keys(dstate, lev, inlev_p)
         tk, tv = extract_level(dstate, lev, 3, iso_val, grown, keys, cov,
-                               inlev_p)
+                               inlev_p, classify=classify)
         all_keys.append(tk)
         all_vals.append(tv)
 

@@ -57,3 +57,51 @@ def numpy_grad_level(plan, data: np.ndarray, crse: Optional[np.ndarray],
     gx, gy, gz = numpy_centered_gradient(grown, dx)
     mag = np.sqrt(gx * gx + gy * gy + gz * gz)
     return np.concatenate([gx, gy, gz, mag], axis=1)
+
+
+def numpy_multilevel_grad(plans, fields, dxs):
+    """Per-level gradients of a multi-level scalar, coarse-fine ghosts from
+    the coarser level of the same field (curvature's derived-field pattern)."""
+    grads = []
+    for lev, f in enumerate(fields):
+        crse = fields[lev - 1] if lev > 0 else None
+        grown = numpy_apply_fill(plans[lev], f, crse)
+        grads.append(numpy_centered_gradient(grown, dxs[lev]))
+    return grads
+
+
+def numpy_curvature(plans, prog_levels, dxs):
+    """CPU mirror of the curvature pipeline numerics (mean + Gaussian
+    curvature of a progress field; /root/reference/Src/curvature.cpp flow):
+    gradient, flame normal, div(normal), grad-of-grad Hessian, adjugate."""
+    n_lev = len(prog_levels)
+    g = numpy_multilevel_grad(plans, prog_levels, dxs)
+    G = [np.concatenate(g[lev], axis=1) for lev in range(n_lev)]
+    normg = [-np.maximum(1e-14, np.sqrt((G[lev] ** 2).sum(axis=1,
+                                                          keepdims=True)))
+             for lev in range(n_lev)]
+    N = [G[lev] / normg[lev] for lev in range(n_lev)]
+    out = []
+    for lev in range(n_lev):
+        div = 0.0
+        for d in range(3):
+            comp = [N[l][:, d : d + 1] for l in range(n_lev)]
+            gl = numpy_multilevel_grad(plans, comp, dxs)
+            div = div + gl[lev][d]
+        Km = 0.5 * div
+        H = []
+        for i in range(3):
+            comp = [G[l][:, i : i + 1] for l in range(n_lev)]
+            gl = numpy_multilevel_grad(plans, comp, dxs)
+            H.append([gl[lev][j][:, 0] for j in range(3)])
+        adj = [[H[(i + 1) % 3][(j + 1) % 3] * H[(i + 2) % 3][(j + 2) % 3]
+                - H[(i + 1) % 3][(j + 2) % 3] * H[(i + 2) % 3][(j + 1) % 3]
+                for j in range(3)] for i in range(3)]
+        Gl = G[lev]
+        num = 0.0
+        for i in range(3):
+            for j in range(3):
+                num = num + Gl[:, i] * adj[i][j] * Gl[:, j]
+        Kg = num / normg[lev][:, 0] ** 4
+        out.append((Km, Kg))
+    return out

@@ -1,0 +1,237 @@
+"""Streamline integration engine — the TPU-native vtrace.
+
+Replaces the reference's per-box Fortran kernel stack
+(/root/reference/Src/stream.cpp:888-934 + Src/stream_nd.f90):
+
+  * seeds are assigned to the finest level containing them, with finer-box
+    exclusion (setInsideNodes, stream.cpp:140-215)
+  * per level, ONE dense grown array with ghost radius
+    nGrow = ceil(hRK*nRKsteps/2) + 2 guarantees every path stays inside the
+    sampled region (the grow-box strategy, stream.cpp:700-720 and
+    Docs/source/stream.rst "Algorithm details")
+  * the ±RK4 march is a jitted lax.scan vmapped over all of a level's seeds
+    at once — the whole per-level vtrace is one fused kernel
+  * trilinear sampling matches ntrpv's cell-centered dual-grid math
+    ``base = floor((x-plo)/dx - 0.5)`` with clamping (stream_nd.f90:153-206)
+  * each RK4 stage normalizes the sampled vector (stream_nd.f90:116-151 RK4 +
+    vnrml), so the parameter is arclength
+  * tracing "up the gradient" computes the central-difference gradient of a
+    scalar on the grown array first (stream_nd.f90:33-45), or uses the
+    velocity components directly.
+
+Paths are stored as [nseed, 2*nRKh+1, 3+nfields]: j index = arclength
+station with j=nRKh at the seed (matching the reference's FAB j=0-on-seed
+layout after the -nRKh offset).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..amr.dense import DenseAmrState
+from ..ops.dense_fill import fill_dense_arrays
+from ..ops.stencil import centered_gradient
+
+
+def assign_seeds_to_levels(dstate: DenseAmrState,
+                           seeds: np.ndarray) -> np.ndarray:
+    """Owner level per seed: finest level whose union contains the seed
+    (setInsideNodes with fine-box exclusion, stream.cpp:140-215)."""
+    meta = dstate.meta
+    owner = np.zeros(len(seeds), dtype=np.int32)
+    for lev in range(meta.n_levels):
+        geom = meta.geoms[lev]
+        bbox = dstate.lmeta[lev].bbox
+        dx = np.array(geom.dx)
+        idx = np.floor((seeds - np.array(geom.prob_lo)) / dx).astype(np.int64)
+        idx += np.array(geom.domain.lo)
+        loc = idx - np.array(bbox.lo)
+        inside = np.all((loc >= 0) & (loc < np.array(bbox.shape)), axis=1)
+        mask = np.asarray(dstate.in_level_mask(lev))
+        li = np.clip(loc, 0, np.array(bbox.shape) - 1)
+        inlev = mask[li[:, 0], li[:, 1], li[:, 2]] & inside
+        owner[inlev] = lev
+    return owner
+
+
+def push_nodes_inside(seeds: np.ndarray, geom, eps_frac: float = 1.0e-4
+                      ) -> np.ndarray:
+    """Nudge seeds strictly inside the domain (push_nodes_inside,
+    stream.cpp:122-138)."""
+    lo = np.array(geom.prob_lo)
+    hi = np.array(geom.prob_hi)
+    eps = eps_frac * np.array(geom.dx)
+    return np.clip(seeds, lo + eps, hi - eps)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def _trace_level(vec: jnp.ndarray, fields: jnp.ndarray, plo_g: jnp.ndarray,
+                 dx: jnp.ndarray, h, seeds: jnp.ndarray, n_steps: int,
+                 direction) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """March seeds n_steps in ±direction.  vec: [3, SX,SY,SZ] (grown),
+    fields: [nf, SX,SY,SZ]; returns (pos [n_steps+1, ns, 3],
+    ok [ns] all-samples-in-range flag)."""
+    shape = jnp.asarray(vec.shape[1:])
+
+    def interp(a, x):
+        # ntrpv: base = floor((x-plo)/dx - 0.5), clamped; trilinear weights
+        xc = (x - plo_g) / dx - 0.5
+        b = jnp.floor(xc).astype(jnp.int32)
+        ok = jnp.all((b >= 0) & (b + 1 <= shape - 1), axis=-1)
+        b = jnp.clip(b, 0, shape - 2)
+        t = jnp.clip(xc - b, 0.0, 1.0)
+        i, j, k = b[..., 0], b[..., 1], b[..., 2]
+        tx, ty, tz = t[..., 0:1], t[..., 1:2], t[..., 2:3]
+
+        def g(oi, oj, ok_):
+            return a[:, i + oi, j + oj, k + ok_].T  # [ns, ncomp]
+
+        v = ((1 - tx) * (1 - ty) * (1 - tz) * g(0, 0, 0)
+             + tx * (1 - ty) * (1 - tz) * g(1, 0, 0)
+             + (1 - tx) * ty * (1 - tz) * g(0, 1, 0)
+             + tx * ty * (1 - tz) * g(1, 1, 0)
+             + (1 - tx) * (1 - ty) * tz * g(0, 0, 1)
+             + tx * (1 - ty) * tz * g(1, 0, 1)
+             + (1 - tx) * ty * tz * g(0, 1, 1)
+             + tx * ty * tz * g(1, 1, 1))
+        return v, ok
+
+    def unit_vec(x):
+        v, ok = interp(vec, x)
+        # vnrml safe normalize (stream_nd.f90:208-225)
+        n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        return direction * v / jnp.maximum(n, 1e-300), ok
+
+    def step(carry, _):
+        x, alive = carry
+        k1, ok1 = unit_vec(x)
+        k2, ok2 = unit_vec(x + 0.5 * h * k1)
+        k3, ok3 = unit_vec(x + 0.5 * h * k2)
+        k4, ok4 = unit_vec(x + h * k3)
+        xn = x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        ok = ok1 & ok2 & ok3 & ok4
+        alive_n = alive & ok
+        xn = jnp.where(alive_n[:, None], xn, x)  # freeze dead lines
+        return (xn, alive_n), xn
+
+    alive0 = jnp.ones(seeds.shape[0], dtype=bool)
+    (_, alive), xs = jax.lax.scan(step, (seeds, alive0), None,
+                                  length=n_steps)
+    pos = jnp.concatenate([seeds[None], xs], axis=0)
+    return pos, alive
+
+
+@jax.jit
+def _sample_fields(fields: jnp.ndarray, plo_g: jnp.ndarray, dx: jnp.ndarray,
+                   pos: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of all comps at path points (interpstream analog,
+    sampleStreamlines_nd.f90:11-41).  pos [..., 3] -> [..., nf]."""
+    shape = jnp.asarray(fields.shape[1:])
+    xc = (pos - plo_g) / dx - 0.5
+    b = jnp.floor(xc).astype(jnp.int32)
+    b = jnp.clip(b, 0, shape - 2)
+    t = jnp.clip(xc - b, 0.0, 1.0)
+    i, j, k = b[..., 0], b[..., 1], b[..., 2]
+    tx, ty, tz = t[..., 0:1], t[..., 1:2], t[..., 2:3]
+
+    def g(oi, oj, ok_):
+        return jnp.moveaxis(fields[:, i + oi, j + oj, k + ok_], 0, -1)
+
+    return ((1 - tx) * (1 - ty) * (1 - tz) * g(0, 0, 0)
+            + tx * (1 - ty) * (1 - tz) * g(1, 0, 0)
+            + (1 - tx) * ty * (1 - tz) * g(0, 1, 0)
+            + tx * ty * (1 - tz) * g(1, 1, 0)
+            + (1 - tx) * (1 - ty) * tz * g(0, 0, 1)
+            + tx * (1 - ty) * tz * g(1, 0, 1)
+            + (1 - tx) * ty * tz * g(0, 1, 1)
+            + tx * ty * tz * g(1, 1, 1))
+
+
+def trace_streamlines(
+    dstate: DenseAmrState,
+    seeds: np.ndarray,
+    n_rk_steps: int,
+    h_rk: float,
+    trace_field: Optional[str] = None,
+    sample_names: Sequence[str] = (),
+    bc=None,
+) -> np.ndarray:
+    """Trace ±nRKh RK4 steps from each seed; returns
+    [nseed, 2*nRKh+1, 3 + len(sample_names)] with j=nRKh at the seed.
+
+    trace_field: scalar whose (normalized) gradient is followed
+    (grad-of-progress mode); None follows (x,y,z)_velocity.
+    h_rk is in units of the finest dx (stream.cpp:700 hRK -> physical).
+    """
+    meta = dstate.meta
+    n_half = n_rk_steps // 2
+    fin = meta.n_levels - 1
+    h_phys = h_rk * meta.geoms[fin].dx[0]
+    seeds = push_nodes_inside(np.asarray(seeds, dtype=np.float64),
+                              meta.geoms[0])
+    owner = assign_seeds_to_levels(dstate, seeds)
+
+    if trace_field is not None:
+        vec_src = [trace_field]
+    else:
+        vec_src = ["x_velocity", "y_velocity", "z_velocity"]
+    comps = [dstate.comp(n) for n in vec_src]
+    scomps = [dstate.comp(n) for n in sample_names]
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+    all_data = [d[np.asarray(comps + scomps)] for d in dstate.data]
+
+    nf = len(sample_names)
+    out = np.zeros((len(seeds), 2 * n_half + 1, 3 + nf))
+    for lev in range(meta.n_levels):
+        sel = np.nonzero(owner == lev)[0]
+        if len(sel) == 0:
+            continue
+        geom = meta.geoms[lev]
+        dx = np.array(geom.dx)
+        ngrow = int(np.ceil(h_phys * n_half / dx.min())) + 2
+        grown = fill_dense_arrays(meta, dstate.lmeta, all_data, masks, lev,
+                                  ngrow, bc, "linear")
+        gbox = dstate.lmeta[lev].bbox.grow(ngrow)
+        plo_g = (np.array(geom.prob_lo)
+                 + (np.array(gbox.lo) - np.array(geom.domain.lo)) * dx)
+        nv = len(vec_src)
+        if trace_field is not None:
+            # central-difference gradient over the grown box
+            # (stream_nd.f90:33-45); shrink by 1 -> adjust origin
+            gx, gy, gz = centered_gradient(grown[0][None], geom.dx, 1)
+            vec = jnp.concatenate([gx, gy, gz], axis=0)
+            fields = grown[nv:, 1:-1, 1:-1, 1:-1]
+            plo_v = plo_g + dx
+        else:
+            vec = grown[:3]
+            fields = grown[nv:]
+            plo_v = plo_g
+        sseeds = jnp.asarray(seeds[sel])
+        plo_j = jnp.asarray(plo_v)
+        dxj = jnp.asarray(dx)
+        pos_p, _ = _trace_level(vec, fields, plo_j, dxj, h_phys, sseeds,
+                                n_half, 1.0)
+        pos_m, _ = _trace_level(vec, fields, plo_j, dxj, h_phys, sseeds,
+                                n_half, -1.0)
+        # assemble [-n..+n]: minus path reversed, seed, plus path
+        path = jnp.concatenate([pos_m[::-1][:-1], pos_p], axis=0)  # [2n+1,ns,3]
+        path = jnp.transpose(path, (1, 0, 2))
+        if nf:
+            vals = _sample_fields(fields, plo_j, dxj, path)
+            out[sel] = np.concatenate([np.asarray(path), np.asarray(vals)],
+                                      axis=-1)
+        else:
+            out[sel] = np.asarray(path)
+    return out
+
+
+def seed_rake(lo, hi, n: int) -> np.ndarray:
+    """n seeds on the segment lo..hi (seedRake, stream.cpp:506-532)."""
+    lo = np.asarray(lo, dtype=np.float64)
+    hi = np.asarray(hi, dtype=np.float64)
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    return lo[None] + t * (hi - lo)[None]

@@ -1,0 +1,133 @@
+"""``stream`` — streamlines from seed points through AMR fields.
+
+TPU-native replacement for /root/reference/Src/stream.cpp (2302 LoC) +
+stream_nd.f90; the RK4 engine lives in peleanalysis_tpu/stream/trace.py.
+CLI keys follow stream.cpp:409-969: plotfile, seeds from isoFile (MEF) /
+seedLoc / seedRakeL+seedRakeR(+seedRakeNum), progressName (gradient tracing)
+or traceAlongV, nRKsteps, hRK, aux_comps sampled onto lines, streamFile
+(StreamData out) and/or outFile (Tecplot dump); buildAltSurf + altVal + dt +
+thermal-thickness / cold-strain / angle decorators
+(stream.cpp:973-1107).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..amr.dense import DenseAmrState
+from ..amr.hierarchy import AmrState
+from ..io.mef import MEF, read_mef, write_mef
+from ..io.stream_data import StreamData, compute_inside_nodes, write_stream_data
+from ..parmparse import ParmParse
+from ..stream.trace import seed_rake, trace_streamlines
+from ..stream import surface as surf
+
+
+def get_seeds(pp: ParmParse):
+    """Seed cloud + optional connectivity (stream.cpp:450-532)."""
+    if pp.contains("isoFile"):
+        mef = read_mef(pp.get_str("isoFile"))
+        return mef.positions(), mef.elements
+    if pp.contains("seedLoc"):
+        loc = pp.get_float_list("seedLoc")
+        return np.array([loc[:3]]), np.zeros((0, 3), np.int32)
+    if pp.contains("seedRakeL"):
+        n = pp.query_int("seedRakeNum", 10)
+        seeds = seed_rake(pp.get_float_list("seedRakeL")[:3],
+                          pp.get_float_list("seedRakeR")[:3], n)
+        return seeds, np.zeros((0, 3), np.int32)
+    raise ValueError("must specify one of isoFile / seedLoc / seedRakeL+R")
+
+
+def write_tecplot_lines(path: str, names, lines: np.ndarray) -> None:
+    """Per-line Tecplot zones (dump_ml_streamline_data analog,
+    stream.cpp:2227-2302)."""
+    with open(path, "w") as f:
+        f.write("VARIABLES = " + " ".join(names) + "\n")
+        for i in range(lines.shape[0]):
+            f.write(f'ZONE T="line{i}" I={lines.shape[1]} '
+                    "DATAPACKING=POINT\n")
+            np.savetxt(f, lines[i], fmt="%.9g")
+
+
+def main(args: dict) -> None:
+    pp = ParmParse(args)
+    plotfile = pp.get_str("plotfile")
+    progress_name = pp.query_str("progressName", "temp")
+    trace_along_v = pp.query_bool("traceAlongV", False)
+    n_rk = pp.query_int("nRKsteps", 51)
+    h_rk = pp.query_float("hRK", 0.1)
+    finest = pp.query_int("finestLevel", None)
+    is_per = pp.query_int_list("is_per", [0, 0, 0])
+    aux = pp.query_str_list("aux_comps", [])
+    build_alt = pp.query_bool("buildAltSurf", False)
+
+    vel = ["x_velocity", "y_velocity", "z_velocity"]
+    load = ([progress_name] if not trace_along_v else list(vel))
+    sample = [progress_name] + [a for a in aux if a != progress_name]
+    if build_alt:
+        for v in vel:
+            if v not in sample:
+                sample.append(v)
+        thick = pp.query_str("thickCompName", "")
+        strainc = pp.query_str("strainCompName", "")
+        for extra in (thick, strainc, pp.query_str("TCompName", "")):
+            if extra and extra not in sample:
+                sample.append(extra)
+    load = load + [s for s in sample if s not in load]
+
+    st = AmrState.from_plotfile(plotfile, names=load, max_level=finest,
+                                is_periodic=[bool(p) for p in is_per],
+                                dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    seeds, elements = get_seeds(pp)
+
+    lines = trace_streamlines(
+        ds, seeds, n_rk, h_rk,
+        trace_field=None if trace_along_v else progress_name,
+        sample_names=sample)
+    names = ["X", "Y", "Z"] + sample
+
+    if pp.contains("streamFile"):
+        inside = compute_inside_nodes(st.meta, lines[:, (n_rk // 2), :3])
+        sd = StreamData(names, np.asarray(elements, np.int32), inside, lines)
+        write_stream_data(pp.get_str("streamFile"), sd)
+        print(f"wrote {pp.get_str('streamFile')}")
+    if pp.contains("outFile"):
+        write_tecplot_lines(pp.get_str("outFile"), names, lines)
+        print(f"wrote {pp.get_str('outFile')}")
+    if not pp.contains("streamFile") and not pp.contains("outFile"):
+        raise ValueError("Must specify streamFile or outFile")
+
+    if build_alt:
+        alt_val = pp.get_float("altVal")
+        dt = pp.query_float("dt", 0.0)
+        pts, found = surf.build_surface_at_isoval(lines, names,
+                                                  progress_name, alt_val)
+        out_names = list(names)
+        cols = [pts]
+        if pp.query_str("thickCompName", ""):
+            th = surf.thermal_thickness(lines, names,
+                                        pp.get_str("thickCompName"),
+                                        pp.get_float("thickLo"),
+                                        pp.get_float("thickHi"))
+            cols.append(th[:, None])
+            out_names.append("thermal_thickness")
+        if pp.query_str("strainCompName", ""):
+            cs = surf.cold_strain(lines, names,
+                                  pp.get_str("strainCompName"),
+                                  pp.get_str("TCompName"),
+                                  pp.get_float("TVal"))
+            cols.append(cs[:, None])
+            out_names.append("cold_strain")
+        if pp.query_bool("addAngle", False):
+            cols.append(surf.inclination_angle(lines)[:, None])
+            out_names.append("angle")
+        nodes = np.concatenate(cols, axis=1)
+        if dt != 0.0:
+            nodes[:, : len(names)] = surf.advect_points(
+                nodes[:, : len(names)], names, dt)
+        mef = MEF(f"{st.meta.time:g}", out_names, nodes,
+                  np.asarray(elements, np.int32))
+        alt_file = pp.query_str("altSurfFile", plotfile + "_altSurf.mef")
+        write_mef(alt_file, mef)
+        print(f"wrote {alt_file}")

@@ -1,0 +1,104 @@
+"""``stream2plt`` — gather selected streamlines into a single FAB
+(/root/reference/Src/stream2plt.cpp, 752 LoC).
+
+Selects comps, downsamples to nLines, applies per-line filters —
+distance-at-value (distComp/distVal), cylindrical radius RXY with sign,
+per-comp Max/Min/at-value predicates with sign strings
+(stream2plt.cpp:371-481) — and writes the surviving lines as one FAB on Box
+(0:nKeep-1, slo:shi, 0) (stream2plt.cpp:498-560).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..amr.box import Box
+from ..io.fab import write_fab
+from ..io.stream_data import read_stream_data
+from ..parmparse import ParmParse
+
+
+def _cmp(vals: np.ndarray, val: float, sgn: str) -> np.ndarray:
+    if sgn in ("+", "gt", ">"):
+        return vals > val
+    if sgn in ("-", "lt", "<"):
+        return vals < val
+    raise ValueError(f"bad sign string {sgn!r}")
+
+
+def select_lines(lines: np.ndarray, names, pp: ParmParse) -> np.ndarray:
+    """Boolean keep-mask over lines applying the stream2plt filters."""
+    nl, npts, _ = lines.shape
+    keep = np.ones(nl, dtype=bool)
+    if pp.query_bool("no_filter", False):
+        return keep
+    mid = (npts - 1) // 2
+
+    def cidx(tok):
+        return int(tok) if tok.isdigit() else names.index(tok)
+
+    # distance along line from seed reaches distVal at distComp crossing
+    if pp.query_int("distComp", -1) >= 0 or pp.contains("distVal"):
+        from ..stream.surface import _crossings_from_mid, arc_length
+        c = pp.query_int("distComp", -1)
+        dval = pp.get_float("distVal")
+        jlo, frac, found = _crossings_from_mid(lines[:, :, c], dval)
+        keep &= found
+    rxy = pp.query_float("RXY", -1.0)
+    if rxy > 0:
+        sgn = pp.query_str("RXYsgn", "+")
+        r = np.sqrt(lines[:, mid, 0] ** 2 + lines[:, mid, 1] ** 2)
+        keep &= _cmp(r, rxy, sgn)
+    if pp.contains("maxComps"):
+        comps = [cidx(t) for t in pp.get_str_list("maxComps")]
+        vals = pp.get_float_list("maxVals")
+        sgns = pp.get_str_list("maxSgns")
+        for c, v, s in zip(comps, vals, sgns):
+            keep &= _cmp(lines[:, :, c].max(axis=1), v, s)
+    if pp.contains("minComps"):
+        comps = [cidx(t) for t in pp.get_str_list("minComps")]
+        vals = pp.get_float_list("minVals")
+        sgns = pp.get_str_list("minSgns")
+        for c, v, s in zip(comps, vals, sgns):
+            keep &= _cmp(lines[:, :, c].min(axis=1), v, s)
+    if pp.contains("atComps"):
+        from ..stream.surface import _crossings_from_mid, _interp_at
+        comp_at = [cidx(t) for t in pp.get_str_list("compAt")]
+        at_comps = [cidx(t) for t in pp.get_str_list("atComps")]
+        val_at = pp.get_float_list("valAt")
+        at_val = pp.get_float_list("atVal")
+        at_sgns = pp.get_str_list("atSgns")
+        for ca, cc, va, vv, s in zip(comp_at, at_comps, val_at, at_val,
+                                     at_sgns):
+            jlo, frac, found = _crossings_from_mid(lines[:, :, ca], va)
+            sampled = _interp_at(lines, jlo, frac)[:, cc]
+            keep &= found & _cmp(sampled, vv, s)
+    return keep
+
+
+def main(args: dict) -> None:
+    """CLI: stream2plt infile=<StreamData> outfile= [comps=|sComp= nComp=]
+    [nLines=0(all)] [filters...] """
+    pp = ParmParse(args)
+    infile = pp.get_str("infile")
+    outfile = pp.get_str("outfile")
+    sd = read_stream_data(infile)
+    if pp.contains("comps"):
+        names = [sd.names[int(c)] if c.isdigit() else c
+                 for c in pp.get_str_list("comps")]
+    else:
+        s = pp.query_int("sComp", 0)
+        n = pp.query_int("nComp", len(sd.names))
+        names = sd.names[s : s + n]
+    ci = [sd.names.index(n) for n in names]
+    lines = sd.lines
+    n_lines = pp.query_int("nLines", 0)
+    if n_lines and n_lines < lines.shape[0]:
+        stride = lines.shape[0] // n_lines
+        lines = lines[::stride][:n_lines]  # downsampleStreamData analog
+    keep = select_lines(lines, sd.names, pp)
+    out = lines[keep][:, :, ci]
+    n_half = (out.shape[1] - 1) // 2
+    box = Box((0, -n_half, 0), (max(out.shape[0] - 1, 0), n_half, 0))
+    with open(outfile, "wb") as f:
+        write_fab(f, box, np.transpose(out, (2, 0, 1))[..., None])
+    print(f"wrote {outfile} ({out.shape[0]} lines kept of {lines.shape[0]})")

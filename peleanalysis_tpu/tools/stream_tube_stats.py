@@ -1,0 +1,212 @@
+"""``streamTubeStats`` — statistics over triangular-prism "stream tubes"
+bounded by 3 neighboring streamlines
+(/root/reference/Src/streamTubeStats.cpp, 1763 LoC — serial-only in the
+reference, streamTubeStats.cpp:306-307; fully vectorized here).
+
+Per element (a seed-surface triangle whose corners are streamlines):
+  * volume: sum over arclength stations of the wedge volumes (3-tet
+    decomposition of each triangular prism; wedge_volume_int analog,
+    streamTubeStats.cpp:666-686)
+  * area: seed-triangle area (wedge_surf_area at the seed station, :665)
+  * per intComp: volume integral of the field, divided by the seed area
+    (:694-698); area_wtAvg accumulates int*mid-area for the first intComp
+  * smoothedInt: nSmooth passes of area-weighted node-neighbor averaging of
+    the first intComp (smoothVals, :275-299, 784-790)
+  * per avgComp: mean of the 3 lines' SEED values (:703-712)
+  * per gradComp: mean over corners of each line's max |d(comp)/ds|
+  * per peakComp: mean over corners of each line's max value, with a
+    "<name>_peakOK" flag = 1 when every corner's peak is interior
+  * compsAtPeakFCR: line values at the FCRComp peak station, averaged
+Output: MEF with element-centered values duplicated at the element's nodes
+(Docs/source/streamTubeStats.rst), and/or Tecplot.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..io.mef import MEF, write_mef, write_mef_tecplot, read_mef
+from ..io.stream_data import read_stream_data
+from ..parmparse import ParmParse
+from ..stream.surface import arc_length
+
+
+def _tet_vol(a, b, c, d):
+    return np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a) / 6.0
+
+
+def wedge_volumes_ints(lines: np.ndarray, elements: np.ndarray,
+                       comp_idx: Sequence[int]):
+    """Per element: total tube volume and per-comp volume integrals.
+    lines [nl, npts, nv]; elements [ne, 3]."""
+    P = lines[:, :, :3]
+    ne = len(elements)
+    vol = np.zeros(ne)
+    ints = np.zeros((ne, len(comp_idx)))
+    wa = np.zeros(ne)
+    l0, l1, l2 = elements[:, 0], elements[:, 1], elements[:, 2]
+    npts = lines.shape[1]
+    for j in range(npts - 1):
+        p = [P[l0, j], P[l1, j], P[l2, j]]
+        q = [P[l0, j + 1], P[l1, j + 1], P[l2, j + 1]]
+        tets = [(p[0], p[1], p[2], q[0]),
+                (p[1], p[2], q[0], q[1]),
+                (p[2], q[0], q[1], q[2])]
+        tet_corners = [((l0, j), (l1, j), (l2, j), (l0, j + 1)),
+                       ((l1, j), (l2, j), (l0, j + 1), (l1, j + 1)),
+                       ((l2, j), (l0, j + 1), (l1, j + 1), (l2, j + 1))]
+        vjs = [np.abs(_tet_vol(*t)) for t in tets]
+        vol += sum(vjs)
+        for kk, c in enumerate(comp_idx):
+            for vj, corners in zip(vjs, tet_corners):
+                mean = sum(lines[li, jj, c] for (li, jj) in corners) / 4.0
+                ints[:, kk] += vj * mean
+        if comp_idx:
+            a0 = _tri_area(p[0], p[1], p[2])
+            a1 = _tri_area(q[0], q[1], q[2])
+            # area_wtAvg: int * mid-area for the first intComp (:680-686)
+            kk = 0
+            for vj, corners in zip(vjs, tet_corners):
+                mean = sum(lines[li, jj, comp_idx[0]]
+                           for (li, jj) in corners) / 4.0
+                wa += vj * mean * 0.5 * (a0 + a1)
+    return vol, ints, wa
+
+
+def _tri_area(a, b, c):
+    return 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1)
+
+
+def smooth_values(vals: np.ndarray, areas: np.ndarray,
+                  elements: np.ndarray, n_nodes: int,
+                  n_smooth: int) -> np.ndarray:
+    """Area-weighted node-neighbor elemental smoothing (smoothVals,
+    streamTubeStats.cpp:275-299): each element averages over elements
+    sharing any of its nodes."""
+    ne = len(elements)
+    node_elts: List[List[int]] = [[] for _ in range(n_nodes)]
+    for e, tri in enumerate(elements):
+        for n in tri:
+            node_elts[n].append(e)
+    out = vals.copy()
+    for _ in range(n_smooth):
+        acc = np.zeros(ne)
+        wacc = np.zeros(ne)
+        for e, tri in enumerate(elements):
+            seen = set()
+            for n in tri:
+                for e2 in node_elts[n]:
+                    if e2 not in seen:
+                        seen.add(e2)
+                        acc[e] += out[e2] * areas[e2]
+                        wacc[e] += areas[e2]
+            acc[e] /= max(wacc[e], 1e-300)
+        out = acc
+    return out
+
+
+def main(args: dict) -> None:
+    """CLI: streamTubeStats infile=<StreamData> [intComps=] [avgComps=]
+    [gradComps=] [peakComp=] [FCRComp= compsAtPeakFCR= namesAtPeakFCR=]
+    [aux_mef= aux_mef_comps=] [nSmooth=0] [write_mef=1] [write_tec=0]
+    [outfile=]"""
+    pp = ParmParse(args)
+    infile = pp.get_str("infile")
+    sd = read_stream_data(infile)
+    names = sd.names
+    lines = sd.lines
+    elements = sd.elements
+    if len(elements) == 0:
+        raise ValueError("streamTubeStats requires element connectivity")
+    mid = (lines.shape[1] - 1) // 2
+
+    def resolve(toks):
+        return [names[int(t)] if t.isdigit() else t for t in toks]
+
+    int_names = resolve(pp.query_str_list("intComps", []))
+    avg_names = resolve(pp.query_str_list("avgComps", []))
+    grad_names = resolve(pp.query_str_list("gradComps", []))
+    peak_names = resolve(pp.query_str_list("peakComp", []))
+    fcr = pp.query_int("FCRComp", -1)
+    pfcr_names = resolve(pp.query_str_list("compsAtPeakFCR", []))
+    pfcr_out = pp.query_str_list("namesAtPeakFCR", pfcr_names)
+    n_smooth = pp.query_int("nSmooth", 0)
+
+    ci_int = [names.index(n) for n in int_names]
+    vol, ints, wa = wedge_volumes_ints(lines, elements, ci_int)
+    p = lines[:, mid, :3]
+    area = _tri_area(p[elements[:, 0]], p[elements[:, 1]], p[elements[:, 2]])
+    ints_n = ints / np.maximum(area[:, None], 1e-300)
+
+    # per-line quantities
+    s = arc_length(lines)
+    ds = np.maximum(np.diff(s, axis=1), 1e-300)
+    per_line = {}
+    for n in grad_names:
+        c = names.index(n)
+        g = np.abs(np.diff(lines[:, :, c], axis=1)) / ds
+        per_line[("grad", n)] = g.max(axis=1)
+    for n in peak_names:
+        c = names.index(n)
+        jpk = np.argmax(lines[:, :, c], axis=1)
+        per_line[("peak", n)] = lines[np.arange(len(lines)), jpk, c]
+        per_line[("peakOK", n)] = ((jpk > 0)
+                                   & (jpk < lines.shape[1] - 1)).astype(float)
+    if fcr >= 0:
+        jf = np.argmax(lines[:, :, fcr], axis=1)
+        for n in pfcr_names:
+            c = names.index(n)
+            per_line[("pfcr", n)] = lines[np.arange(len(lines)), jf, c]
+
+    aux_vals = {}
+    if pp.contains("aux_mef") and pp.query_str("aux_mef", "null") != "null":
+        aux = read_mef(pp.get_str("aux_mef"))
+        for t in pp.get_str_list("aux_mef_comps"):
+            n = aux.names[int(t)] if t.isdigit() else t
+            aux_vals[n] = aux.field(n)
+
+    out_names = ["volume", "area", "area_wtAvg", "smoothedInt"]
+    cols = [vol, area, wa]
+    sm = smooth_values(ints_n[:, 0] if ci_int else vol, area, elements,
+                       lines.shape[0], n_smooth) if n_smooth > 0 else \
+        (ints_n[:, 0] if ci_int else vol)
+    cols.append(sm)
+    for i, n in enumerate(int_names):
+        out_names.append(n + "_int")
+        cols.append(ints_n[:, i])
+    e3 = elements
+    for n in avg_names:
+        c = names.index(n)
+        out_names.append(n + "_avg")
+        cols.append(lines[:, mid, c][e3].mean(axis=1))
+    for n in aux_vals:
+        out_names.append(n + "_avg")
+        cols.append(aux_vals[n][e3].mean(axis=1))
+    for n in grad_names:
+        out_names.append(n + "_gradMax")
+        cols.append(per_line[("grad", n)][e3].mean(axis=1))
+    for n in peak_names:
+        out_names.append(n + "_peak")
+        cols.append(per_line[("peak", n)][e3].mean(axis=1))
+    for n in peak_names:
+        out_names.append(n + "_peakOK")
+        cols.append(per_line[("peakOK", n)][e3].min(axis=1))
+    for n, on in zip(pfcr_names, pfcr_out):
+        out_names.append(on + "_at_peakFCR")
+        cols.append(per_line[("pfcr", n)][e3].mean(axis=1))
+
+    # element-centered MEF: duplicate values at each element's 3 nodes
+    ne = len(elements)
+    pos = p[elements.reshape(-1)]                       # [3*ne, 3]
+    evals = np.stack(cols, axis=1)                       # [ne, ncomp]
+    nodes = np.concatenate([pos, np.repeat(evals, 3, axis=0)], axis=1)
+    conn = np.arange(3 * ne, dtype=np.int32).reshape(ne, 3)
+    mef = MEF("streamTubeStats", ["X", "Y", "Z"] + out_names, nodes, conn)
+    outfile = pp.query_str("outfile", infile + "_tubeStats")
+    if pp.query_bool("write_mef", True):
+        write_mef(outfile + ".mef", mef)
+        print(f"wrote {outfile}.mef")
+    if pp.query_bool("write_tec", False):
+        write_mef_tecplot(outfile + ".dat", mef)
+        print(f"wrote {outfile}.dat")

