@@ -1,0 +1,77 @@
+"""Native (C++) host-side kernels: build-on-first-use via g++, loaded through
+ctypes (the image ships no pybind11).  Currently: QEM mesh decimation
+(qslim replacement for decimateMEF)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build() -> str:
+    src = os.path.join(_DIR, "qem.cpp")
+    so = os.path.join(_DIR, "libpele_native.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
+            check=True)
+    return so
+
+
+def get_lib():
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            lib = ctypes.CDLL(_build())
+            lib.qem_decimate.restype = ctypes.c_int
+            lib.qem_decimate.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.int32, flags="C"),
+                ctypes.c_int, ctypes.c_double,
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.int32, flags="C"),
+                np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ]
+            _LIB = lib
+    return _LIB
+
+
+def qem_decimate(verts: np.ndarray, tris: np.ndarray, face_target: int,
+                 boundary_weight: float = 1000.0,
+                 attrs: np.ndarray = None):
+    """Decimate (verts [n,3] float64, tris [m,3] int32) to ~face_target
+    faces.  Returns (verts, tris[, attrs])."""
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, np.float64)
+    tris = np.ascontiguousarray(tris, np.int32)
+    n, m = len(verts), len(tris)
+    n_attr = 0 if attrs is None else attrs.shape[1]
+    if attrs is not None:
+        attrs = np.ascontiguousarray(attrs, np.float64)
+    out_v = np.empty((n, 3), np.float64)
+    out_a = (np.empty((n, n_attr), np.float64) if n_attr else
+             np.empty((1, 1), np.float64))
+    out_t = np.empty((m, 3), np.int32)
+    counts = np.zeros(2, np.int32)
+    rc = lib.qem_decimate(
+        n, m, n_attr, verts,
+        attrs.ctypes.data if n_attr else None,
+        tris, int(face_target), float(boundary_weight),
+        out_v, out_a.ctypes.data, out_t, counts)
+    if rc != 0:
+        raise RuntimeError(f"qem_decimate failed rc={rc}")
+    nv, nf = int(counts[0]), int(counts[1])
+    if n_attr:
+        return out_v[:nv], out_t[:nf], out_a[:nv]
+    return out_v[:nv], out_t[:nf], None

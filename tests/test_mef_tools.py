@@ -1,0 +1,162 @@
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.geom import mef_tools as G
+from peleanalysis_tpu.io.mef import MEF
+
+
+def make_sphere_mef(n=24, r=0.3):
+    """Analytic UV-sphere triangulation with a field comp = z."""
+    thetas = np.linspace(0, np.pi, n)
+    phis = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+    verts = [(0.0, 0.0, r)]
+    for t in thetas[1:-1]:
+        for p in phis:
+            verts.append((r * np.sin(t) * np.cos(p),
+                          r * np.sin(t) * np.sin(p),
+                          r * np.cos(t)))
+    verts.append((0.0, 0.0, -r))
+    verts = np.array(verts)
+    tris = []
+    m = len(phis)
+    # top cap
+    for j in range(m):
+        tris.append((0, 1 + j, 1 + (j + 1) % m))
+    # bands
+    for i in range(n - 3):
+        a = 1 + i * m
+        b = 1 + (i + 1) * m
+        for j in range(m):
+            j2 = (j + 1) % m
+            tris.append((a + j, b + j, b + j2))
+            tris.append((a + j, b + j2, a + j2))
+    # bottom cap
+    last = len(verts) - 1
+    a = 1 + (n - 3) * m
+    for j in range(m):
+        tris.append((last, a + (j + 1) % m, a + j))
+    nodes = np.concatenate([verts, verts[:, 2:3]], axis=1)  # field = z
+    return MEF("sphere", ["X", "Y", "Z", "zf"], nodes,
+               np.array(tris, dtype=np.int32))
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    return make_sphere_mef()
+
+
+def test_sphere_is_watertight(sphere):
+    rep = G.check_iso(sphere)
+    assert rep["watertight"]
+    area = sphere.total_area()
+    assert abs(area - 4 * np.pi * 0.3**2) < 0.02 * 4 * np.pi * 0.3**2
+
+
+def test_combine_and_merge(sphere):
+    b = MEF(sphere.label, sphere.names,
+            sphere.nodes * np.array([1, 1, 1, 2.0]), sphere.elements)
+    b2 = MEF("s", ["X", "Y", "Z", "other"], b.nodes, b.elements)
+    comb = G.combine_mef(sphere, b2, ["zf"], ["other"])
+    assert comb.names == ["X", "Y", "Z", "zf", "other"]
+    np.testing.assert_allclose(comb.field("other"),
+                               2 * sphere.field("zf"))
+    merged = G.merge_mef(sphere, sphere)
+    assert merged.n_elts == 2 * sphere.n_elts
+    assert merged.n_nodes == 2 * sphere.n_nodes
+
+
+def test_mult_scale(sphere):
+    m = G.mult_mef(sphere, sphere, ["zf"])
+    np.testing.assert_allclose(m.field("zf"), sphere.field("zf") ** 2)
+    s = G.scale_mef(sphere, ["zf"], [3.0])
+    np.testing.assert_allclose(s.field("zf"), 3 * sphere.field("zf"))
+
+
+def test_trim_halfspace_area(sphere):
+    # trim to z >= 0: hemisphere, half the area
+    out = G.trim_mef(sphere, ["zf"], ["+"], [0.0])
+    assert abs(out.total_area() - 0.5 * sphere.total_area()) \
+        < 0.02 * sphere.total_area()
+    assert out.positions()[:, 2].min() > -1e-9
+
+
+def test_bin_mef_area_partition(sphere):
+    # binning by z over [-r, r]: total binned area = sphere area, and for a
+    # sphere, area is UNIFORM in z (Archimedes) => equal bins
+    r = 0.3
+    bins = G.bin_mef(sphere, ["zf"], [-r], [r], [6])
+    total = sphere.total_area()
+    np.testing.assert_allclose(bins.sum(), total, rtol=1e-6)
+    np.testing.assert_allclose(bins, total / 6, rtol=0.05)
+
+
+def test_iso_mef_circle(sphere):
+    # iso-line of z at 0: the equator, length 2*pi*r
+    out = G.iso_mef(sphere, "zf", 0.0)
+    assert out.nodes_per_elt == 2
+    length = out.total_area()  # segment lengths
+    assert abs(length - 2 * np.pi * 0.3) < 0.03 * 2 * np.pi * 0.3
+    # polyline assembly: one closed loop
+    chains = G.assemble_polylines(out)
+    chains = [c for c in chains if len(c) > 2]
+    assert len(chains) == 1
+    assert chains[0][0] == chains[0][-1] or len(chains[0]) == out.n_nodes + 1
+
+
+def test_slice_mef(sphere):
+    outs = G.slice_mef(sphere, 2, [0.0, 0.15])
+    l0 = outs[0].total_area()
+    l1 = outs[1].total_area()
+    assert abs(l0 - 2 * np.pi * 0.3) < 0.05 * 2 * np.pi * 0.3
+    want = 2 * np.pi * np.sqrt(0.3**2 - 0.15**2)
+    assert abs(l1 - want) < 0.05 * want
+
+
+def test_smooth_mef(sphere):
+    noisy = sphere.nodes.copy()
+    rng = np.random.default_rng(0)
+    noisy[:, 3] += 0.05 * rng.normal(size=len(noisy))
+    m = MEF("s", sphere.names, noisy, sphere.elements)
+    sm = G.smooth_mef(m, ["zf"], n_iter=2)
+    err0 = np.abs(m.field("zf") - sphere.field("zf")).std()
+    err1 = np.abs(sm.field("zf") - sphere.field("zf")).std()
+    assert err1 < 0.6 * err0
+
+
+def test_qem_decimate(sphere):
+    from peleanalysis_tpu.native import qem_decimate
+    target = sphere.n_elts // 4
+    v, t, attr = qem_decimate(sphere.positions(), sphere.elements, target,
+                              attrs=sphere.nodes[:, 3:])
+    assert t.shape[0] <= sphere.n_elts // 2
+    assert t.shape[0] >= 4
+    # decimated surface stays near the sphere
+    rr = np.linalg.norm(v, axis=1)
+    assert np.abs(rr - 0.3).max() < 0.05
+    # still closed
+    out = MEF("d", sphere.names, np.concatenate([v, attr], axis=1),
+              t.astype(np.int32))
+    rep = G.check_iso(out)
+    assert rep["n_boundary_edges"] == 0
+    # area preserved within a few percent
+    assert abs(out.total_area() - sphere.total_area()) \
+        < 0.05 * sphere.total_area()
+
+
+def test_mef_cli(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.io.mef import read_mef, write_mef
+    monkeypatch.chdir(tmp_path)
+    sphere = make_sphere_mef(12)
+    write_mef("s.mef", sphere)
+    assert main(["checkIso", "infile=s.mef"]) == 0
+    assert main(["scaleMEF", "infile=s.mef", "comps=zf", "factors=2",
+                 "outfile=s2.mef"]) == 0
+    assert np.allclose(read_mef("s2.mef").field("zf"),
+                       2 * sphere.field("zf"))
+    assert main(["decimateMEF", "infile=s.mef", "face_target=100",
+                 "outfile=dec.mef"]) == 0
+    assert read_mef("dec.mef").n_elts < sphere.n_elts
+    assert main(["surfMEFtoDAT", "infile=s.mef", "outfile=s.dat"]) == 0
+    assert main(["surfDATtoMEF", "infile=s.dat", "outfile=s3.mef"]) == 0
+    assert read_mef("s3.mef").n_nodes == sphere.n_nodes
