@@ -1,0 +1,227 @@
+"""Signed-distance fields from triangulated surfaces — the SDFGen
+replacement (/root/reference/Tools/SDFGen/makelevelset3.{h,cpp}, vendored
+from christopherbatty/SDFGen; used per-box by isosurface.cpp:1595-1654 and
+buildDistance.cpp).
+
+Same algorithmic skeleton, re-implemented vectorized:
+  1. exact point-triangle distances seeded in a band around each triangle
+     (makelevelset3.cpp:20-41 exact_band)
+  2. eight directional fast sweeps propagating closest-triangle ids, with
+     exact re-evaluation against the propagated triangle
+     (makelevelset3.cpp:58-81,163-172)
+  3. sign via per-x-row triangle-crossing parity counts
+     (makelevelset3.cpp:84-99,125-186) — or overridden by field<isoVal like
+     the isosurface tool does (isosurface.cpp:1644)
+  4. distances clamped to ±dmax (isosurface.cpp:1614-1646)
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def point_tri_distance(p: np.ndarray, a: np.ndarray, b: np.ndarray,
+                       c: np.ndarray) -> np.ndarray:
+    """Exact unsigned distance from points p[...,3] to triangles a/b/c[...,3]
+    (broadcasting).  Standard region-based closest-point computation."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = np.sum(ab * ap, -1)
+    d2 = np.sum(ac * ap, -1)
+    bp = p - b
+    d3 = np.sum(ab * bp, -1)
+    d4 = np.sum(ac * bp, -1)
+    cp = p - c
+    d5 = np.sum(ab * cp, -1)
+    d6 = np.sum(ac * cp, -1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = np.where(np.abs(va + vb + vc) > 1e-300, va + vb + vc, 1.0)
+    v = vb / denom
+    w = vc / denom
+    closest = a + v[..., None] * ab + w[..., None] * ac
+
+    # vertex regions
+    cond_a = (d1 <= 0) & (d2 <= 0)
+    cond_b = (d3 >= 0) & (d4 <= d3)
+    cond_c = (d6 >= 0) & (d5 <= d6)
+    # edge regions
+    v_ab = np.where(np.abs(d1 - d3) > 1e-300, d1 / (d1 - d3), 0.0)
+    cond_ab = (~cond_a) & (~cond_b) & (d1 >= 0) & (d3 <= 0) & (vc <= 0)
+    v_ac = np.where(np.abs(d2 - d6) > 1e-300, d2 / (d2 - d6), 0.0)
+    cond_ac = (~cond_a) & (~cond_c) & (d2 >= 0) & (d6 <= 0) & (vb <= 0)
+    t_bc = np.where(np.abs((d4 - d3) + (d5 - d6)) > 1e-300,
+                    (d4 - d3) / ((d4 - d3) + (d5 - d6)), 0.0)
+    cond_bc = (~cond_b) & (~cond_c) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0) \
+        & (va <= 0)
+
+    closest = np.where(cond_bc[..., None],
+                       b + t_bc[..., None] * (c - b), closest)
+    closest = np.where(cond_ac[..., None],
+                       a + v_ac[..., None] * ac, closest)
+    closest = np.where(cond_ab[..., None],
+                       a + v_ab[..., None] * ab, closest)
+    closest = np.where(cond_c[..., None], c, closest)
+    closest = np.where(cond_b[..., None], b, closest)
+    closest = np.where(cond_a[..., None], a, closest)
+    return np.linalg.norm(p - closest, axis=-1)
+
+
+def _cell_centers_1d(lo, n, dx, plo):
+    return plo + (np.arange(lo, lo + n) + 0.5) * dx
+
+
+def unsigned_distance_grid(tri_verts: np.ndarray, origin, dx,
+                           shape: Tuple[int, int, int],
+                           dmax: float, exact_band: int = 1):
+    """|phi| on a uniform grid: exact distances in a band around each
+    triangle, then 8 fast sweeps propagating closest-triangle ids."""
+    nx, ny, nz = shape
+    dx = np.asarray(dx, dtype=np.float64)
+    origin = np.asarray(origin, dtype=np.float64)
+    ntri = len(tri_verts)
+    phi = np.full(shape, dmax, dtype=np.float64)
+    closest = np.full(shape, -1, dtype=np.int64)
+    if ntri == 0:
+        return phi, closest
+
+    # --- exact band seeding, vectorized over (triangle, band offsets) -------
+    A, B, C = tri_verts[:, 0], tri_verts[:, 1], tri_verts[:, 2]
+    tlo = np.floor((tri_verts.min(axis=1) - origin) / dx - 0.5).astype(int)
+    thi = np.floor((tri_verts.max(axis=1) - origin) / dx - 0.5).astype(int)
+    span = (thi - tlo).max(axis=0) + 1 + 2 * exact_band
+    offs = np.stack(np.meshgrid(*[np.arange(s) for s in span],
+                                indexing="ij"), -1).reshape(-1, 3)
+    for o in offs:
+        idx = tlo - exact_band + o[None, :]
+        ok = np.all((idx >= 0) & (idx < np.array(shape)), axis=1) \
+            & np.all(idx <= thi + exact_band, axis=1)
+        if not ok.any():
+            continue
+        ii = idx[ok]
+        p = origin + (ii + 0.5) * dx
+        d = point_tri_distance(p, A[ok], B[ok], C[ok])
+        flat = (ii[:, 0] * ny + ii[:, 1]) * nz + ii[:, 2]
+        cur = phi.reshape(-1)[flat]
+        better = d < cur
+        # resolve duplicates within this batch deterministically
+        order = np.argsort(d)
+        flat_o = flat[order]
+        d_o = d[order]
+        t_o = np.nonzero(ok)[0][order]
+        first = np.unique(flat_o, return_index=True)[1]
+        flat_u, d_u, t_u = flat_o[first], d_o[first], t_o[first]
+        cur = phi.reshape(-1)[flat_u]
+        upd = d_u < cur
+        phi.reshape(-1)[flat_u[upd]] = d_u[upd]
+        closest.reshape(-1)[flat_u[upd]] = t_u[upd]
+
+    # --- 8 directional sweeps ------------------------------------------------
+    centers = [origin[d] + (np.arange(shape[d]) + 0.5) * dx[d]
+               for d in range(3)]
+    X = centers[0][:, None, None]
+    Y = centers[1][None, :, None]
+    Z = centers[2][None, None, :]
+
+    def try_from(shift):
+        """Propagate closest ids from the neighbor at -shift, re-evaluating
+        the exact distance; returns True if anything improved."""
+        sx, sy, sz = shift
+        src = closest[max(sx, 0): nx + min(sx, 0) or None,
+                      max(sy, 0): ny + min(sy, 0) or None,
+                      max(sz, 0): nz + min(sz, 0) or None]
+        dst_sl = (slice(max(-sx, 0), nx + min(-sx, 0) or None),
+                  slice(max(-sy, 0), ny + min(-sy, 0) or None),
+                  slice(max(-sz, 0), nz + min(-sz, 0) or None))
+        cand = src
+        have = cand >= 0
+        if not have.any():
+            return
+        t = np.where(have, cand, 0)
+        p = np.stack(np.broadcast_arrays(
+            X[dst_sl[0]], Y[:, dst_sl[1]], Z[:, :, dst_sl[2]]), axis=-1)
+        d = point_tri_distance(p, A[t], B[t], C[t])
+        d = np.where(have, d, np.inf)
+        cur = phi[dst_sl]
+        upd = d < cur
+        phi[dst_sl] = np.where(upd, d, cur)
+        cl = closest[dst_sl]
+        closest[dst_sl] = np.where(upd, t, cl)
+
+    for _ in range(2):  # two rounds of 8 sweeps like the reference
+        for sx in (1, -1):
+            for sy in (1, -1):
+                for sz in (1, -1):
+                    try_from((sx, 0, 0))
+                    try_from((0, sy, 0))
+                    try_from((0, 0, sz))
+                    try_from((sx, sy, 0))
+                    try_from((sx, 0, sz))
+                    try_from((0, sy, sz))
+                    try_from((sx, sy, sz))
+    np.clip(phi, 0.0, dmax, out=phi)
+    return phi, closest
+
+
+def parity_sign(tri_verts: np.ndarray, origin, dx,
+                shape: Tuple[int, int, int]) -> np.ndarray:
+    """-1 inside / +1 outside via x-row crossing parity
+    (makelevelset3.cpp:84-99,176-186)."""
+    nx, ny, nz = shape
+    dx = np.asarray(dx, dtype=np.float64)
+    origin = np.asarray(origin, dtype=np.float64)
+    cnt = np.zeros((nx, ny, nz), dtype=np.int64)
+    yc = origin[1] + (np.arange(ny) + 0.5) * dx[1]
+    zc = origin[2] + (np.arange(nz) + 0.5) * dx[2]
+    xc = origin[0] + (np.arange(nx) + 0.5) * dx[0]
+    for (a, b, c) in tri_verts:
+        ylo = max(int(np.ceil((min(a[1], b[1], c[1]) - origin[1]) / dx[1]
+                              - 0.5)), 0)
+        yhi = min(int(np.floor((max(a[1], b[1], c[1]) - origin[1]) / dx[1]
+                               - 0.5)), ny - 1)
+        zlo = max(int(np.ceil((min(a[2], b[2], c[2]) - origin[2]) / dx[2]
+                              - 0.5)), 0)
+        zhi = min(int(np.floor((max(a[2], b[2], c[2]) - origin[2]) / dx[2]
+                               - 0.5)), nz - 1)
+        if ylo > yhi or zlo > zhi:
+            continue
+        Yg, Zg = np.meshgrid(yc[ylo : yhi + 1], zc[zlo : zhi + 1],
+                             indexing="ij")
+        # barycentric in the (y,z) projection
+        d = ((b[1] - a[1]) * (c[2] - a[2]) - (b[2] - a[2]) * (c[1] - a[1]))
+        if abs(d) < 1e-300:
+            continue
+        w1 = ((Yg - a[1]) * (c[2] - a[2]) - (Zg - a[2]) * (c[1] - a[1])) / d
+        w2 = ((b[1] - a[1]) * (Zg - a[2]) - (b[2] - a[2]) * (Yg - a[1])) / d
+        w0 = 1.0 - w1 - w2
+        hit = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not hit.any():
+            continue
+        xh = w0 * a[0] + w1 * b[0] + w2 * c[0]
+        jj, kk = np.nonzero(hit)
+        for j, k, x in zip(jj + ylo, kk + zlo, xh[hit]):
+            cnt[xc < x, j, k] += 1
+    return np.where(cnt % 2 == 1, -1.0, 1.0)
+
+
+def signed_distance_dense(dstate, mef, lev: int, dmax: float,
+                          sign_field: Optional[str] = None,
+                          iso_val: float = 0.0) -> np.ndarray:
+    """Signed distance on one dense level's bbox grid."""
+    geom = dstate.meta.geoms[lev]
+    bbox = dstate.lmeta[lev].bbox
+    dx = np.array(geom.dx)
+    origin = np.array(geom.prob_lo) + (np.array(bbox.lo)
+                                       - np.array(geom.domain.lo)) * dx
+    tri = mef.positions()[mef.elements]
+    phi, _ = unsigned_distance_grid(tri, origin, dx, bbox.shape, dmax)
+    if sign_field is not None:
+        f = np.asarray(dstate.data[lev][dstate.comp(sign_field)])
+        sgn = np.where(f < iso_val, -1.0, 1.0)
+    else:
+        sgn = parity_sign(tri, origin, dx, bbox.shape)
+    return phi * sgn
