@@ -44,7 +44,7 @@ def main():
 
     from peleanalysis_tpu.amr.dense import DenseAmrState
     from peleanalysis_tpu.geom.marching_cubes import extract_isosurface
-    from peleanalysis_tpu.ops.dense_fill import fill_dense_arrays
+    from peleanalysis_tpu.ops.dense_fill import fill_dense_multilevel
     from peleanalysis_tpu.ops.fill import get_fill_plan
     from peleanalysis_tpu.ops.stencil import centered_gradient, magnitude
     from peleanalysis_tpu.reference_impl import (numpy_curvature,
@@ -59,36 +59,33 @@ def main():
     masks = [dstate.in_level_mask(l) for l in range(n_lev)]
     lmeta = dstate.lmeta
 
-    def mlgrad(fields, mask_list, lev):
-        grown = fill_dense_arrays(meta, lmeta, fields, mask_list, lev, 1,
-                                  None, "linear")
-        return centered_gradient(grown, meta.geoms[lev].dx, 1)
+    def mlgrad_all(fields, mask_list):
+        grown = fill_dense_multilevel(meta, lmeta, fields, mask_list, 1,
+                                      None, "linear")
+        return [centered_gradient(g, meta.geoms[lev].dx, 1)
+                for lev, g in enumerate(grown)]
 
     def grad_chain(levels, mask_list):
         outs = []
-        for lev in range(n_lev):
-            gx, gy, gz = mlgrad(levels, mask_list, lev)
+        for lev, (gx, gy, gz) in enumerate(mlgrad_all(levels, mask_list)):
             outs.append(magnitude(gx, gy, gz))
         return [o / (jnp.max(o) + 1.0) for o in outs]
 
     def curv_chain(levels, mask_list):
         # gradient -> normal -> div(normal) + grad-of-grad Hessian -> Kg
-        g = [mlgrad(levels, mask_list, lev) for lev in range(n_lev)]
+        g = mlgrad_all(levels, mask_list)
         G = [jnp.concatenate(gl, 0) for gl in g]
         normg = [-jnp.maximum(1e-14, jnp.sqrt(jnp.sum(Gl**2, 0, keepdims=True)))
                  for Gl in G]
         N = [G[l] / normg[l] for l in range(n_lev)]
+        gN = [mlgrad_all([N[l][d][None] for l in range(n_lev)], mask_list)
+              for d in range(3)]
+        gG = [mlgrad_all([G[l][i][None] for l in range(n_lev)], mask_list)
+              for i in range(3)]
         outs = []
         for lev in range(n_lev):
-            div = 0.0
-            for d in range(3):
-                comp = [N[l][d][None] for l in range(n_lev)]
-                div = div + mlgrad(comp, mask_list, lev)[d][0]
-            H = []
-            for i in range(3):
-                comp = [G[l][i][None] for l in range(n_lev)]
-                gl = mlgrad(comp, mask_list, lev)
-                H.append([gl[j][0] for j in range(3)])
+            div = sum(gN[d][lev][d][0] for d in range(3))
+            H = [[gG[i][lev][j][0] for j in range(3)] for i in range(3)]
             adj_num = 0.0
             for i in range(3):
                 for j in range(3):

@@ -124,6 +124,92 @@ def _bc_block(inner: jnp.ndarray, d: int, n: int, mode: str, is_lo: bool,
     raise ValueError(f"unknown BC mode {mode}")
 
 
+def _combine_two_level(meta, lmeta, lev: int, ngrow: int, data, mask,
+                       crse_grown: jnp.ndarray, crse_g: int,
+                       bc: BCSpec, interp: str) -> jnp.ndarray:
+    """One two-level fill: combine level data with a coarse grown array that
+    already has crse_g ghosts."""
+    geom = meta.geoms[lev]
+    r = meta.ref_ratio[lev - 1]
+    linear = interp == "linear"
+    bbox = lmeta[lev].bbox
+    gbox = bbox.grow(ngrow)
+    cbox = gbox.coarsen(r).grow(1 if linear else 0)
+    bbox_c = lmeta[lev - 1].bbox
+    cg_box = bbox_c.grow(crse_g)
+    if not cg_box.contains_box(cbox):
+        raise ValueError("coarse grown array too small for this fill")
+    sl = tuple(slice(cbox.lo[d] - cg_box.lo[d],
+                     cbox.hi[d] - cg_box.lo[d] + 1) for d in range(3))
+    c = crse_grown[(slice(None),) + sl]
+    for d in range(3):
+        c = _upsample_axis(c, d, r, linear)
+    sl = tuple(slice(gbox.lo[d] - cbox.lo[d] * r,
+                     gbox.hi[d] + 1 - cbox.lo[d] * r) for d in range(3))
+    up = c[(slice(None),) + sl]
+    pad = [(0, 0)] + [(ngrow, ngrow)] * 3
+    fine_p = jnp.pad(data, pad)
+    mask_p = jnp.pad(mask, pad[1:])
+    grown = jnp.where(mask_p[None], fine_p, up)
+    return _apply_exterior_bc(grown, gbox, geom, bc)
+
+
+def coarse_ghost_requirement(meta, lmeta, lev: int, ngrow: int,
+                             interp: str) -> int:
+    """Ghost width the coarse level must carry to serve this level's fill."""
+    r = meta.ref_ratio[lev - 1]
+    gbox = lmeta[lev].bbox.grow(ngrow)
+    cbox = gbox.coarsen(r).grow(1 if interp == "linear" else 0)
+    bbox_c = lmeta[lev - 1].bbox
+    gc = 0
+    for d in range(3):
+        gc = max(gc, bbox_c.lo[d] - cbox.lo[d], cbox.hi[d] - bbox_c.hi[d])
+    return max(gc, 0)
+
+
+def fill_dense_multilevel(meta, lmeta, data_list, mask_list, ngrow,
+                          bc: Optional[BCSpec] = None,
+                          interp: str = "linear"):
+    """Grown dense arrays for ALL levels in one bottom-up pass — each level
+    filled exactly once (the recursive helper re-fills the whole coarse
+    stack per call, which explodes the XLA graph for derived-field
+    pipelines like curvature).  ngrow: int or per-level list.  Returns a
+    list of [ncomp, *(bbox.grow(ngrow).shape)] arrays."""
+    L = meta.n_levels
+    if bc is None:
+        bc = default_bc(3)
+    if np.isscalar(ngrow):
+        ngrow = [int(ngrow)] * L
+    need = [int(g) for g in ngrow]
+    for lev in range(L - 1, 0, -1):
+        gc = coarse_ghost_requirement(meta, lmeta, lev, need[lev], interp)
+        need[lev - 1] = max(need[lev - 1], gc)
+
+    grown = [None] * L
+    geom0 = meta.geoms[0]
+    out0 = data_list[0]
+    for d in range(3):
+        out0 = _grow_axis(out0, d, need[0], bc[d][0], bc[d][1],
+                          geom0.is_periodic[d])
+    grown[0] = out0
+    for lev in range(1, L):
+        grown[lev] = _combine_two_level(meta, lmeta, lev, need[lev],
+                                        data_list[lev], mask_list[lev],
+                                        grown[lev - 1], need[lev - 1],
+                                        bc, interp)
+    # shrink to the requested ghost widths
+    outs = []
+    for lev in range(L):
+        extra = need[lev] - ngrow[lev]
+        if extra > 0:
+            sl = (slice(None),) + tuple(slice(extra, grown[lev].shape[1 + d]
+                                              - extra) for d in range(3))
+            outs.append(grown[lev][sl])
+        else:
+            outs.append(grown[lev])
+    return outs
+
+
 def fill_dense_arrays(meta, lmeta, data_list, mask_list, lev: int, ngrow: int,
                       bc: Optional[BCSpec] = None,
                       interp: str = "linear") -> jnp.ndarray:

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..amr.dense import DenseAmrState
-from ..ops.dense_fill import fill_dense_arrays
+from ..ops.dense_fill import fill_dense_arrays, fill_dense_multilevel
 from ..ops.solve import cg_solve
 from ..ops.stencil import centered_gradient, interior
 from .grad import grad_bc
@@ -50,13 +50,11 @@ D = 3
 def _grad_multilevel(meta, lmeta, field_list, mask_list, bc, interp):
     """Per-level gradients of a multi-level scalar field, each level's ghosts
     filled from the coarser level of the SAME derived field (the reference's
-    setCoarseFineBC pattern)."""
-    grads = []
-    for lev in range(meta.n_levels):
-        grown = fill_dense_arrays(meta, lmeta, field_list, mask_list, lev, 1,
+    setCoarseFineBC pattern).  One bottom-up fill pass for all levels."""
+    grown = fill_dense_multilevel(meta, lmeta, field_list, mask_list, 1,
                                   bc, interp)
-        grads.append(centered_gradient(grown, meta.geoms[lev].dx, 1))
-    return grads  # [lev][dim] -> [1, *bbox]
+    return [centered_gradient(g, meta.geoms[lev].dx, 1)
+            for lev, g in enumerate(grown)]  # [lev][dim] -> [1, *bbox]
 
 
 def compute_curvature_dense(
@@ -134,26 +132,24 @@ def compute_curvature_dense(
         N = [G[lev] / normg[lev] for lev in range(meta.n_levels)]
 
         # -- mean curvature: 0.5 * div(N) -------------------------------------
-        Km = []
-        for lev in range(meta.n_levels):
-            div = 0.0
-            for d in range(D):
-                comp = [N[l][d : d + 1] for l in range(meta.n_levels)]
-                gl = _grad_multilevel(meta, lmeta, comp, mask_list, bc,
-                                      interp)
-                div = div + gl[lev][d]
-            Km.append(0.5 * div)
+        gN = []
+        for d in range(D):
+            comp = [N[l][d : d + 1] for l in range(meta.n_levels)]
+            gN.append(_grad_multilevel(meta, lmeta, comp, mask_list, bc,
+                                       interp))
+        Km = [0.5 * sum(gN[d][lev][d] for d in range(D))
+              for lev in range(meta.n_levels)]
 
         # -- Gaussian curvature ------------------------------------------------
         Kg = []
         if do_gauss:
+            gG = []
+            for i in range(D):
+                comp = [G[l][i : i + 1] for l in range(meta.n_levels)]
+                gG.append(_grad_multilevel(meta, lmeta, comp, mask_list, bc,
+                                           interp))
             for lev in range(meta.n_levels):
-                H = []  # H[i][j] = d G_i / dx_j
-                for i in range(D):
-                    comp = [G[l][i : i + 1] for l in range(meta.n_levels)]
-                    gl = _grad_multilevel(meta, lmeta, comp, mask_list, bc,
-                                          interp)
-                    H.append([gl[lev][j][0] for j in range(D)])
+                H = [[gG[i][lev][j][0] for j in range(D)] for i in range(D)]
                 adj = [[H[(i + 1) % 3][(j + 1) % 3] * H[(i + 2) % 3][(j + 2) % 3]
                         - H[(i + 1) % 3][(j + 2) % 3] * H[(i + 2) % 3][(j + 1) % 3]
                         for j in range(D)] for i in range(D)]
@@ -171,13 +167,14 @@ def compute_curvature_dense(
         if need_vel:
             vel = [jnp.stack([d[k] for k in iv], axis=0) for d in data_list]
         if do_strain:
+            gU = []
+            for i in range(D):
+                comp = [vel[l][i : i + 1] for l in range(meta.n_levels)]
+                gU.append(_grad_multilevel(meta, lmeta, comp, mask_list, bc,
+                                           interp))
             for lev in range(meta.n_levels):
-                gradU = []  # gradU[i][j] = d u_i / dx_j
-                for i in range(D):
-                    comp = [vel[l][i : i + 1] for l in range(meta.n_levels)]
-                    gl = _grad_multilevel(meta, lmeta, comp, mask_list, bc,
-                                          interp)
-                    gradU.append([gl[lev][j][0] for j in range(D)])
+                gradU = [[gU[i][lev][j][0] for j in range(D)]
+                         for i in range(D)]
                 divu = gradU[0][0] + gradU[1][1] + gradU[2][2]
                 if replicate_strain_bug:
                     sr = divu  # reference's overwrite at curvature.cpp:745

@@ -53,29 +53,31 @@ def compute_grad_dense(dstate, var: str,
     per level (see amr/dense.py for the layout rationale)."""
     import jax
 
-    from ..ops.dense_fill import fill_dense_arrays
+    from ..ops.dense_fill import fill_dense_multilevel
 
     meta = dstate.meta
     bc = grad_bc([False] * meta.ndim, sym_dir)
     ic = dstate.comp(var)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
-    def level_fn(lev):
-        def fn(data_list, mask_list):
-            grown = fill_dense_arrays(meta, dstate.lmeta, data_list,
-                                      mask_list, lev, 1, bc, interp)
-            gx, gy, gz = centered_gradient(grown, meta.geoms[lev].dx, 1)
-            return jnp.concatenate([gx, gy, gz, magnitude(gx, gy, gz)],
-                                   axis=0)
-        return fn
+    def all_levels(data_list, mask_list):
+        grown = fill_dense_multilevel(meta, dstate.lmeta, data_list,
+                                      mask_list, 1, bc, interp)
+        outs = []
+        for lev, g in enumerate(grown):
+            gx, gy, gz = centered_gradient(g, meta.geoms[lev].dx, 1)
+            outs.append(jnp.concatenate(
+                [gx, gy, gz, magnitude(gx, gy, gz)], axis=0))
+        return outs
 
     scalars = [d[ic : ic + 1] for d in dstate.data]
+    gcomps = jax.jit(all_levels)(scalars, masks)
     out_levels = []
     for lev in range(meta.n_levels):
-        gcomp = jax.jit(level_fn(lev))(scalars, masks)
         passthrough = [dstate.data[lev][dstate.comp(n) : dstate.comp(n) + 1]
                        for n in (var,) + tuple(aux)]
-        out_levels.append(jnp.concatenate(passthrough + [gcomp], axis=0))
+        out_levels.append(jnp.concatenate(passthrough + [gcomps[lev]],
+                                          axis=0))
     names = [var, *aux,
              f"{var}_gx", f"{var}_gy", f"{var}_gz", f"||grad{var}||"]
     return dstate.with_data(names, out_levels)
