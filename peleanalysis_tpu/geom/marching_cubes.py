@@ -38,7 +38,7 @@ import numpy as np
 from ..amr.box import Box
 from ..amr.dense import DenseAmrState
 from ..io.mef import MEF
-from ..ops.dense_fill import fill_dense_arrays
+from ..ops.dense_fill import fill_dense_arrays, fill_dense_multilevel
 from ..ops.fill import default_bc
 from .mc_tables import (CORNER_OFFSETS, CORNER_PAIRS, EDGE_TABLE, TRI_COUNT,
                         TRI_TABLE)
@@ -134,6 +134,37 @@ def _classify(field_grown: jnp.ndarray, iso_val) -> jnp.ndarray:
     return ci
 
 
+@partial(jax.jit, static_argnames=())
+def _gather_edge_verts(grown: jnp.ndarray, ai: jnp.ndarray, aj: jnp.ndarray,
+                       ak: jnp.ndarray, iso_val, iso_comp: int = 3):
+    """Device phase 2: for active base cells, interpolate all 12 edge
+    vertices.  grown [nf,S0,S1,S2]; returns evals [Na,12,nf] (host transfers
+    only this compact result — full grown arrays never leave HBM)."""
+    corners = []
+    cfs = []
+    for (oi, oj, ok) in np.asarray(CORNER_OFFSETS):
+        blk = grown[:, ai + oi, aj + oj, ak + ok]       # [nf, Na]
+        corners.append(blk.T)                            # [Na, nf]
+        cfs.append(blk[iso_comp])                        # [Na]
+    evals = []
+    for (a, b) in np.asarray(CORNER_PAIRS):
+        fa, fb = cfs[a], cfs[b]
+        denom = fb - fa
+        t = jnp.where(jnp.abs(denom) > 1e-30,
+                      (iso_val - fa) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+        t = jnp.clip(t, 0.0, 1.0)
+        evals.append(corners[a] + t[:, None] * (corners[b] - corners[a]))
+    return jnp.stack(evals, axis=1)                      # [Na, 12, nf]
+
+
+def _pad_pow2(n: int, minimum: int = 256) -> int:
+    m = minimum
+    while m < n:
+        m *= 2
+    return m
+
+
 def _classify_numpy(field: np.ndarray, iso_val: float) -> np.ndarray:
     inside = (field < iso_val).astype(np.int32)
     ci = 0
@@ -156,11 +187,18 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
     gbox = dstate.lmeta[lev].bbox.grow(1)
     nf = grown.shape[0]
 
-    field = grown[iso_comp]
-    if classify == "numpy":
-        ci = _classify_numpy(field, iso_val)
+    device = classify == "device" and isinstance(grown, jnp.ndarray)
+    if device:
+        ci = np.asarray(_classify(grown[iso_comp], iso_val)
+                        .astype(jnp.uint8))
+        field = None
     else:
-        ci = np.asarray(_classify(jnp.asarray(field), iso_val))
+        grown = np.asarray(grown)
+        field = grown[iso_comp]
+        if classify == "numpy":
+            ci = _classify_numpy(field, iso_val)
+        else:
+            ci = np.asarray(_classify(jnp.asarray(field), iso_val))
 
     # corner windows over base cells
     def win(a, o):
@@ -188,29 +226,41 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
         return (np.zeros((0, 3, 2), np.int64), np.zeros((0, 3, nf)))
     cia = ci[ai, aj, ak]                                   # [Na]
 
-    # gather 8 corners: values, keys, data
-    cf = np.empty((8, len(ai)))
+    # corner keys (host) for all active cells
     ck = np.empty((8, len(ai)), dtype=np.int64)
-    cd = np.empty((8, len(ai), nf))
     for b, o in enumerate(np.asarray(CORNER_OFFSETS)):
-        ii, jj, kk = ai + o[0], aj + o[1], ak + o[2]
-        cf[b] = field[ii, jj, kk]
-        ck[b] = keys[ii, jj, kk]
-        cd[b] = np.moveaxis(grown[:, ii, jj, kk], 0, -1)
-
-    # 12 edge vertices per active cell
+        ck[b] = keys[ai + o[0], aj + o[1], ak + o[2]]
     ekeys = np.empty((len(ai), 12, 2), dtype=np.int64)
-    evals = np.empty((len(ai), 12, nf))
     for e, (a, b) in enumerate(np.asarray(CORNER_PAIRS)):
-        fa, fb = cf[a], cf[b]
-        denom = fb - fa
-        t = np.where(np.abs(denom) > 1e-300, (iso_val - fa)
-                     / np.where(denom == 0, 1.0, denom), 0.0)
-        t = np.clip(t, 0.0, 1.0)
-        evals[:, e, :] = cd[a] + t[:, None] * (cd[b] - cd[a])
         ka, kb = ck[a], ck[b]
         ekeys[:, e, 0] = np.minimum(ka, kb)
         ekeys[:, e, 1] = np.maximum(ka, kb)
+
+    if device:
+        # phase 2 on device: gather + interpolate only active cells; pad the
+        # active count to pow-2 buckets to bound recompilation
+        na = len(ai)
+        npad = _pad_pow2(na)
+        pad = np.zeros(npad - na, dtype=np.int32)
+        aij = [jnp.asarray(np.concatenate([x.astype(np.int32), pad]))
+               for x in (ai, aj, ak)]
+        evals = np.asarray(_gather_edge_verts(grown, *aij, iso_val))[:na]
+        evals = np.asarray(evals, dtype=np.float64)
+    else:
+        cf = np.empty((8, len(ai)))
+        cd = np.empty((8, len(ai), nf))
+        for b, o in enumerate(np.asarray(CORNER_OFFSETS)):
+            ii, jj, kk = ai + o[0], aj + o[1], ak + o[2]
+            cf[b] = field[ii, jj, kk]
+            cd[b] = np.moveaxis(grown[:, ii, jj, kk], 0, -1)
+        evals = np.empty((len(ai), 12, nf))
+        for e, (a, b) in enumerate(np.asarray(CORNER_PAIRS)):
+            fa, fb = cf[a], cf[b]
+            denom = fb - fa
+            t = np.where(np.abs(denom) > 1e-300, (iso_val - fa)
+                         / np.where(denom == 0, 1.0, denom), 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            evals[:, e, :] = cd[a] + t[:, None] * (cd[b] - cd[a])
 
     # triangles from the table
     tt = TRI_TABLE[cia]                                     # [Na,16]
@@ -247,11 +297,11 @@ def extract_isosurface(
         for lev in range(meta.n_levels)]
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
+    grown_all = fill_dense_multilevel(meta, dstate.lmeta, data_levels, masks,
+                                      1, bc, "pc")
     all_keys, all_vals = [], []
     for lev in range(meta.n_levels):
-        grown = np.asarray(fill_dense_arrays(
-            meta, dstate.lmeta, data_levels, masks, lev, 1, bc, "pc"),
-            dtype=np.float64)
+        grown = grown_all[lev]
         # periodic unwrap of ghost-ring coordinates (isosurface.cpp:1482-1507)
         geom = meta.geoms[lev]
         gbox = dstate.lmeta[lev].bbox.grow(1)
@@ -261,12 +311,14 @@ def extract_isosurface(
             L = geom.prob_hi[d] - geom.prob_lo[d]
             if gbox.lo[d] < geom.domain.lo[d]:
                 sl = [slice(None)] * 3
-                sl[d] = 0
-                grown[(d,) + tuple(sl)] -= L
+                sl[d] = slice(0, 1)
+                grown = grown.at[(d,) + tuple(sl)].add(-L)
             if gbox.hi[d] > geom.domain.hi[d]:
                 sl = [slice(None)] * 3
-                sl[d] = grown.shape[1 + d] - 1
-                grown[(d,) + tuple(sl)] += L
+                sl[d] = slice(grown.shape[1 + d] - 1, grown.shape[1 + d])
+                grown = grown.at[(d,) + tuple(sl)].add(L)
+        if classify != "device":
+            grown = np.asarray(grown, dtype=np.float64)
         cov, inlev_p = _grown_masks(dstate, lev)
         keys = _corner_keys(dstate, lev, inlev_p)
         tk, tv = extract_level(dstate, lev, 3, iso_val, grown, keys, cov,

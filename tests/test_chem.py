@@ -1,0 +1,159 @@
+import os
+
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.chem.mechanism import (Mechanism, Nasa7, SimpleTransport,
+                                             atom_count, molecular_weight,
+                                             parse_formula)
+from peleanalysis_tpu.chem.qpd import (Edge, Group, edge_fluxes, get_edges,
+                                       parse_reaction)
+
+
+def test_formula_parsing():
+    assert parse_formula("CH4") == {"C": 1, "H": 4}
+    assert parse_formula("C2H5OH") == {"C": 2, "H": 6, "O": 1}
+    assert parse_formula("HO2") == {"H": 1, "O": 2}
+    assert parse_formula("N2") == {"N": 2}
+    assert parse_formula("AR") == {"AR": 1}
+    assert abs(molecular_weight("H2O") - 18.015) < 0.01
+    assert abs(molecular_weight("CO2") - 44.01) < 0.01
+    assert atom_count("CH4", "H") == 4
+    assert atom_count("CO2", "C") == 1
+
+
+def test_x_y_roundtrip():
+    mech = Mechanism(["CH4", "O2", "N2", "CO2", "H2O"])
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0.01, 1.0, size=(5, 10))
+    X /= X.sum(axis=0)
+    Y = mech.x_to_y(X)
+    np.testing.assert_allclose(Y.sum(axis=0), 1.0, rtol=1e-12)
+    X2 = mech.y_to_x(Y)
+    np.testing.assert_allclose(X2, X, rtol=1e-12)
+
+
+def test_thermo_and_tsolve():
+    # simple constant-cp-ish NASA7: cp/R = a0, h/RT = a0 + a5/T
+    th = {
+        "N2": Nasa7(200, 1000, 6000,
+                    np.array([3.5, 0, 0, 0, 0, -1000.0, 0]),
+                    np.array([3.5, 0, 0, 0, 0, -1000.0, 0])),
+    }
+    mech = Mechanism(["N2"], thermo=th)
+    Y = np.ones((1, 4))
+    T = np.array([300.0, 800.0, 1500.0, 2500.0])
+    h = mech.h_mass(T, Y)
+    # Newton inversion recovers T (testTsolve.cpp analog)
+    T2 = mech.T_from_h(h, Y)
+    np.testing.assert_allclose(T2, T, rtol=1e-8)
+
+
+def test_transport_monotone():
+    tr = SimpleTransport()
+    T = np.array([300.0, 1000.0, 2000.0])
+    mu = tr.viscosity(T)
+    assert (np.diff(mu) > 0).all()
+    lam = tr.conductivity(T, 1.0e7)
+    assert (np.diff(lam) > 0).all()
+
+
+def test_reaction_parse_and_edges():
+    rxns = [parse_reaction("CH4 + OH <=> CH3 + H2O"),
+            parse_reaction("CH3 + O2 => CH2O + OH"),
+            parse_reaction("CH2O + OH <=> HCO + H2O"),
+            parse_reaction("HCO + M <=> H + CO + M"),
+            parse_reaction("CO + OH <=> CO2 + H")]
+    edges = get_edges(rxns, "C")
+    pairs = {(e.sp1, e.sp2) for e in edges}
+    assert ("CH4", "CH3") in pairs
+    assert ("CO", "CO2") in pairs
+    # atom conservation: each reaction transfers exactly its C count
+    flux = edge_fluxes(edges, np.ones(len(rxns)))
+    assert abs(flux[("CH4", "CH3")] - 1.0) < 1e-12
+    # H edges from rxn 1: CH4 -> CH3 (3 of 4 H... no: a=4, b: CH3 has 3,
+    # H2O has 2, N=5 -> CH4->CH3 weight 4*3/5)
+    hedges = get_edges(rxns[:1], "H")
+    hflux = edge_fluxes(hedges, np.ones(1))
+    assert abs(hflux[("CH4", "CH3")] - 4 * 3 / 5) < 1e-12
+    assert abs(hflux[("CH4", "H2O")] - 4 * 2 / 5) < 1e-12
+
+
+def test_group_ops():
+    g1 = Group({"C": 1, "H": 4})
+    g2 = Group({"C": 1, "H": 3})
+    d = g1 - g2
+    assert d["H"] == 1 and d["C"] == 0
+    assert d.same_sign()
+    assert (g1 * 2)["H"] == 8
+    assert abs(g1.awt() - molecular_weight("CH4")) < 1e-6
+
+
+def test_plot_x_to_y_cli(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.io.plotfile import PlotfileReader
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    def xch4(x, y, z):
+        return 0.1 + 0.05 * x
+
+    def xo2(x, y, z):
+        return 0.2 + 0 * x
+
+    def xn2(x, y, z):
+        return 0.7 - 0.05 * x
+
+    fields = {"X(CH4)": xch4, "X(O2)": xo2, "X(N2)": xn2,
+              "Temp": lambda x, y, z: 300 + 0 * x}
+    plt = str(tmp_path / "plt")
+    write_synthetic_plotfile(plt, n_cell=8, n_levels=1, fields=fields)
+    out = str(tmp_path / "yplt")
+    assert main(["plotXtoY", f"infile={plt}", f"outfile={out}"]) == 0
+    r = PlotfileReader(out)
+    assert r.var_names == ["Y(CH4)", "Y(O2)", "Y(N2)", "Temp"]
+    fabs = r.read_level(0)
+    ysum = fabs[0][0] + fabs[0][1] + fabs[0][2]
+    np.testing.assert_allclose(ysum, 1.0, rtol=1e-12)
+    # roundtrip back
+    out2 = str(tmp_path / "xplt")
+    assert main(["plotYtoX", f"infile={out}", f"outfile={out2}"]) == 0
+    r2 = PlotfileReader(out2)
+    x_back = r2.read_level(0)[0][0]
+    src = PlotfileReader(plt).read_level(0)[0][0]
+    np.testing.assert_allclose(x_back, src, rtol=1e-10)
+
+
+def test_transport_cli(tmp_path):
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.io.plotfile import PlotfileReader
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    fields = {"Y(O2)": lambda x, y, z: 0.23 + 0 * x,
+              "Y(N2)": lambda x, y, z: 0.77 + 0 * x,
+              "Temp": lambda x, y, z: 300 + 500 * x,
+              "density": lambda x, y, z: 1.2e-3 + 0 * x}
+    plt = str(tmp_path / "plt")
+    write_synthetic_plotfile(plt, n_cell=8, n_levels=1, fields=fields)
+    out = str(tmp_path / "tr")
+    assert main(["plotTransportCoeff", f"infile={plt}",
+                 f"outfile={out}"]) == 0
+    r = PlotfileReader(out)
+    assert r.var_names == ["viscosity", "conductivity", "diffusivity"]
+    out2 = str(tmp_path / "le")
+    assert main(["plotTYtoLe", f"infile={plt}", f"outfile={out2}"]) == 0
+    r2 = PlotfileReader(out2)
+    assert r2.var_names == ["Le(O2)", "Le(N2)"]
+    le = r2.read_level(0)[0]
+    np.testing.assert_allclose(le, 1.0, rtol=1e-10)
+
+
+def test_qpd_cli(tmp_path):
+    from peleanalysis_tpu.cli import main
+    mf = str(tmp_path / "mech.txt")
+    with open(mf, "w") as f:
+        f.write("CH4 + OH <=> CH3 + H2O\nCO + OH <=> CO2 + H\n")
+    out = str(tmp_path / "edges.dat")
+    assert main(["plotQPD", f"mech_file={mf}", "trace_element=C",
+                 f"outfile={out}"]) == 0
+    txt = open(out).read()
+    assert "CH4 CH3" in txt and "CO CO2" in txt
