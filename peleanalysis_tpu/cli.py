@@ -31,6 +31,7 @@ TOOLS = {
     "slicePlot": ".tools.slice_plot",
     "amrToFE": ".tools.amr_to_fe",
     "template": ".tools.template",
+    "turbulenceSpectra": ".tools.turbulence_spectra",
     # MEF toolbox
     "isoMEF": ".tools.mef_tools",
     "combineMEF": ".tools.mef_tools",

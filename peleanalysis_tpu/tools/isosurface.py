@@ -49,6 +49,10 @@ def main(args: dict) -> None:
             write_mef(base + ".mef", mef)
             print(f"wrote {base}.mef  ({mef.n_nodes} nodes, "
                   f"{mef.n_elts} elements)")
+        elif fmt.upper() == "XDMF":
+            from ..io.xdmf import write_xdmf
+            write_xdmf(base, mef, iso_name, iso_val, st.meta.time)
+            print(f"wrote {base}.xmf/.mesh")
         else:
             write_mef_tecplot(base + ".dat", mef)
             print(f"wrote {base}.dat")

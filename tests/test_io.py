@@ -88,3 +88,32 @@ def test_triangle_area():
     nodes = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0]])
     mef = MEF("t", ["X", "Y", "Z"], nodes, np.array([[0, 1, 2]], dtype=np.int32))
     assert abs(mef.total_area() - 0.5) < 1e-14
+
+
+def test_vtk_writers(tmp_path):
+    from peleanalysis_tpu.io.vtk import write_vtk_legacy, write_vtp, write_vtu
+    rng = np.random.default_rng(2)
+    nodes = rng.normal(size=(9, 4))
+    elems = rng.integers(0, 9, size=(5, 3)).astype(np.int32)
+    mef = MEF("t", ["X", "Y", "Z", "v"], nodes, elems)
+    write_vtk_legacy(str(tmp_path / "a.vtk"), mef)
+    txt = open(tmp_path / "a.vtk").read()
+    assert "POINTS 9 double" in txt and "POLYGONS 5" in txt
+    write_vtu(str(tmp_path / "a.vtu"), mef)
+    assert "UnstructuredGrid" in open(tmp_path / "a.vtu").read()
+    write_vtp(str(tmp_path / "a.vtp"), mef)
+    assert "PolyData" in open(tmp_path / "a.vtp").read()
+
+
+def test_xdmf_writer(tmp_path):
+    from peleanalysis_tpu.io.xdmf import write_xdmf
+    rng = np.random.default_rng(3)
+    nodes = rng.normal(size=(7, 5))
+    elems = rng.integers(0, 7, size=(4, 3)).astype(np.int32)
+    mef = MEF("t", ["X", "Y", "Z", "temp", "c"], nodes, elems)
+    base = str(tmp_path / "surf")
+    write_xdmf(base, mef, "temp", 1000.0, 0.5)
+    xmf = open(base + ".xmf").read()
+    assert 'TopologyType="Triangle"' in xmf and 'Name="temp"' in xmf
+    blob = open(base + ".mesh", "rb").read()
+    assert len(blob) == 4 * 12 + 8 * 21 + 8 * 14

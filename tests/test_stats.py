@@ -152,3 +152,35 @@ def test_cli_integral_and_rms(tmp_path, monkeypatch):
     assert os.path.exists(path + "_int.dat")
     assert main(["rmsVel", f"infile={path}"]) == 0
     assert os.path.exists(tmp_path / "RmsVel.dat")
+
+
+def test_turbulence_spectrum_single_mode(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.tools.turbulence_spectra import (energy_spectrum,
+                                                           turbulence_stats)
+    # single Fourier mode k=4: all energy in that shell
+    n = 32
+    x = (np.arange(n) + 0.5) / n
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    u = np.sin(2 * np.pi * 4 * X)
+    v = np.zeros_like(u)
+    w = np.zeros_like(u)
+    k, E = energy_spectrum(u, v, w)
+    assert np.argmax(E) == 4
+    assert E[4] / max(E.sum(), 1e-300) > 0.99
+    # Parseval: sum(E) = 0.5*mean(u'^2) = 0.25
+    np.testing.assert_allclose(E.sum(), 0.25, rtol=1e-6)
+    st = turbulence_stats(u, v, w)
+    np.testing.assert_allclose(st["urms"], np.sqrt(0.5), rtol=1e-6)
+
+    fields = {
+        "x_velocity": lambda x, y, z: np.sin(2 * np.pi * 4 * x),
+        "y_velocity": lambda x, y, z: 0 * y,
+        "z_velocity": lambda x, y, z: 0 * z,
+    }
+    plt = str(tmp_path / "plt")
+    write_synthetic_plotfile(plt, n_cell=16, n_levels=1, fields=fields)
+    monkeypatch.chdir(tmp_path)
+    assert main(["turbulenceSpectra", f"infile={plt}",
+                 "outfile_base=turb"]) == 0
+    assert os.path.exists("turb_stats.dat")
