@@ -177,3 +177,46 @@ def test_fill_multicomp():
     for i, b in enumerate(ba1):
         np.testing.assert_allclose(
             grown[i, 1], analytic_grown(b, geom1, 1, fields["b"]), rtol=1e-12)
+
+
+def test_dense_fill_sharded_matches_unsharded():
+    """Spatial SPMD shard of the dense model must be bit-identical to the
+    single-device result (the FillBoundary/collective-permute analog)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.ops.dense_fill import fill_dense_multilevel
+    from peleanalysis_tpu.parallel.dense_shard import (make_spatial_mesh,
+                                                       shard_dense_state)
+
+    st = make_two_level_state()
+    ds = DenseAmrState.from_batched(st)
+    meta = ds.meta
+    masks = [ds.in_level_mask(l) for l in range(meta.n_levels)]
+    data = [d[0:1] for d in ds.data]
+    ref = [np.asarray(g) for g in fill_dense_multilevel(
+        meta, ds.lmeta, data, masks, 2, None, "linear")]
+
+    mesh = make_spatial_mesh(8)
+    dss = shard_dense_state(ds, mesh)
+    sdata = [d[0:1] for d in dss.data]
+    smasks = [dss.in_level_mask(l) for l in range(meta.n_levels)]
+    got = jax.jit(lambda dl, ml: fill_dense_multilevel(
+        meta, ds.lmeta, dl, ml, 2, None, "linear"))(sdata, smasks)
+    for lev in range(meta.n_levels):
+        # 1-ULP tolerance: jit fuses multiply-adds the eager path doesn't
+        np.testing.assert_allclose(np.asarray(got[lev]), ref[lev],
+                                   rtol=0, atol=1e-14)
+
+
+def make_two_level_state():
+    fields = {"f": lambda x, y, z: np.sin(3 * x) + y * z}
+    dom0 = Box((0, 0, 0), (15, 15, 15))
+    geom0 = Geometry(dom0, (0.0,) * 3, (1.0,) * 3, (False,) * 3)
+    ba0 = decompose(dom0, 8)
+    geom1 = geom0.refine(2)
+    ba1 = decompose(Box((8, 8, 8), (23, 23, 23)), 8)
+    meta = AmrMeta([geom0, geom1], [ba0, ba1], [2])
+    fabs = [[eval_on_box(b, g, fields) for b in ba]
+            for g, ba in zip([geom0, geom1], [ba0, ba1])]
+    return AmrState.from_arrays(meta, ["f"], fabs, dtype=np.float64)
