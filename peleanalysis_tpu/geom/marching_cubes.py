@@ -92,32 +92,34 @@ def _grown_masks(dstate: DenseAmrState, lev: int):
     return cov, inlev
 
 
-def _corner_keys(dstate: DenseAmrState, lev: int,
-                 inlev_p: np.ndarray) -> np.ndarray:
-    """Packed (level, global cell) key for every cell of the grown bbox;
-    collapsed ghost/hole corners are keyed by their coarse parent."""
+def _corner_keys_at(dstate: DenseAmrState, lev: int, inlev_p: np.ndarray,
+                    ii: np.ndarray, jj: np.ndarray,
+                    kk: np.ndarray) -> np.ndarray:
+    """Packed (level, global cell) keys for the given grown-bbox cell
+    indices; collapsed ghost/hole corners are keyed by their coarse parent.
+    Computed only for the cells requested (the full-volume variant dominated
+    the isosurface wall-clock)."""
     meta = dstate.meta
     geom = meta.geoms[lev]
     dom = geom.domain
     gbox = dstate.lmeta[lev].bbox.grow(1)
-    idx = [np.arange(gbox.lo[d], gbox.hi[d] + 1) for d in range(3)]
-    # wrap periodic dims into the domain
-    widx = []
-    for d in range(3):
+    G = []
+    for d, loc in enumerate((ii, jj, kk)):
+        raw = loc + gbox.lo[d] - dom.lo[d]
         if geom.is_periodic[d]:
-            widx.append((idx[d] - dom.lo[d]) % dom.shape[d])
+            G.append(raw % dom.shape[d])
         else:
-            widx.append(np.clip(idx[d] - dom.lo[d], 0, dom.shape[d] - 1))
-    G = np.meshgrid(*widx, indexing="ij")
-    fine_key = _pack_key(np.full(gbox.shape, lev), *G)
+            G.append(np.clip(raw, 0, dom.shape[d] - 1))
+    lev_arr = np.full(ii.shape, lev)
+    fine_key = _pack_key(lev_arr, *G)
     if lev == 0:
         return fine_key
     r = meta.ref_ratio[lev - 1]
     dom_c = dom.coarsen(r)
     Gc = [np.floor_divide(G[d] + dom.lo[d], r) - dom_c.lo[d]
           for d in range(3)]
-    crse_key = _pack_key(np.full(gbox.shape, lev - 1), *Gc)
-    return np.where(inlev_p, fine_key, crse_key)
+    crse_key = _pack_key(lev_arr - 1, *Gc)
+    return np.where(inlev_p[ii, jj, kk], fine_key, crse_key)
 
 
 @partial(jax.jit, static_argnames=())
@@ -177,7 +179,7 @@ def _classify_numpy(field: np.ndarray, iso_val: float) -> np.ndarray:
 
 
 def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
-                  iso_val: float, grown: np.ndarray, keys: np.ndarray,
+                  iso_val: float, grown: np.ndarray,
                   cov: np.ndarray, inlev_p: np.ndarray,
                   classify: str = "device"):
     """Triangles of one level: returns (edge_keys [Nt,3,2], vdata [Nt,3,nf])."""
@@ -226,10 +228,11 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
         return (np.zeros((0, 3, 2), np.int64), np.zeros((0, 3, nf)))
     cia = ci[ai, aj, ak]                                   # [Na]
 
-    # corner keys (host) for all active cells
+    # corner keys (host) computed only for active cells
     ck = np.empty((8, len(ai)), dtype=np.int64)
     for b, o in enumerate(np.asarray(CORNER_OFFSETS)):
-        ck[b] = keys[ai + o[0], aj + o[1], ak + o[2]]
+        ck[b] = _corner_keys_at(dstate, lev, inlev_p,
+                                ai + o[0], aj + o[1], ak + o[2])
     ekeys = np.empty((len(ai), 12, 2), dtype=np.int64)
     for e, (a, b) in enumerate(np.asarray(CORNER_PAIRS)):
         ka, kb = ck[a], ck[b]
@@ -320,8 +323,7 @@ def extract_isosurface(
         if classify != "device":
             grown = np.asarray(grown, dtype=np.float64)
         cov, inlev_p = _grown_masks(dstate, lev)
-        keys = _corner_keys(dstate, lev, inlev_p)
-        tk, tv = extract_level(dstate, lev, 3, iso_val, grown, keys, cov,
+        tk, tv = extract_level(dstate, lev, 3, iso_val, grown, cov,
                                inlev_p, classify=classify)
         all_keys.append(tk)
         all_vals.append(tv)
