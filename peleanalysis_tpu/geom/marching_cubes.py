@@ -56,7 +56,11 @@ def _pack_key(lev: np.ndarray, gx, gy, gz) -> np.ndarray:
 
 
 def _coord_levels(dstate: DenseAmrState):
-    """Per-level [3, *bbox] cell-center coordinate fields."""
+    """Per-level [3, *bbox] cell-center coordinate fields (cached on the
+    state — rebuilt host meshgrids showed up in the isosurface profile)."""
+    cached = getattr(dstate, "_mc_coords", None)
+    if cached is not None:
+        return cached
     out = []
     for lev in range(dstate.meta.n_levels):
         geom = dstate.meta.geoms[lev]
@@ -67,6 +71,7 @@ def _coord_levels(dstate: DenseAmrState):
         X, Y, Z = np.meshgrid(*cs, indexing="ij")
         out.append(jnp.asarray(np.stack([X, Y, Z]),
                                dstate.data[lev].dtype))
+    dstate._mc_coords = out
     return out
 
 
@@ -160,6 +165,11 @@ def _gather_edge_verts(grown: jnp.ndarray, ai: jnp.ndarray, aj: jnp.ndarray,
     return jnp.stack(evals, axis=1)                      # [Na, 12, nf]
 
 
+@jax.jit
+def _classify_all_levels(grown_list, iso_val):
+    return [_classify(g[3], iso_val).astype(jnp.uint8) for g in grown_list]
+
+
 def _pad_pow2(n: int, minimum: int = 256) -> int:
     m = minimum
     while m < n:
@@ -181,7 +191,7 @@ def _classify_numpy(field: np.ndarray, iso_val: float) -> np.ndarray:
 def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
                   iso_val: float, grown: np.ndarray,
                   cov: np.ndarray, inlev_p: np.ndarray,
-                  classify: str = "device"):
+                  classify: str = "device", ci: np.ndarray = None):
     """Triangles of one level: returns (edge_keys [Nt,3,2], vdata [Nt,3,nf])."""
     meta = dstate.meta
     geom = meta.geoms[lev]
@@ -191,8 +201,9 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
 
     device = classify == "device" and isinstance(grown, jnp.ndarray)
     if device:
-        ci = np.asarray(_classify(grown[iso_comp], iso_val)
-                        .astype(jnp.uint8))
+        if ci is None:
+            ci = np.asarray(_classify(grown[iso_comp], iso_val)
+                            .astype(jnp.uint8))
         field = None
     else:
         grown = np.asarray(grown)
@@ -302,6 +313,10 @@ def extract_isosurface(
 
     grown_all = fill_dense_multilevel(meta, dstate.lmeta, data_levels, masks,
                                       1, bc, "pc")
+    ci_all = None
+    if classify == "device":
+        # classify every level in one jitted call; single host fetch
+        ci_all = jax.device_get(_classify_all_levels(grown_all, iso_val))
     all_keys, all_vals = [], []
     for lev in range(meta.n_levels):
         grown = grown_all[lev]
@@ -324,7 +339,8 @@ def extract_isosurface(
             grown = np.asarray(grown, dtype=np.float64)
         cov, inlev_p = _grown_masks(dstate, lev)
         tk, tv = extract_level(dstate, lev, 3, iso_val, grown, cov,
-                               inlev_p, classify=classify)
+                               inlev_p, classify=classify,
+                               ci=None if ci_all is None else ci_all[lev])
         all_keys.append(tk)
         all_vals.append(tv)
 
