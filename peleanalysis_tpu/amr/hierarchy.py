@@ -33,6 +33,9 @@ class AmrMeta:
     ref_ratio: List[int]
     time: float = 0.0
     level_steps: Optional[List[int]] = None
+    # True when the source plotfile was DIM=2 (promoted in memory to nz=1;
+    # to_plotfile demotes back)
+    ndim2: bool = False
 
     @property
     def n_levels(self) -> int:
@@ -78,13 +81,23 @@ class AmrState:
                                                               m.finest_level)
         names = list(names) if names is not None else list(m.var_names)
         comps = [r.var_index(n) for n in names]
-        geoms = [m.geometry(lev, is_periodic) for lev in range(finest + 1)]
         bas = [r.box_array(lev) for lev in range(finest + 1)]
-        meta = AmrMeta(geoms, bas, m.ref_ratio[:finest], m.time, m.level_steps)
-        data = []
-        for lev in range(finest + 1):
-            fabs = r.read_level(lev, comps)
-            data.append(_batch_fabs(fabs, bas[lev], dtype))
+        fabs = [r.read_level(lev, comps) for lev in range(finest + 1)]
+        if m.ndim == 2:
+            # promote DIM=2 plotfiles to the 3-D engines with nz=1
+            from ..io.plotfile import promote_2d
+            geoms, bas, fabs = promote_2d(m, bas, fabs)
+            if is_periodic is not None:
+                geoms = [Geometry(g.domain, g.prob_lo, g.prob_hi,
+                                  tuple(bool(p) for p in is_periodic[:2])
+                                  + (False,), g.coord_sys) for g in geoms]
+        else:
+            geoms = [m.geometry(lev, is_periodic)
+                     for lev in range(finest + 1)]
+        meta = AmrMeta(geoms, bas, m.ref_ratio[:finest], m.time,
+                       m.level_steps, ndim2=(m.ndim == 2))
+        data = [_batch_fabs(fabs[lev], bas[lev], dtype)
+                for lev in range(finest + 1)]
         return cls(meta, names, data)
 
     @classmethod
@@ -161,8 +174,16 @@ class AmrState:
             arr = np.asarray(jax.device_get(self.data[lev]), dtype=np.float64)
             fabs = _unbatch_fabs(arr, meta.bas[lev])
             level_fabs.append(fabs)
-        write_plotfile(path, names, meta.time, meta.geoms, meta.ref_ratio,
-                       meta.bas, level_fabs,
+        geoms, bas = meta.geoms, meta.bas
+        if meta.ndim2:  # demote back to a DIM=2 plotfile
+            geoms = [Geometry(Box(g.domain.lo[:2], g.domain.hi[:2]),
+                              g.prob_lo[:2], g.prob_hi[:2],
+                              g.is_periodic[:2], g.coord_sys) for g in geoms]
+            bas = [BoxArray([Box(b.lo[:2], b.hi[:2]) for b in ba])
+                   for ba in meta.bas]
+            level_fabs = [[f[..., 0] for f in fabs] for fabs in level_fabs]
+        write_plotfile(path, names, meta.time, geoms, meta.ref_ratio,
+                       bas, level_fabs,
                        level_steps=meta.level_steps, dtype=dtype)
 
 

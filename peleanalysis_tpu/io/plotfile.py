@@ -112,6 +112,24 @@ class PlotfileReader:
         return self.read_level(lev, [self.var_index(n) for n in names])
 
 
+def promote_2d(meta: PlotfileMeta, bas: List[BoxArray],
+               level_fabs: List[List[np.ndarray]]):
+    """Promote a DIM=2 plotfile to the 3-D in-memory model with nz=1
+    (the z dimension gets foextrap ghosts, so z-derivatives vanish — the
+    engines stay 3-D).  Returns (geoms3, bas3, fabs3)."""
+    geoms3, bas3, fabs3 = [], [], []
+    for lev in range(len(bas)):
+        dom = meta.prob_domain[lev]
+        dom3 = Box(dom.lo + (0,), dom.hi + (0,))
+        geoms3.append(Geometry(dom3, meta.prob_lo + (0.0,),
+                               meta.prob_hi + (1.0,),
+                               (False, False, False)))
+        bas3.append(BoxArray([Box(b.lo + (0,), b.hi + (0,))
+                              for b in bas[lev]]))
+        fabs3.append([f[..., None] for f in level_fabs[lev]])
+    return geoms3, bas3, fabs3
+
+
 def _parse_header(f) -> Tuple[PlotfileMeta, List[str]]:
     version = f.readline().strip()
     if not version:

@@ -40,8 +40,14 @@ def main(args: dict) -> None:
                                 is_periodic=[bool(p) for p in is_per],
                                 dtype=np.float64)
     ds = DenseAmrState.from_batched(st)
-    mef = extract_isosurface(ds, iso_name, iso_val, extras,
-                             label=f"{st.meta.time:g}")
+    if st.meta.ndim2:
+        # DIM=2 plotfile: marching squares -> polyline contour MEF
+        from ..geom.marching_squares import extract_isolines
+        mef = extract_isolines(ds, iso_name, iso_val, extras,
+                               label=f"{st.meta.time:g}")
+    else:
+        mef = extract_isosurface(ds, iso_name, iso_val, extras,
+                                 label=f"{st.meta.time:g}")
     base = pp.query_str("outfile_base", f"{infile}_{iso_name}_{iso_val:g}")
     if pp.query_bool("writeSurf", True):
         fmt = pp.query_str("surfFormat", "MEF")
@@ -58,3 +64,14 @@ def main(args: dict) -> None:
             print(f"wrote {base}.dat")
     if pp.query_bool("computeArea", False):
         print(f"Total area of surface: {surface_area(mef):.10g}")
+    if st.meta.ndim2 and pp.query_bool("writeLines", False):
+        # MakeCLines polyline assembly (isosurface.cpp:1159-1271)
+        from ..geom.mef_tools import assemble_polylines
+        chains = assemble_polylines(mef)
+        with open(base + "_lines.dat", "w") as f:
+            f.write("VARIABLES = " + " ".join(mef.names) + "\n")
+            for ci, chain in enumerate(chains):
+                f.write(f'ZONE T="line{ci}" I={len(chain)} '
+                        "DATAPACKING=POINT\n")
+                np.savetxt(f, mef.nodes[chain], fmt="%.9g")
+        print(f"wrote {base}_lines.dat ({len(chains)} polylines)")

@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.dense import DenseAmrState
+from peleanalysis_tpu.amr.hierarchy import AmrState
+from peleanalysis_tpu.geom.marching_squares import extract_isolines
+from peleanalysis_tpu.io.plotfile import PlotfileReader
+from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+
+def fields_2d():
+    c, w = 0.5, 0.15
+
+    def prog(x, y):
+        return np.exp(-((x - c) ** 2 + (y - c) ** 2) / w**2)
+
+    return {"progress": prog,
+            "temp": lambda x, y: 300 + 1500 * prog(x, y)}
+
+
+@pytest.fixture(scope="module")
+def plt2d(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("p2") / "plt")
+    write_synthetic_plotfile(path, n_cell=64, n_levels=2, ndim=2,
+                             fields=fields_2d(),
+                             is_periodic=(False, False))
+    return path
+
+
+def test_2d_plotfile_roundtrip(plt2d, tmp_path):
+    r = PlotfileReader(plt2d)
+    assert r.meta.ndim == 2
+    st = AmrState.from_plotfile(plt2d, dtype=np.float64)
+    assert st.meta.ndim2
+    # promoted: nz = 1
+    assert st.data[0].shape[-1] == 1
+    out = str(tmp_path / "plt2_out")
+    st.to_plotfile(out)
+    r2 = PlotfileReader(out)
+    assert r2.meta.ndim == 2
+    for i in range(len(r.box_array(0))):
+        np.testing.assert_allclose(r2.read_box(0, i), r.read_box(0, i))
+
+
+def test_2d_grad(plt2d):
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+    st = AmrState.from_plotfile(plt2d, names=["progress"], dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    out = compute_grad_dense(ds, "progress")
+    gz = np.asarray(out.data[0][out.comp("progress_gz")])
+    np.testing.assert_allclose(gz, 0.0, atol=1e-14)  # no z variation
+    # radial gradient magnitude sane on level 1
+    mag = np.asarray(out.data[1][out.comp("||gradprogress||")])
+    assert mag.max() > 1.0
+
+
+def test_2d_isolines_circle(plt2d):
+    st = AmrState.from_plotfile(plt2d, names=["progress", "temp"],
+                                dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    iso = 0.5
+    r = 0.15 * np.sqrt(np.log(1 / iso))
+    mef = extract_isolines(ds, "progress", iso, extra_names=("temp",))
+    assert mef.names == ["X", "Y", "progress", "temp"]
+    assert mef.n_elts > 20
+    # nodes on the circle of radius r
+    pos = mef.nodes[:, :2]
+    rr = np.linalg.norm(pos - 0.5, axis=1)
+    h = ds.meta.geoms[-1].dx[0]
+    assert np.abs(rr - r).max() < h
+    # total length = circumference
+    length = mef.total_area()
+    assert abs(length - 2 * np.pi * r) < 0.03 * 2 * np.pi * r
+    # interpolated field values exact
+    np.testing.assert_allclose(mef.field("progress"), iso, atol=1e-12)
+    np.testing.assert_allclose(mef.field("temp"), 300 + 1500 * iso,
+                               rtol=1e-9)
+    # closed loop: every node belongs to exactly 2 segments
+    cnt = np.bincount(mef.elements.ravel())
+    assert (cnt == 2).all()
+
+
+def test_2d_isosurface_cli(plt2d, tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.io.mef import read_mef
+    monkeypatch.chdir(tmp_path)
+    rc = main(["isosurface", f"infile={plt2d}", "isoCompName=temp",
+               "isoVal=1000", "outfile_base=c2", "writeLines=1"])
+    assert rc == 0
+    mef = read_mef("c2.mef")
+    assert mef.nodes_per_elt == 2
+    assert mef.ndim == 2
+    import os
+    assert os.path.exists("c2_lines.dat")
