@@ -141,28 +141,30 @@ def _classify(field_grown: jnp.ndarray, iso_val) -> jnp.ndarray:
     return ci
 
 
+_EDGE_CA = jnp.asarray(CORNER_OFFSETS[CORNER_PAIRS[:, 0]])  # [12,3]
+_EDGE_CB = jnp.asarray(CORNER_OFFSETS[CORNER_PAIRS[:, 1]])
+
+
 @partial(jax.jit, static_argnames=())
-def _gather_edge_verts(grown: jnp.ndarray, ai: jnp.ndarray, aj: jnp.ndarray,
-                       ak: jnp.ndarray, iso_val, iso_comp: int = 3):
-    """Device phase 2: for active base cells, interpolate all 12 edge
-    vertices.  grown [nf,S0,S1,S2]; returns evals [Na,12,nf] (host transfers
-    only this compact result — full grown arrays never leave HBM)."""
-    corners = []
-    cfs = []
-    for (oi, oj, ok) in np.asarray(CORNER_OFFSETS):
-        blk = grown[:, ai + oi, aj + oj, ak + ok]       # [nf, Na]
-        corners.append(blk.T)                            # [Na, nf]
-        cfs.append(blk[iso_comp])                        # [Na]
-    evals = []
-    for (a, b) in np.asarray(CORNER_PAIRS):
-        fa, fb = cfs[a], cfs[b]
-        denom = fb - fa
-        t = jnp.where(jnp.abs(denom) > 1e-30,
-                      (iso_val - fa) / jnp.where(denom == 0, 1.0, denom),
-                      0.0)
-        t = jnp.clip(t, 0.0, 1.0)
-        evals.append(corners[a] + t[:, None] * (corners[b] - corners[a]))
-    return jnp.stack(evals, axis=1)                      # [Na, 12, nf]
+def _gather_used_edge_verts(grown: jnp.ndarray, ci_idx: jnp.ndarray,
+                            cj_idx: jnp.ndarray, ck_idx: jnp.ndarray,
+                            eid: jnp.ndarray, iso_val, iso_comp: int = 3):
+    """Device phase 2: interpolate ONLY the edges referenced by the case
+    table — (cell, edge) pairs (ci_idx.., eid [Nu]) -> evals [Nu, nf].
+    The full grown arrays never leave HBM; the host receives just the
+    per-used-edge vertex rows (the bits of edgeTable[case] are exactly the
+    referenced edges)."""
+    oa = _EDGE_CA[eid]                                   # [Nu,3]
+    ob = _EDGE_CB[eid]
+    A = grown[:, ci_idx + oa[:, 0], cj_idx + oa[:, 1], ck_idx + oa[:, 2]].T
+    B = grown[:, ci_idx + ob[:, 0], cj_idx + ob[:, 1], ck_idx + ob[:, 2]].T
+    fa = A[:, iso_comp]
+    fb = B[:, iso_comp]
+    denom = fb - fa
+    t = jnp.where(jnp.abs(denom) > 1e-30,
+                  (iso_val - fa) / jnp.where(denom == 0, 1.0, denom), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    return A + t[:, None] * (B - A)                      # [Nu, nf]
 
 
 @jax.jit
@@ -251,15 +253,30 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
         ekeys[:, e, 1] = np.maximum(ka, kb)
 
     if device:
-        # phase 2 on device: gather + interpolate only active cells; pad the
-        # active count to pow-2 buckets to bound recompilation
-        na = len(ai)
-        npad = _pad_pow2(na)
-        pad = np.zeros(npad - na, dtype=np.int32)
-        aij = [jnp.asarray(np.concatenate([x.astype(np.int32), pad]))
-               for x in (ai, aj, ak)]
-        evals = np.asarray(_gather_edge_verts(grown, *aij, iso_val))[:na]
-        evals = np.asarray(evals, dtype=np.float64)
+        # phase 2 on device: interpolate only the edges the case table
+        # references (edgeTable bits), padded to pow-2 buckets
+        used = EDGE_TABLE[cia]                              # [Na] bitmasks
+        cell_of, edge_of = [], []
+        for e in range(12):
+            sel = np.nonzero(used & (1 << e))[0]
+            cell_of.append(sel)
+            edge_of.append(np.full(len(sel), e, dtype=np.int32))
+        cell_of = np.concatenate(cell_of)
+        edge_of = np.concatenate(edge_of)
+        # map (cell, edge) -> row in the used-edge table
+        row_of = np.full((len(ai), 12), -1, dtype=np.int64)
+        row_of[cell_of, edge_of] = np.arange(len(cell_of))
+        nu = len(cell_of)
+        npad = _pad_pow2(nu)
+        padz = np.zeros(npad - nu, dtype=np.int32)
+        args = [jnp.asarray(np.concatenate(
+                    [x[cell_of].astype(np.int32), padz]))
+                for x in (ai, aj, ak)]
+        eidj = jnp.asarray(np.concatenate([edge_of, padz]))
+        used_evals = np.asarray(
+            _gather_used_edge_verts(grown, *args, eidj, iso_val),
+            dtype=np.float64)[:nu]                         # [Nu, nf]
+        evals = None
     else:
         cf = np.empty((8, len(ai)))
         cd = np.empty((8, len(ai), nf))
@@ -275,6 +292,7 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
                          / np.where(denom == 0, 1.0, denom), 0.0)
             t = np.clip(t, 0.0, 1.0)
             evals[:, e, :] = cd[a] + t[:, None] * (cd[b] - cd[a])
+        used_evals = row_of = None
 
     # triangles from the table
     tt = TRI_TABLE[cia]                                     # [Na,16]
@@ -285,7 +303,11 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
     ci_idx, ti_idx = np.nonzero(valid)
     edges = tri_e[ci_idx, ti_idx]                           # [Nt,3]
     tri_keys = ekeys[ci_idx[:, None], edges]                # [Nt,3,2]
-    tri_vals = evals[ci_idx[:, None], edges]                # [Nt,3,nf]
+    if evals is not None:
+        tri_vals = evals[ci_idx[:, None], edges]            # [Nt,3,nf]
+    else:
+        rows = row_of[ci_idx[:, None], edges]               # [Nt,3]
+        tri_vals = used_evals[rows]
     return tri_keys, tri_vals
 
 
