@@ -76,7 +76,13 @@ def _coord_levels(dstate: DenseAmrState):
 
 
 def _grown_masks(dstate: DenseAmrState, lev: int):
-    """Host masks on the grown bbox: (covered_by_finer, in_level_padded)."""
+    """Host masks on the grown bbox: (covered_by_finer, in_level_padded);
+    static per hierarchy, cached on the state."""
+    cache = getattr(dstate, "_mc_masks", None)
+    if cache is None:
+        cache = dstate._mc_masks = {}
+    if lev in cache:
+        return cache[lev]
     meta = dstate.meta
     gbox = dstate.lmeta[lev].bbox.grow(1)
     cov = np.zeros(gbox.shape, dtype=bool)
@@ -94,6 +100,7 @@ def _grown_masks(dstate: DenseAmrState, lev: int):
                                for d in range(3))
                     cov[sl] = True
     inlev = np.pad(np.asarray(dstate.in_level_mask(lev)), 1)
+    cache[lev] = (cov, inlev)
     return cov, inlev
 
 
@@ -172,6 +179,11 @@ def _classify_all_levels(grown_list, iso_val):
     return [_classify(g[3], iso_val).astype(jnp.uint8) for g in grown_list]
 
 
+@jax.jit
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return table[idx]
+
+
 def _pad_pow2(n: int, minimum: int = 256) -> int:
     m = minimum
     while m < n:
@@ -238,6 +250,9 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
     active = ok & touch & (EDGE_TABLE[ci] != 0)
     ai, aj, ak = np.nonzero(active)
     if len(ai) == 0:
+        if classify == "device" and isinstance(grown, jnp.ndarray):
+            return (np.zeros((0, 3, 2), np.int64),
+                    (np.zeros((0, 3), np.int64), None))
         return (np.zeros((0, 3, 2), np.int64), np.zeros((0, 3, nf)))
     cia = ci[ai, aj, ak]                                   # [Na]
 
@@ -273,9 +288,8 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
                     [x[cell_of].astype(np.int32), padz]))
                 for x in (ai, aj, ak)]
         eidj = jnp.asarray(np.concatenate([edge_of, padz]))
-        used_evals = np.asarray(
-            _gather_used_edge_verts(grown, *args, eidj, iso_val),
-            dtype=np.float64)[:nu]                         # [Nu, nf]
+        # stays in HBM; only the final deduplicated nodes are fetched
+        used_evals = _gather_used_edge_verts(grown, *args, eidj, iso_val)
         evals = None
     else:
         cf = np.empty((8, len(ai)))
@@ -305,10 +319,9 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
     tri_keys = ekeys[ci_idx[:, None], edges]                # [Nt,3,2]
     if evals is not None:
         tri_vals = evals[ci_idx[:, None], edges]            # [Nt,3,nf]
-    else:
-        rows = row_of[ci_idx[:, None], edges]               # [Nt,3]
-        tri_vals = used_evals[rows]
-    return tri_keys, tri_vals
+        return tri_keys, tri_vals
+    rows = row_of[ci_idx[:, None], edges]                   # [Nt,3]
+    return tri_keys, (rows, used_evals)
 
 
 def extract_isosurface(
@@ -367,9 +380,8 @@ def extract_isosurface(
         all_vals.append(tv)
 
     tri_keys = np.concatenate(all_keys)      # [Nt,3,2]
-    tri_vals = np.concatenate(all_vals)      # [Nt,3,nf]
+    nf = 3 + len(names)
     if len(tri_keys) == 0:
-        nf = 3 + len(names)
         return MEF(label or "0", ["X", "Y", "Z"] + names,
                    np.zeros((0, nf)), np.zeros((0, 3), np.int32))
 
@@ -379,8 +391,31 @@ def extract_isosurface(
     first = np.full(len(uniq), len(flat_keys), dtype=np.int64)
     order = np.arange(len(flat_keys))
     np.minimum.at(first, inv, order)
-    nodes = tri_vals.reshape(-1, tri_vals.shape[-1])[first]
     elements = inv.reshape(-1, 3).astype(np.int32)
+
+    if classify == "device":
+        # node data still lives in HBM: translate `first` (flat tri-corner
+        # index) to (level, used-edge row), gather per level on device, and
+        # fetch ONLY the deduplicated node rows
+        lev_sizes = [k.reshape(-1, 2).shape[0] for k in all_keys]
+        lev_base = np.cumsum([0] + lev_sizes)
+        nodes = np.empty((len(uniq), nf))
+        for lev, (rows, used_dev) in enumerate(all_vals):
+            sel = np.nonzero((first >= lev_base[lev])
+                             & (first < lev_base[lev + 1]))[0]
+            if len(sel) == 0:
+                continue
+            local = first[sel] - lev_base[lev]
+            rsel = rows.reshape(-1)[local]           # used-edge rows
+            npad = _pad_pow2(len(rsel))
+            ridx = jnp.asarray(np.concatenate(
+                [rsel.astype(np.int32),
+                 np.zeros(npad - len(rsel), np.int32)]))
+            got = np.asarray(_gather_rows(used_dev, ridx))[:len(rsel)]
+            nodes[sel] = got
+    else:
+        tri_vals = np.concatenate(all_vals)
+        nodes = tri_vals.reshape(-1, tri_vals.shape[-1])[first]
     return MEF(label or "0", ["X", "Y", "Z"] + names, nodes, elements)
 
 
