@@ -60,6 +60,7 @@ TOOLS = {
     "plotTransportCoeff": ".tools.chem_tools",
     "plotTYtoLe": ".tools.chem_tools",
     "plotQPD": ".tools.chem_tools",
+    "sCO2": ".tools.sco2",
 }
 
 

@@ -157,3 +157,29 @@ def test_qpd_cli(tmp_path):
                  f"outfile={out}"]) == 0
     txt = open(out).read()
     assert "CH4 CH3" in txt and "CO CO2" in txt
+
+
+def test_sco2_cli(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+    fields = {
+        "adv_0": lambda x, y, z: np.clip(x, 0, 1),
+        "adv_1": lambda x, y, z: np.clip(y, 0, 1),
+        "Var1": lambda x, y, z: 2.0 + 0 * x,
+        "Var2": lambda x, y, z: x,
+        "Var3": lambda x, y, z: y,
+        "vfrac": lambda x, y, z: 1.0 + 0 * x,
+    }
+    plt = str(tmp_path / "plt")
+    write_synthetic_plotfile(plt, n_cell=16, n_levels=1, fields=fields)
+    monkeypatch.chdir(tmp_path)
+    rc = main(["sCO2", f"infile={plt}",
+               "comps=adv_0 adv_1 Var1 Var2 Var3 vfrac",
+               "planeCoord=0", "nBins=8", "nBinPlanes=4"])
+    assert rc == 0
+    mean = np.loadtxt("Output/mean.dat")
+    assert mean.shape == (4, 4)
+    # Var1 constant 2.0 -> all slab averages = 2
+    np.testing.assert_allclose(mean[:, 1], 2.0, rtol=1e-12)
+    mcmt = np.loadtxt("Output/mcmt.dat")
+    np.testing.assert_allclose(mcmt[:, 1], 2.0, rtol=1e-12)
