@@ -61,6 +61,7 @@ TOOLS = {
     "plotTYtoLe": ".tools.chem_tools",
     "plotQPD": ".tools.chem_tools",
     "sCO2": ".tools.sco2",
+    "buildPMF": ".tools.build_pmf",
 }
 
 

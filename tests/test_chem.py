@@ -183,3 +183,27 @@ def test_sco2_cli(tmp_path, monkeypatch):
     np.testing.assert_allclose(mean[:, 1], 2.0, rtol=1e-12)
     mcmt = np.loadtxt("Output/mcmt.dat")
     np.testing.assert_allclose(mcmt[:, 1], 2.0, rtol=1e-12)
+
+
+def test_build_pmf(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.tools.build_pmf import pmf_average, read_table
+    monkeypatch.chdir(tmp_path)
+    x = np.linspace(0.0, 1.0, 21)
+    tbl = np.column_stack([x, 2 * x + 1, x**2])
+    with open("flame.dat", "w") as f:
+        f.write('VARIABLES = "X" "T" "Y(H2)"\n')
+        np.savetxt(f, tbl)
+    assert main(["buildPMF", "infile=flame.dat", "outfile=pmf.dat",
+                 "fortran=pmf.f90"]) == 0
+    names, data = read_table("pmf.dat")
+    assert names == ["X", "T", "Y(H2)"]
+    np.testing.assert_allclose(data, tbl, rtol=1e-12)
+    # average of 2x+1 over [0.25, 0.75] = 2*0.5+1 = 2 (exact, pw-linear)
+    avg = pmf_average(data[:, 0], data[:, 1:], 0.25, 0.75)
+    np.testing.assert_allclose(avg[0], 2.0, rtol=1e-12)
+    # point evaluation when xlo == xhi
+    pt = pmf_average(data[:, 0], data[:, 1:], 0.5, 0.5)
+    np.testing.assert_allclose(pt[0], 2.0, rtol=1e-12)
+    src = open("pmf.f90").read()
+    assert "subroutine pmf(" in src and "pmf_N = 21" in src
