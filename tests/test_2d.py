@@ -92,3 +92,36 @@ def test_2d_isosurface_cli(plt2d, tmp_path, monkeypatch):
     assert mef.ndim == 2
     import os
     assert os.path.exists("c2_lines.dat")
+
+
+def test_2d_curvature_circle(plt2d):
+    from peleanalysis_tpu.tools.curvature import compute_curvature_dense
+    st = AmrState.from_plotfile(plt2d, names=["progress"], dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    # 2D: Gaussian curvature is meaningless (reference compiles it out);
+    # mean curvature = 0.5*div(N) with N_z = 0
+    out = compute_curvature_dense(ds, "progress", prog_min=0.0, prog_max=1.0,
+                                  do_gauss=False)
+    lev = 1
+    km = np.asarray(out.data[lev][out.comp("MeanCurvature_progress")])[..., 0]
+    geom = ds.meta.geoms[lev]
+    bbox = ds.lmeta[lev].bbox
+    cs = [geom.prob_lo[d] + (np.arange(bbox.lo[d], bbox.hi[d] + 1) + 0.5)
+          * geom.dx[d] for d in range(2)]
+    X, Y = np.meshgrid(*cs, indexing="ij")
+    r = np.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2)
+    sel = (r > 0.08) & (r < 0.17)
+    sel[:2] = sel[-2:] = False
+    sel[:, :2] = sel[:, -2:] = False
+    # 2D level-set "mean curvature" 0.5*div(n) of a circle = 0.5/r
+    np.testing.assert_allclose(km[sel], 0.5 / r[sel], rtol=0.1)
+
+
+def test_2d_conditional_mean(plt2d, tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    rc = main(["conditionalMean", f"infile={plt2d}", "binComp=progress",
+               "avgComps=temp", "nBins=8", "binMin=0", "binMax=1"])
+    assert rc == 0
+    import os
+    assert os.path.exists("CM_progress.dat")

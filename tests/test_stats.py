@@ -184,3 +184,27 @@ def test_turbulence_spectrum_single_mode(tmp_path, monkeypatch):
     assert main(["turbulenceSpectra", f"infile={plt}",
                  "outfile_base=turb"]) == 0
     assert os.path.exists("turb_stats.dat")
+
+
+def test_jpdf_conditioning_and_stoich(tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    fields = {
+        "X(H2)": lambda x, y, z: 0.2 + 0.1 * x,
+        "X(O2)": lambda x, y, z: 0.3 - 0.1 * x,
+        "temp": lambda x, y, z: 300 + 1000 * x,
+    }
+    plt = str(tmp_path / "plt")
+    write_synthetic_plotfile(plt, n_cell=8, n_levels=1, fields=fields)
+    monkeypatch.chdir(tmp_path)
+    # conditioning window on var 0 (X(H2) in [0.2, 0.25]) + stoichiometry
+    rc = main(["jpdf", f"infile={plt}", "vars=X(H2) X(O2)", "nBins=8",
+               "do_stoichiometry=1", "Hlist=2 0", "Olist=0 2",
+               "do_conditioning=1", "cVar=0", "cMin=0.2", "cMax=0.25",
+               "output_gnuplot=1", "output_plotfile=0"])
+    assert rc == 0
+    gpd = np.loadtxt(plt + "/Pdf_X(H2)_X(O2).gpd")
+    # conditioned: total mass < 1 (only x in [0, .5] contributes)
+    total = gpd[:, 2].sum()
+    assert 0.3 < total < 0.7
+    import os
+    assert os.path.exists(plt + "/Pdf_X(H2)_Stoichiometry.gpd")
