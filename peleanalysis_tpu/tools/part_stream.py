@@ -71,6 +71,19 @@ def main(args: dict) -> None:
     out = pp.query_str("outFile", infile + "_stream.dat")
     write_tecplot_lines(out, names, lines)
     print(f"wrote {out} ({lines.shape[0]} lines)")
+    if pp.contains("partFile"):
+        # AMReX particle plotfile (StreamPC's WritePlotFile analog): the
+        # particle position is the final path point; the whole path rides in
+        # the runtime real comps (StreamPC.cpp:14-35, Nsteps*SPACEDIM reals)
+        from ..io.particles import write_particles
+        npts = lines.shape[1]
+        real_comps = {}
+        for j in range(npts):
+            for d, ax in enumerate("xyz"):
+                real_comps[f"path_{j:03d}_{ax}"] = lines[:, j, d]
+        write_particles(pp.get_str("partFile"), lines[:, -1, :3],
+                        real_comps=real_comps)
+        print(f"wrote {pp.get_str('partFile')}/particles")
     if pp.contains("streamFile"):
         inside = compute_inside_nodes(st.meta,
                                       lines[:, lines.shape[1] // 2, :3])

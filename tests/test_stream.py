@@ -164,3 +164,30 @@ def test_stream_tube_stats(ds, tmp_path, monkeypatch):
     # element avg of progress at seeds should be ~0.5 (seed surface at 0.5)
     np.testing.assert_allclose(mef.field("progress_avg").mean(), 0.5,
                                atol=0.05)
+
+
+def test_particle_plotfile_roundtrip(tmp_path):
+    from peleanalysis_tpu.io.particles import read_particles, write_particles
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(37, 3))
+    reals = {"mass": rng.normal(size=37), "temp": rng.normal(size=37)}
+    ints = {"tag": rng.integers(0, 5, size=37).astype(np.int32)}
+    write_particles(str(tmp_path / "plt"), pos, reals, ints)
+    p2, r2, i2 = read_particles(str(tmp_path / "plt"))
+    np.testing.assert_allclose(p2, pos)
+    np.testing.assert_allclose(r2["mass"], reals["mass"])
+    np.testing.assert_array_equal(i2["tag"], ints["tag"])
+
+
+def test_part_stream_particle_output(ds, tmp_path, monkeypatch):
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.io.particles import read_particles
+    dss, plt = ds
+    monkeypatch.chdir(tmp_path)
+    rc = main(["partStream", f"infile={plt}", "seedRakeL=0.4 0.4 0.5",
+               "seedRakeR=0.6 0.6 0.5", "seedRakeNum=5", "Nsteps=11",
+               "hRK=0.5", "outFile=ps.dat", "partFile=psplt"])
+    assert rc == 0
+    pos, reals, ints = read_particles("psplt")
+    assert pos.shape == (5, 3)
+    assert len(reals) == 11 * 3
