@@ -386,11 +386,20 @@ def extract_isosurface(
                    np.zeros((0, nf)), np.zeros((0, 3), np.int32))
 
     flat_keys = tri_keys.reshape(-1, 2)
-    uniq, inv = np.unique(flat_keys, axis=0, return_inverse=True)
-    # first occurrence provides the node data (identical across duplicates)
-    first = np.full(len(uniq), len(flat_keys), dtype=np.int64)
-    order = np.arange(len(flat_keys))
-    np.minimum.at(first, inv, order)
+    # lexsort-based row dedup (np.unique(axis=0) goes through a slow
+    # void-dtype sort); `first` = first occurrence per unique key
+    order = np.lexsort((flat_keys[:, 1], flat_keys[:, 0]))
+    sk = flat_keys[order]
+    new = np.empty(len(sk), dtype=bool)
+    new[0] = True
+    np.any(sk[1:] != sk[:-1], axis=1, out=new[1:])
+    gid_sorted = np.cumsum(new) - 1
+    inv = np.empty(len(sk), dtype=np.int64)
+    inv[order] = gid_sorted
+    n_uniq = int(gid_sorted[-1]) + 1
+    first = np.full(n_uniq, len(flat_keys), dtype=np.int64)
+    np.minimum.at(first, gid_sorted, order)
+    uniq = sk[new]
     elements = inv.reshape(-1, 3).astype(np.int32)
 
     if classify == "device":
