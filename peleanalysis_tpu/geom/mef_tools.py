@@ -171,9 +171,10 @@ def trim_mef(mef: MEF, comps: Sequence[str], signs: Sequence[str],
     tris = mef_to_tris(mef)
     names = list(mef.names)
     if rxy is not None:
+        # cylindrical-radius cut RXY (trimMEFgen.cpp:453-456): clip on a
+        # temporary radius component
         r = np.sqrt(tris[:, :, 0] ** 2 + tris[:, :, 1] ** 2)
         tris = np.concatenate([tris, r[:, :, None]], axis=2)
-        names_r = names + ["_RXY"]
         tris = _clip_tris_halfspace(tris, len(names), rxy,
                                     keep_ge=(sign_rxy in ("+", "gt")))
         tris = tris[:, :, : len(names)]
@@ -243,10 +244,6 @@ def iso_lines(mef: MEF, comp_name: str, value: float):
     f = mef.nodes[:, c]
     e = mef.elements
     fe = f[e]                                    # [ne,3]
-    segs_keys = []
-    segs_vals = []
-    for (a, b, cc) in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
-        pass
     # edges of each triangle: (0,1),(1,2),(2,0); a segment connects the two
     # crossed edges of each triangle
     edge_pairs = [(0, 1), (1, 2), (2, 0)]

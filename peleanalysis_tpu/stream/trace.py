@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..amr.dense import DenseAmrState
-from ..ops.dense_fill import fill_dense_arrays
+from ..ops.dense_fill import fill_dense_arrays, fill_dense_multilevel
 from ..ops.stencil import centered_gradient
 
 

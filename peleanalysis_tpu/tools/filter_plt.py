@@ -15,7 +15,7 @@ import numpy as np
 
 from ..amr.dense import DenseAmrState
 from ..amr.hierarchy import AmrState
-from ..ops.dense_fill import fill_dense_arrays
+from ..ops.dense_fill import fill_dense_multilevel
 from ..ops.filter import filter_weights, separable_filter
 from ..parmparse import ParmParse
 
@@ -29,20 +29,20 @@ def filter_state(dstate: DenseAmrState, kind: str = "box", fgr: int = 2,
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
     data = [d[np.asarray(comps)] for d in dstate.data]
 
-    out = []
+    weights = []
     fgr_lev = fgr
     for lev in range(meta.n_levels):
         if lev > 0 and not same_fgr_all_levels:
             fgr_lev = fgr_lev * meta.ref_ratio[lev - 1]
-        w = filter_weights(kind, fgr_lev)
-        half = (len(w) - 1) // 2
+        weights.append(filter_weights(kind, fgr_lev))
+    halves = [(len(w) - 1) // 2 for w in weights]
 
-        def level_fn(data_list, mask_list, lev=lev, w=w, half=half):
-            grown = fill_dense_arrays(meta, dstate.lmeta, data_list,
-                                      mask_list, lev, half)
-            return separable_filter(grown, w)
+    def all_levels(data_list, mask_list):
+        grown = fill_dense_multilevel(meta, dstate.lmeta, data_list,
+                                      mask_list, halves)
+        return [separable_filter(g, w) for g, w in zip(grown, weights)]
 
-        out.append(jax.jit(level_fn)(data, masks))
+    out = jax.jit(all_levels)(data, masks)
     return dstate.with_data(names, out)
 
 
