@@ -23,8 +23,10 @@ def main(args: dict) -> None:
     [comps=<extra node fields>] [finestLevel=] [is_per=0 0 0]
     [writeSurf=1] [surfFormat=MEF|DAT] [outfile_base=] [computeArea=0]"""
     from ..io.plotfile import PlotfileReader
+    from ..utils import phase, report
 
     pp = ParmParse(args)
+    verbose = pp.query_int("verbose", 0)
     infile = pp.get_str("infile")
     iso_name = pp.query_str("isoCompName", "temp")
     iso_val = pp.query_float("isoVal", 1000.0)
@@ -36,18 +38,21 @@ def main(args: dict) -> None:
     extras = [var_names[int(c)] if c.isdigit() else c for c in extras]
 
     load = [iso_name] + [n for n in extras if n != iso_name]
-    st = AmrState.from_plotfile(infile, names=load, max_level=finest,
-                                is_periodic=[bool(p) for p in is_per],
-                                dtype=np.float64)
-    ds = DenseAmrState.from_batched(st)
+    with phase("isosurface I/O"):
+        st = AmrState.from_plotfile(infile, names=load, max_level=finest,
+                                    is_periodic=[bool(p) for p in is_per],
+                                    dtype=np.float64)
+        ds = DenseAmrState.from_batched(st)
     if st.meta.ndim2:
         # DIM=2 plotfile: marching squares -> polyline contour MEF
         from ..geom.marching_squares import extract_isolines
-        mef = extract_isolines(ds, iso_name, iso_val, extras,
-                               label=f"{st.meta.time:g}")
+        with phase("Compute Surface"):
+            mef = extract_isolines(ds, iso_name, iso_val, extras,
+                                   label=f"{st.meta.time:g}")
     else:
-        mef = extract_isosurface(ds, iso_name, iso_val, extras,
-                                 label=f"{st.meta.time:g}")
+        with phase("Compute Surface"):
+            mef = extract_isosurface(ds, iso_name, iso_val, extras,
+                                     label=f"{st.meta.time:g}")
     base = pp.query_str("outfile_base", f"{infile}_{iso_name}_{iso_val:g}")
     if pp.query_bool("writeSurf", True):
         fmt = pp.query_str("surfFormat", "MEF")
@@ -64,6 +69,9 @@ def main(args: dict) -> None:
             print(f"wrote {base}.dat")
     if pp.query_bool("computeArea", False):
         print(f"Total area of surface: {surface_area(mef):.10g}")
+    if verbose:
+        # reference-style phase report (isosurface.cpp:1756-1772 timers)
+        report()
     if st.meta.ndim2 and pp.query_bool("writeLines", False):
         # MakeCLines polyline assembly (isosurface.cpp:1159-1271)
         from ..geom.mef_tools import assemble_polylines
