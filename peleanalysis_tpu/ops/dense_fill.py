@@ -58,13 +58,20 @@ def _grow_axis(a: jnp.ndarray, d: int, g: int, lo_mode: str, hi_mode: str,
     return jnp.concatenate([lo, a, hi], axis=ax)
 
 
-def _upsample_axis(c: jnp.ndarray, d: int, r: int, linear: bool) -> jnp.ndarray:
-    """Refine along dim d by factor r.  Linear: fine center at coarse coord
-    (p+0.5)/r - 0.5 relative to its parent (CellBilinear weights); edges are
-    clamped (callers provide one spare coarse cell so clamped values are
-    sliced away)."""
+def _upsample_axis(c: jnp.ndarray, d: int, r: int, interp) -> jnp.ndarray:
+    """Refine along dim d by factor r.  Fine center sits at coarse coord
+    (p+0.5)/r - 0.5 relative to its parent.
+      pc:        repeat (PCInterp)
+      linear:    2-point lerp (CellBilinear weights)
+      quadratic: 3-point Lagrange through parent±1 (CellQuadratic analog —
+                 upgrades ghost accuracy to O(h^3) so c-f ring gradients
+                 stay 2nd order)
+    Edges are clamped; callers provide one spare coarse cell so clamped
+    values are sliced away."""
     ax = _ax(c, d)
-    if not linear:
+    linear = interp is True or interp == "linear"
+    quad = interp == "quadratic"
+    if not (linear or quad):
         return jnp.repeat(c, r, axis=ax)
     c_m1 = jnp.concatenate([_slc(c, d, slice(0, 1)),
                             _slc(c, d, slice(0, -1))], axis=ax)
@@ -73,7 +80,14 @@ def _upsample_axis(c: jnp.ndarray, d: int, r: int, linear: bool) -> jnp.ndarray:
     phases = []
     for p in range(r):
         off = (p + 0.5) / r - 0.5
-        if off < 0:
+        if quad:
+            wl = off * (off - 1.0) / 2.0
+            wc = (1.0 - off) * (1.0 + off)
+            wr = off * (off + 1.0) / 2.0
+            phases.append(c_m1 * jnp.asarray(wl, c.dtype)
+                          + c * jnp.asarray(wc, c.dtype)
+                          + c_p1 * jnp.asarray(wr, c.dtype))
+        elif off < 0:
             w = off + 1.0  # weight on c; (1-w) on c[i-1]
             phases.append(c * jnp.asarray(w, c.dtype)
                           + c_m1 * jnp.asarray(1.0 - w, c.dtype))
@@ -131,10 +145,10 @@ def _combine_two_level(meta, lmeta, lev: int, ngrow: int, data, mask,
     already has crse_g ghosts."""
     geom = meta.geoms[lev]
     r = meta.ref_ratio[lev - 1]
-    linear = interp == "linear"
+    stencil = 1 if interp in ("linear", "quadratic") else 0
     bbox = lmeta[lev].bbox
     gbox = bbox.grow(ngrow)
-    cbox = gbox.coarsen(r).grow(1 if linear else 0)
+    cbox = gbox.coarsen(r).grow(stencil)
     bbox_c = lmeta[lev - 1].bbox
     cg_box = bbox_c.grow(crse_g)
     if not cg_box.contains_box(cbox):
@@ -143,7 +157,7 @@ def _combine_two_level(meta, lmeta, lev: int, ngrow: int, data, mask,
                      cbox.hi[d] - cg_box.lo[d] + 1) for d in range(3))
     c = crse_grown[(slice(None),) + sl]
     for d in range(3):
-        c = _upsample_axis(c, d, r, linear)
+        c = _upsample_axis(c, d, r, interp)
     sl = tuple(slice(gbox.lo[d] - cbox.lo[d] * r,
                      gbox.hi[d] + 1 - cbox.lo[d] * r) for d in range(3))
     up = c[(slice(None),) + sl]
@@ -159,7 +173,8 @@ def coarse_ghost_requirement(meta, lmeta, lev: int, ngrow: int,
     """Ghost width the coarse level must carry to serve this level's fill."""
     r = meta.ref_ratio[lev - 1]
     gbox = lmeta[lev].bbox.grow(ngrow)
-    cbox = gbox.coarsen(r).grow(1 if interp == "linear" else 0)
+    cbox = gbox.coarsen(r).grow(1 if interp in ("linear", "quadratic")
+                                else 0)
     bbox_c = lmeta[lev - 1].bbox
     gc = 0
     for d in range(3):
@@ -237,9 +252,9 @@ def fill_dense_arrays(meta, lmeta, data_list, mask_list, lev: int, ngrow: int,
         return out
 
     r = meta.ref_ratio[lev - 1]
-    linear = interp == "linear"
+    stencil = 1 if interp in ("linear", "quadratic") else 0
     gbox = bbox.grow(ngrow)
-    cbox = gbox.coarsen(r).grow(1 if linear else 0)
+    cbox = gbox.coarsen(r).grow(stencil)
     bbox_c = lmeta[lev - 1].bbox
     gc = 0
     for d in range(3):
@@ -253,7 +268,7 @@ def fill_dense_arrays(meta, lmeta, data_list, mask_list, lev: int, ngrow: int,
                      cbox.hi[d] - cg_box.lo[d] + 1) for d in range(3))
     c = crse_grown[(slice(None),) + sl]
     for d in range(3):
-        c = _upsample_axis(c, d, r, linear)
+        c = _upsample_axis(c, d, r, interp)
     # c now covers [cbox.lo*r, (cbox.hi+1)*r); slice to gbox
     sl = tuple(slice(gbox.lo[d] - cbox.lo[d] * r,
                      gbox.hi[d] + 1 - cbox.lo[d] * r) for d in range(3))
