@@ -279,6 +279,7 @@ def main(args: dict) -> None:
         threshold=pp.query_float("threshold", 0.02),
         replicate_strain_bug=pp.query_bool("replicate_strain_bug", False),
         sym_dir=pp.query_int_list("sym_dir", [0, 0, 0]),
+        interp=pp.query_str("cf_interp", "quadratic"),
     )
     outfile = pp.query_str("outfile", infile + "_K")
     out.to_plotfile(outfile)

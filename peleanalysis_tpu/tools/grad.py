@@ -133,6 +133,7 @@ def main(args: dict) -> None:
         infile, names=[var] + list(aux), max_level=finest,
         is_periodic=[bool(p) for p in is_per])
     dstate = DenseAmrState.from_batched(state)
-    out = compute_grad_dense(dstate, var, aux=tuple(aux), sym_dir=sym_dir)
+    out = compute_grad_dense(dstate, var, aux=tuple(aux), sym_dir=sym_dir,
+                             interp=pp.query_str("cf_interp", "quadratic"))
     out.to_plotfile(outfile)
     print(f"wrote {outfile}")
