@@ -179,6 +179,56 @@ def _classify_all_levels(grown_list, iso_val):
     return [_classify(g[3], iso_val).astype(jnp.uint8) for g in grown_list]
 
 
+_EDGE_TABLE_DEV = jnp.asarray(EDGE_TABLE)
+
+
+@jax.jit
+def _active_counts(ci_list, ok_list):
+    return [jnp.sum(ok & (_EDGE_TABLE_DEV[ci] != 0))
+            for ci, ok in zip(ci_list, ok_list)]
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _active_cells(ci_dev, ok_dev, cap):
+    """Flat indices + case values of active dual cells (padded to cap)."""
+    af = (ok_dev & (_EDGE_TABLE_DEV[ci_dev] != 0)).ravel()
+    idx = jnp.nonzero(af, size=cap, fill_value=0)[0].astype(jnp.int32)
+    return idx, ci_dev.ravel()[idx]
+
+
+def _ok_mask_dev(dstate, lev):
+    """iso-independent processability mask of dual cells, uploaded once per
+    (state, level): no covered corner, touches the level, inside the
+    (periodically grown) domain."""
+    cache = getattr(dstate, "_mc_okdev", None)
+    if cache is None:
+        cache = dstate._mc_okdev = {}
+    if lev in cache:
+        return cache[lev]
+    meta = dstate.meta
+    geom = meta.geoms[lev]
+    dom = geom.domain
+    gbox = dstate.lmeta[lev].bbox.grow(1)
+    cov, inlev_p = _grown_masks(dstate, lev)
+    shp = tuple(s - 1 for s in cov.shape)
+    ok = np.ones(shp, dtype=bool)
+    touch = np.zeros(shp, dtype=bool)
+    for o in np.asarray(CORNER_OFFSETS):
+        win = tuple(slice(o[d], cov.shape[d] - 1 + o[d]) for d in range(3))
+        ok &= ~cov[win]
+        touch |= inlev_p[win]
+    for d in range(3):
+        base = np.arange(gbox.lo[d], gbox.hi[d])
+        lo_ok = base >= (dom.lo[d] - 1 if geom.is_periodic[d] else dom.lo[d])
+        hi_ok = base + 1 <= (dom.hi[d] + 1 if geom.is_periodic[d]
+                             else dom.hi[d])
+        sh = [1, 1, 1]
+        sh[d] = -1
+        ok &= (lo_ok & hi_ok).reshape(sh)
+    cache[lev] = (jnp.asarray(ok & touch), shp)
+    return cache[lev]
+
+
 @jax.jit
 def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return table[idx]
@@ -202,10 +252,57 @@ def _classify_numpy(field: np.ndarray, iso_val: float) -> np.ndarray:
     return ci
 
 
+def _emit_device(dstate, lev, grown, inlev_p, ai, aj, ak, cia, iso_val,
+                 nf):
+    """Device-path emission for active cells: host computes keys + triangle
+    topology; vertex data is interpolated on device and STAYS there (the
+    assembly step gathers only the deduplicated rows)."""
+    ck = np.empty((8, len(ai)), dtype=np.int64)
+    for b, o in enumerate(np.asarray(CORNER_OFFSETS)):
+        ck[b] = _corner_keys_at(dstate, lev, inlev_p,
+                                ai + o[0], aj + o[1], ak + o[2])
+    ekeys = np.empty((len(ai), 12, 2), dtype=np.int64)
+    for e, (a, b) in enumerate(np.asarray(CORNER_PAIRS)):
+        ka, kb = ck[a], ck[b]
+        ekeys[:, e, 0] = np.minimum(ka, kb)
+        ekeys[:, e, 1] = np.maximum(ka, kb)
+
+    # interpolate only the edges the case table references (edgeTable bits)
+    used = EDGE_TABLE[cia]
+    cell_of, edge_of = [], []
+    for e in range(12):
+        sel = np.nonzero(used & (1 << e))[0]
+        cell_of.append(sel)
+        edge_of.append(np.full(len(sel), e, dtype=np.int32))
+    cell_of = np.concatenate(cell_of)
+    edge_of = np.concatenate(edge_of)
+    row_of = np.full((len(ai), 12), -1, dtype=np.int64)
+    row_of[cell_of, edge_of] = np.arange(len(cell_of))
+    nu = len(cell_of)
+    npad = _pad_pow2(nu)
+    padz = np.zeros(npad - nu, dtype=np.int32)
+    args = [jnp.asarray(np.concatenate([x[cell_of].astype(np.int32), padz]))
+            for x in (ai, aj, ak)]
+    eidj = jnp.asarray(np.concatenate([edge_of, padz]))
+    used_evals = _gather_used_edge_verts(grown, *args, eidj, iso_val)
+
+    tt = TRI_TABLE[cia]
+    cnt = TRI_COUNT[cia]
+    max_t = int(cnt.max())
+    tri_e = tt[:, : 3 * max_t].reshape(len(ai), max_t, 3)
+    valid = (np.arange(max_t)[None, :] < cnt[:, None])
+    ci_idx, ti_idx = np.nonzero(valid)
+    edges = tri_e[ci_idx, ti_idx]
+    tri_keys = ekeys[ci_idx[:, None], edges]
+    rows = row_of[ci_idx[:, None], edges]
+    return tri_keys, (rows, used_evals)
+
+
 def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
                   iso_val: float, grown: np.ndarray,
                   cov: np.ndarray, inlev_p: np.ndarray,
-                  classify: str = "device", ci: np.ndarray = None):
+                  classify: str = "device", ci: np.ndarray = None,
+                  active=None):
     """Triangles of one level: returns (edge_keys [Nt,3,2], vdata [Nt,3,nf])."""
     meta = dstate.meta
     geom = meta.geoms[lev]
@@ -215,6 +312,15 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
 
     device = classify == "device" and isinstance(grown, jnp.ndarray)
     if device:
+        if active is not None:
+            shp = tuple(s - 1 for s in cov.shape)
+            flat, cia = active
+            if len(flat) == 0:
+                return (np.zeros((0, 3, 2), np.int64),
+                        (np.zeros((0, 3), np.int64), None))
+            ai, aj, ak = np.unravel_index(flat, shp)
+            return _emit_device(dstate, lev, grown, inlev_p, ai, aj, ak,
+                                cia.astype(np.int32), iso_val, nf)
         if ci is None:
             ci = np.asarray(_classify(grown[iso_comp], iso_val)
                             .astype(jnp.uint8))
@@ -255,6 +361,9 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
                     (np.zeros((0, 3), np.int64), None))
         return (np.zeros((0, 3, 2), np.int64), np.zeros((0, 3, nf)))
     cia = ci[ai, aj, ak]                                   # [Na]
+    if device:
+        return _emit_device(dstate, lev, grown, inlev_p, ai, aj, ak,
+                            cia, iso_val, nf)
 
     # corner keys (host) computed only for active cells
     ck = np.empty((8, len(ai)), dtype=np.int64)
@@ -267,46 +376,20 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
         ekeys[:, e, 0] = np.minimum(ka, kb)
         ekeys[:, e, 1] = np.maximum(ka, kb)
 
-    if device:
-        # phase 2 on device: interpolate only the edges the case table
-        # references (edgeTable bits), padded to pow-2 buckets
-        used = EDGE_TABLE[cia]                              # [Na] bitmasks
-        cell_of, edge_of = [], []
-        for e in range(12):
-            sel = np.nonzero(used & (1 << e))[0]
-            cell_of.append(sel)
-            edge_of.append(np.full(len(sel), e, dtype=np.int32))
-        cell_of = np.concatenate(cell_of)
-        edge_of = np.concatenate(edge_of)
-        # map (cell, edge) -> row in the used-edge table
-        row_of = np.full((len(ai), 12), -1, dtype=np.int64)
-        row_of[cell_of, edge_of] = np.arange(len(cell_of))
-        nu = len(cell_of)
-        npad = _pad_pow2(nu)
-        padz = np.zeros(npad - nu, dtype=np.int32)
-        args = [jnp.asarray(np.concatenate(
-                    [x[cell_of].astype(np.int32), padz]))
-                for x in (ai, aj, ak)]
-        eidj = jnp.asarray(np.concatenate([edge_of, padz]))
-        # stays in HBM; only the final deduplicated nodes are fetched
-        used_evals = _gather_used_edge_verts(grown, *args, eidj, iso_val)
-        evals = None
-    else:
-        cf = np.empty((8, len(ai)))
-        cd = np.empty((8, len(ai), nf))
-        for b, o in enumerate(np.asarray(CORNER_OFFSETS)):
-            ii, jj, kk = ai + o[0], aj + o[1], ak + o[2]
-            cf[b] = field[ii, jj, kk]
-            cd[b] = np.moveaxis(grown[:, ii, jj, kk], 0, -1)
-        evals = np.empty((len(ai), 12, nf))
-        for e, (a, b) in enumerate(np.asarray(CORNER_PAIRS)):
-            fa, fb = cf[a], cf[b]
-            denom = fb - fa
-            t = np.where(np.abs(denom) > 1e-300, (iso_val - fa)
-                         / np.where(denom == 0, 1.0, denom), 0.0)
-            t = np.clip(t, 0.0, 1.0)
-            evals[:, e, :] = cd[a] + t[:, None] * (cd[b] - cd[a])
-        used_evals = row_of = None
+    cf = np.empty((8, len(ai)))
+    cd = np.empty((8, len(ai), nf))
+    for b, o in enumerate(np.asarray(CORNER_OFFSETS)):
+        ii, jj, kk = ai + o[0], aj + o[1], ak + o[2]
+        cf[b] = field[ii, jj, kk]
+        cd[b] = np.moveaxis(grown[:, ii, jj, kk], 0, -1)
+    evals = np.empty((len(ai), 12, nf))
+    for e, (a, b) in enumerate(np.asarray(CORNER_PAIRS)):
+        fa, fb = cf[a], cf[b]
+        denom = fb - fa
+        t = np.where(np.abs(denom) > 1e-300, (iso_val - fa)
+                     / np.where(denom == 0, 1.0, denom), 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        evals[:, e, :] = cd[a] + t[:, None] * (cd[b] - cd[a])
 
     # triangles from the table
     tt = TRI_TABLE[cia]                                     # [Na,16]
@@ -317,11 +400,8 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
     ci_idx, ti_idx = np.nonzero(valid)
     edges = tri_e[ci_idx, ti_idx]                           # [Nt,3]
     tri_keys = ekeys[ci_idx[:, None], edges]                # [Nt,3,2]
-    if evals is not None:
-        tri_vals = evals[ci_idx[:, None], edges]            # [Nt,3,nf]
-        return tri_keys, tri_vals
-    rows = row_of[ci_idx[:, None], edges]                   # [Nt,3]
-    return tri_keys, (rows, used_evals)
+    tri_vals = evals[ci_idx[:, None], edges]                # [Nt,3,nf]
+    return tri_keys, tri_vals
 
 
 def extract_isosurface(
@@ -349,9 +429,25 @@ def extract_isosurface(
     grown_all = fill_dense_multilevel(meta, dstate.lmeta, data_levels, masks,
                                       1, bc, "pc")
     ci_all = None
+    active_all = None
     if classify == "device":
-        # classify every level in one jitted call; single host fetch
-        ci_all = jax.device_get(_classify_all_levels(grown_all, iso_val))
+        # classify on device; discover active cells on device; fetch only the
+        # (few) active indices + case values — full ci arrays stay in HBM
+        ci_dev = _classify_all_levels(grown_all, iso_val)
+        ok_devs = [_ok_mask_dev(dstate, lev)[0]
+                   for lev in range(meta.n_levels)]
+        counts = jax.device_get(_active_counts(ci_dev, ok_devs))
+        active_all = []
+        for lev in range(meta.n_levels):
+            n = int(counts[lev])
+            if n == 0:
+                active_all.append((np.zeros(0, np.int64),
+                                   np.zeros(0, np.uint8)))
+                continue
+            cap = _pad_pow2(n)
+            idx, cia = jax.device_get(_active_cells(
+                ci_dev[lev], ok_devs[lev], cap))
+            active_all.append((idx[:n].astype(np.int64), cia[:n]))
     all_keys, all_vals = [], []
     for lev in range(meta.n_levels):
         grown = grown_all[lev]
@@ -375,7 +471,8 @@ def extract_isosurface(
         cov, inlev_p = _grown_masks(dstate, lev)
         tk, tv = extract_level(dstate, lev, 3, iso_val, grown, cov,
                                inlev_p, classify=classify,
-                               ci=None if ci_all is None else ci_all[lev])
+                               active=None if active_all is None
+                               else active_all[lev])
         all_keys.append(tk)
         all_vals.append(tv)
 
