@@ -49,6 +49,45 @@ class StreamData:
     def n_pts(self) -> int:
         return self.lines.shape[1]
 
+    # -- distributed unstructured-surface machinery --------------------------
+    def global_node_map(self):
+        """line id (0-based) -> (level, box, position-in-box) — the
+        GlobalNodeMap/MLloc of the reference (StreamData.cpp:447-467)."""
+        out = {}
+        for lev, per_box in enumerate(self.inside_nodes):
+            for ib, ids in enumerate(per_box):
+                for p, gid in enumerate(ids):
+                    out[int(gid) - 1] = (lev, ib, p)
+        return out
+
+    def partition_elements(self, n_parts: int, seed: int = 0):
+        """Assign each element to the partition owning its first node (ties
+        broken deterministically from `seed`), and compute the ghost-node
+        exchange lists — PartitionElements/remote_nodes/tosend_nodes
+        (StreamData.cpp:468-610).  Node ownership is round-robin by line id
+        (the resident-array analog of rank data placement).
+
+        Returns (elt_part [ne], remote_nodes, tosend_nodes) where
+        remote_nodes[p] = node ids partition p must receive, and
+        tosend_nodes[p][q] = node ids p must send to q."""
+        ne = len(self.elements)
+        node_part = (np.arange(self.n_lines) + seed) % max(n_parts, 1)
+        elt_part = node_part[self.elements[:, 0]] if ne else             np.zeros(0, dtype=np.int64)
+        remote_nodes = [[] for _ in range(n_parts)]
+        tosend = [[[] for _ in range(n_parts)] for _ in range(n_parts)]
+        for e in range(ne):
+            p = int(elt_part[e])
+            for nid in self.elements[e]:
+                q = int(node_part[nid])
+                if q != p:
+                    remote_nodes[p].append(int(nid))
+                    tosend[q][p].append(int(nid))
+        remote_nodes = [np.unique(np.array(r, dtype=np.int64))
+                        for r in remote_nodes]
+        tosend = [[np.unique(np.array(t, dtype=np.int64)) for t in row]
+                  for row in tosend]
+        return elt_part, remote_nodes, tosend
+
 
 def compute_inside_nodes(meta, seeds: np.ndarray) -> List[List[np.ndarray]]:
     """Per-level per-box 1-based seed ownership (setInsideNodes semantics,

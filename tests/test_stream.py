@@ -191,3 +191,31 @@ def test_part_stream_particle_output(ds, tmp_path, monkeypatch):
     pos, reals, ints = read_particles("psplt")
     assert pos.shape == (5, 3)
     assert len(reals) == 11 * 3
+
+
+def test_partition_elements(ds):
+    dss, _ = ds
+    rng = np.random.default_rng(1)
+    nl = 20
+    lines = rng.normal(size=(nl, 5, 4))
+    seeds = rng.uniform(0.2, 0.8, size=(nl, 3))
+    lines[:, 2, :3] = seeds
+    elements = rng.integers(0, nl, size=(12, 3)).astype(np.int32)
+    inside = compute_inside_nodes(dss.meta, seeds)
+    sd = StreamData(["X", "Y", "Z", "v"], elements, inside, lines)
+    nm = sd.global_node_map()
+    assert len(nm) == nl
+    # every mapped location resolves back to the right global id
+    for gid, (lev, ib, p) in nm.items():
+        assert sd.inside_nodes[lev][ib][p] - 1 == gid
+    elt_part, remote, tosend = sd.partition_elements(4)
+    assert len(elt_part) == 12
+    # consistency: everything p receives, someone sends to p
+    for p in range(4):
+        incoming = set()
+        for q in range(4):
+            incoming |= set(tosend[q][p].tolist())
+        assert incoming == set(remote[p].tolist())
+    # elements live where their first node lives
+    node_part = np.arange(nl) % 4
+    np.testing.assert_array_equal(elt_part, node_part[elements[:, 0]])
