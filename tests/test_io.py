@@ -117,3 +117,26 @@ def test_xdmf_writer(tmp_path):
     assert 'TopologyType="Triangle"' in xmf and 'Name="temp"' in xmf
     blob = open(base + ".mesh", "rb").read()
     assert len(blob) == 4 * 12 + 8 * 21 + 8 * 14
+
+
+def test_converter_scripts(tmp_path):
+    """Smoke-test the scripts/ converters (reference PythonScripts parity)."""
+    import subprocess
+    import sys
+    from peleanalysis_tpu.io.mef import write_mef
+    rng = np.random.default_rng(4)
+    nodes = rng.normal(size=(10, 4))
+    elems = rng.integers(0, 10, size=(6, 3)).astype(np.int32)
+    mef = MEF("s", ["X", "Y", "Z", "v"], nodes, elems)
+    src = str(tmp_path / "s.mef")
+    write_mef(src, mef)
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for script, out in (("mef2vtk.py", "s.vtk"), ("mef2vtu.py", "s.vtu"),
+                        ("datToVTP.py", "s.vtp"), ("datToView.py", "s.ppm")):
+        r = subprocess.run(
+            [sys.executable, os.path.join(root, "scripts", script), src,
+             str(tmp_path / out)], capture_output=True, text=True, env=env)
+        assert r.returncode == 0, (script, r.stderr[-500:])
+        assert (tmp_path / out).exists()
