@@ -108,13 +108,24 @@ def write_dat_2d(path: str, arr) -> None:
             f.write(" ".join(f"{v:e}" for v in row) + "\n")
 
 
-def write_ppm(path: str, arr, vmin=None, vmax=None) -> None:
-    """Simple grayscale->rainbow-free PPM like integral.cpp:300 (P6)."""
+def write_ppm(path: str, arr, vmin=None, vmax=None,
+              palette: str = "rainbow") -> None:
+    """P6 PPM render (integral.cpp:300 / slicePlot's palette rendering).
+    palette: "rainbow" (blue->cyan->green->yellow->red, the amrvis-style
+    default) or "gray"."""
     a = np.asarray(arr, dtype=np.float64)
     vmin = a.min() if vmin is None else vmin
     vmax = a.max() if vmax is None else vmax
     x = np.clip((a - vmin) / max(vmax - vmin, 1e-300), 0, 1)
-    rgb = np.stack([x, x, x], axis=-1)
+    if palette == "gray":
+        rgb = np.stack([x, x, x], axis=-1)
+    else:
+        # piecewise-linear rainbow
+        r = np.clip(np.minimum(4 * x - 2, 4.5 - 4 * x), 0, 1)
+        g = np.clip(np.minimum(4 * x, 3.5 - 4 * x + 1), 0, 1) \
+            * (x < 0.9) + np.clip(4.5 - 4 * x, 0, 1) * (x >= 0.9)
+        b = np.clip(np.minimum(1.5 + 4 * x - 1, 2.5 - 4 * x), 0, 1)
+        rgb = np.stack([r, g, b], axis=-1)
     img = (rgb * 255).astype(np.uint8)
     with open(path, "wb") as f:
         f.write(f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode())

@@ -50,7 +50,10 @@ def write_tecplot_lines(path: str, names, lines: np.ndarray) -> None:
 
 
 def main(args: dict) -> None:
+    from ..utils import phase, report
+
     pp = ParmParse(args)
+    verbose = pp.query_int("verbose", 0)
     plotfile = pp.get_str("plotfile")
     progress_name = pp.query_str("progressName", "temp")
     trace_along_v = pp.query_bool("traceAlongV", False)
@@ -81,10 +84,13 @@ def main(args: dict) -> None:
     ds = DenseAmrState.from_batched(st)
     seeds, elements = get_seeds(pp)
 
-    lines = trace_streamlines(
-        ds, seeds, n_rk, h_rk,
-        trace_field=None if trace_along_v else progress_name,
-        sample_names=sample)
+    with phase("stream integrate"):
+        lines = trace_streamlines(
+            ds, seeds, n_rk, h_rk,
+            trace_field=None if trace_along_v else progress_name,
+            sample_names=sample)
+    if verbose:
+        report()
     names = ["X", "Y", "Z"] + sample
 
     if pp.contains("streamFile"):
