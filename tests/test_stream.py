@@ -219,3 +219,29 @@ def test_partition_elements(ds):
     # elements live where their first node lives
     node_part = np.arange(nl) % 4
     np.testing.assert_array_equal(elt_part, node_part[elements[:, 0]])
+
+
+def test_build_alt_surf(ds, tmp_path, monkeypatch):
+    """buildAltSurf: trace from the c=0.5 isosurface, find where lines cross
+    c=0.3 — those points must sit on the r(c=0.3) sphere; decorators ride
+    along (stream.cpp:973-1107)."""
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.io.mef import read_mef
+    dss, plt = ds
+    monkeypatch.chdir(tmp_path)
+    assert main(["isosurface", f"infile={plt}", "isoCompName=progress",
+                 "isoVal=0.5", "outfile_base=seed"]) == 0
+    rc = main(["stream", f"plotfile={plt}", "progressName=progress",
+               "isoFile=seed.mef", "nRKsteps=41", "hRK=0.5",
+               "outFile=lines.dat", "buildAltSurf=1", "altVal=0.3",
+               "addAngle=1", "altSurfFile=alt.mef"])
+    assert rc == 0
+    alt = read_mef("alt.mef")
+    assert "angle" in alt.names
+    pos = alt.positions()
+    rr = np.linalg.norm(pos - 0.5, axis=1)
+    r_expect = 0.15 * np.sqrt(np.log(1 / 0.3))
+    # lines are radial; crossings of c=0.3 sit on that sphere
+    h = dss.meta.geoms[-1].dx[0]
+    ok = np.abs(rr - r_expect) < 3 * h
+    assert ok.mean() > 0.95
