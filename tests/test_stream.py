@@ -245,3 +245,37 @@ def test_build_alt_surf(ds, tmp_path, monkeypatch):
     h = dss.meta.geoms[-1].dx[0]
     ok = np.abs(rr - r_expect) < 3 * h
     assert ok.mean() > 0.95
+
+
+def test_surface_decorators_unit():
+    """thermal_thickness / cold_strain / crossing search on synthetic lines."""
+    from peleanalysis_tpu.stream import surface as surf
+    # straight lines along x, c rising linearly with arclength
+    npts = 21
+    s = np.linspace(0, 1, npts)
+    nl = 5
+    lines = np.zeros((nl, npts, 5))
+    lines[:, :, 0] = s[None, :]          # X
+    lines[:, :, 1] = np.arange(nl)[:, None] * 0.1  # Y offset per line
+    lines[:, :, 3] = s[None, :]          # comp "c" = arclength
+    lines[:, :, 4] = 7.0                 # comp "strain" constant
+    names = ["X", "Y", "Z", "c", "strain"]
+    # crossing of c=0.35
+    pts, found = surf.build_surface_at_isoval(lines, names, "c", 0.35)
+    assert found.all()
+    np.testing.assert_allclose(pts[:, 0], 0.35, atol=1e-12)
+    # thermal thickness between c=0.2 and c=0.8 = 0.6 of arclength
+    th = surf.thermal_thickness(lines, names, "c", 0.2, 0.8)
+    np.testing.assert_allclose(th, 0.6, atol=1e-12)
+    # cold strain sampled at c=0.5 crossing
+    cs = surf.cold_strain(lines, names, "strain", "c", 0.5)
+    np.testing.assert_allclose(cs, 7.0, atol=1e-12)
+    # angle: lines run along x => 90 deg from the y (up) axis
+    ang = surf.inclination_angle(lines, up_dir=1)
+    np.testing.assert_allclose(ang, 90.0, atol=1e-9)
+    # advect by u*dt
+    names2 = ["X", "Y", "Z", "x_velocity", "y_velocity", "z_velocity"]
+    pts2 = np.zeros((3, 6))
+    pts2[:, 3:] = [1.0, 2.0, -1.0]
+    out = surf.advect_points(pts2, names2, 0.5)
+    np.testing.assert_allclose(out[:, :3], [[0.5, 1.0, -0.5]] * 3)
