@@ -38,13 +38,16 @@ def level_fe_mesh(ds: DenseAmrState, lev: int, names: Sequence[str],
                              isect.hi[d] - bbox.lo[d] + 1) for d in range(3))
             box_mask[sl] = True
         valid = valid & box_mask
+    ci = [ds.comp(n) for n in names]
+    if not connect_cc:
+        return _corner_mesh(valid, data[ci], bbox, geom)
     node_id = np.full(valid.shape, -1, dtype=np.int64)
     idx = np.argwhere(valid)
     node_id[valid] = np.arange(len(idx))
     dx = geom.dx
     pos = (idx + np.array(bbox.lo) - np.array(geom.domain.lo)
            + 0.5) * np.array(dx) + np.array(geom.prob_lo)
-    comps = [np.asarray(ds.data[lev][ds.comp(n)])[valid] for n in names]
+    comps = [data[c][valid] for c in ci]
     nodes = np.column_stack([pos] + comps)
     # bricks: 2x2x2 corners all valid
     ok = valid[:-1, :-1, :-1]
@@ -59,6 +62,45 @@ def level_fe_mesh(ds: DenseAmrState, lev: int, names: Sequence[str],
     def nid(o):
         return node_id[base[:, 0] + o[0], base[:, 1] + o[1], base[:, 2] + o[2]]
     # Tecplot FEBRICK corner ordering
+    bricks = np.column_stack([
+        nid((0, 0, 0)), nid((1, 0, 0)), nid((1, 1, 0)), nid((0, 1, 0)),
+        nid((0, 0, 1)), nid((1, 0, 1)), nid((1, 1, 1)), nid((0, 1, 1))])
+    return nodes, bricks
+
+
+def _corner_mesh(valid, data, bbox, geom):
+    """connect_cc=0: one brick per valid cell; nodes at cell corners with
+    values averaged from the adjacent valid cells."""
+    shp = valid.shape
+    nshape = tuple(s + 1 for s in shp)
+    # corner adjacency: accumulate cell values/counters onto 8 corners
+    ncomp = data.shape[0]
+    acc = np.zeros((ncomp,) + nshape)
+    cnt = np.zeros(nshape)
+    v = valid.astype(np.float64)
+    for oi in (0, 1):
+        for oj in (0, 1):
+            for ok in (0, 1):
+                sl = (slice(oi, shp[0] + oi), slice(oj, shp[1] + oj),
+                      slice(ok, shp[2] + ok))
+                cnt[sl] += v
+                acc[(slice(None),) + sl] += data * v
+    used = cnt > 0
+    vals = acc / np.maximum(cnt, 1.0)
+    node_id = np.full(nshape, -1, dtype=np.int64)
+    idx = np.argwhere(used)
+    node_id[used] = np.arange(len(idx))
+    dx = np.array(geom.dx)
+    pos = (idx + np.array(bbox.lo) - np.array(geom.domain.lo)) * dx         + np.array(geom.prob_lo)
+    nodes = np.column_stack([pos] + [vals[c][used] for c in range(ncomp)])
+    base = np.argwhere(valid)
+    if len(base) == 0:
+        return nodes, np.zeros((0, 8), dtype=np.int64)
+
+    def nid(o):
+        return node_id[base[:, 0] + o[0], base[:, 1] + o[1],
+                       base[:, 2] + o[2]]
+
     bricks = np.column_stack([
         nid((0, 0, 0)), nid((1, 0, 0)), nid((1, 1, 0)), nid((0, 1, 0)),
         nid((0, 0, 1)), nid((1, 0, 1)), nid((1, 1, 1)), nid((0, 1, 1))])
@@ -106,7 +148,9 @@ def main(args: dict) -> None:
     if pp.contains("box"):
         b = pp.get_int_list("box")
         sub = Box(tuple(b[:3]), tuple(b[3:6]))
-    zones = [level_fe_mesh(ds, lev, names, sub)
+    connect_cc = pp.query_bool("connect_cc", True)
+    n_grow_per = pp.query_int("nGrowPer", 0)
+    zones = [level_fe_mesh(ds, lev, names, sub, connect_cc, n_grow_per)
              for lev in range(st.meta.n_levels)]
     out_type = pp.query_str("outType", "tec")
     outfile = pp.query_str("outfile",

@@ -181,3 +181,19 @@ def test_jpdf_do_average(tmp_path, monkeypatch):
     g = np.loadtxt(avg_dir + "/Pdf_temp_progress.gpd")
     # averaged pdf still sums to ~1 over in-range mass
     assert 0.9 < g[:, 2].sum() <= 1.0 + 1e-9
+
+
+def test_amr_to_fe_corners(plt, tmp_path):
+    out = str(tmp_path / "fec.dat")
+    assert main(["amrToFE", f"infile={plt}", "vars=temp", "outType=tec",
+                 "connect_cc=0", f"outfile={out}"]) == 0
+    txt = open(out).read().splitlines()
+    assert "FEPOINT ET=BRICK" in txt[1]
+    # corner mode: level-0 brick count == valid cell count; node count =
+    # corners of the 16^3 box minus covered region corners
+    import re
+    m = re.search(r"N=(\d+) E=(\d+)", txt[1])
+    n_nodes, n_elts = int(m.group(1)), int(m.group(2))
+    # level 0 of the fixture: 16^3 cells, central 8^3 covered by fine
+    assert n_elts == 16**3 - 8**3
+    assert n_nodes <= 17**3
