@@ -21,12 +21,27 @@ from ..parmparse import ParmParse
 
 
 def level_fe_mesh(ds: DenseAmrState, lev: int, names: Sequence[str],
-                  sub: Optional[Box] = None):
-    """Returns (nodes[N, 3+ncomp], bricks[M, 8]) for one level."""
+                  sub: Optional[Box] = None, connect_cc: bool = True,
+                  n_grow_per: int = 0):
+    """Returns (nodes[N, 3+ncomp], bricks[M, 8]) for one level.
+
+    connect_cc=1 (default): nodes at cell centers, bricks between adjacent
+    valid cells (amrToFE.cpp:93-113).  connect_cc=0: nodes at cell corners
+    with values averaged from adjacent valid cells, one brick per valid
+    cell.  n_grow_per grows the level periodically before meshing
+    (amrToFE.cpp nGrowPer)."""
     meta = ds.meta
     geom = meta.geoms[lev]
     bbox = ds.lmeta[lev].bbox
     valid = np.asarray(ds.valid_mask(lev))
+    data = np.asarray(ds.data[lev])
+    if n_grow_per > 0:
+        pads = [(n_grow_per, n_grow_per) if geom.is_periodic[d] else (0, 0)
+                for d in range(3)]
+        valid = np.pad(valid, pads, mode="wrap")
+        data = np.pad(data, [(0, 0)] + pads, mode="wrap")
+        bbox = Box(tuple(bbox.lo[d] - pads[d][0] for d in range(3)),
+                   tuple(bbox.hi[d] + pads[d][1] for d in range(3)))
     if sub is not None:
         s = sub
         for l in range(lev):
@@ -40,7 +55,7 @@ def level_fe_mesh(ds: DenseAmrState, lev: int, names: Sequence[str],
         valid = valid & box_mask
     ci = [ds.comp(n) for n in names]
     if not connect_cc:
-        return _corner_mesh(valid, data[ci], bbox, geom)
+        return _corner_mesh(valid, data[np.asarray(ci)], bbox, geom)
     node_id = np.full(valid.shape, -1, dtype=np.int64)
     idx = np.argwhere(valid)
     node_id[valid] = np.arange(len(idx))
@@ -91,7 +106,8 @@ def _corner_mesh(valid, data, bbox, geom):
     idx = np.argwhere(used)
     node_id[used] = np.arange(len(idx))
     dx = np.array(geom.dx)
-    pos = (idx + np.array(bbox.lo) - np.array(geom.domain.lo)) * dx         + np.array(geom.prob_lo)
+    pos = ((idx + np.array(bbox.lo) - np.array(geom.domain.lo)) * dx
+           + np.array(geom.prob_lo))
     nodes = np.column_stack([pos] + [vals[c][used] for c in range(ncomp)])
     base = np.argwhere(valid)
     if len(base) == 0:
