@@ -162,6 +162,96 @@ def main():
     cpu_iso = time.perf_counter() - t0
     cpu_ms = (cpu_grad + cpu_curv + cpu_iso) * 1e3
 
+    # ---- BASELINE configs 4 & 5 (informational detail) ----------------------
+    # stream: RK4 lines from isosurface-like seeds through the velocity field
+    from peleanalysis_tpu.stream.trace import trace_streamlines
+    rng = np.random.default_rng(0)
+    seeds = 0.5 + 0.12 * (rng.random((512, 3)) - 0.5)
+    trace_streamlines(dstate, seeds, 51, 0.5, trace_field=None)  # warm
+    t0 = time.perf_counter()
+    lines = trace_streamlines(dstate, seeds, 51, 0.5, trace_field=None)
+    stream_ms = (time.perf_counter() - t0) * 1e3
+
+    def numpy_trace(field, plo, dxs, seeds, n_half, h):
+        pos = seeds.copy()
+        out = [pos.copy()]
+        for _ in range(n_half):
+            x = pos
+            for stage in range(4):
+                xc = (x - plo) / dxs - 0.5
+                b = np.clip(np.floor(xc).astype(int), 0,
+                            np.array(field.shape[1:]) - 2)
+                t = np.clip(xc - b, 0, 1)
+                i, j, k = b[:, 0], b[:, 1], b[:, 2]
+                v = 0
+                for oi in (0, 1):
+                    for oj in (0, 1):
+                        for ok in (0, 1):
+                            w = (np.where(oi, t[:, 0], 1 - t[:, 0])
+                                 * np.where(oj, t[:, 1], 1 - t[:, 1])
+                                 * np.where(ok, t[:, 2], 1 - t[:, 2]))
+                            v = v + w[:, None] * field[:, i + oi, j + oj,
+                                                       k + ok].T
+                v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                                1e-300)
+                if stage == 0:
+                    k1 = v
+                    x = pos + 0.5 * h * k1
+                elif stage == 1:
+                    k2 = v
+                    x = pos + 0.5 * h * k2
+                elif stage == 2:
+                    k3 = v
+                    x = pos + h * k3
+                else:
+                    k4 = v
+            pos = pos + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            out.append(pos.copy())
+        return np.stack(out)
+
+    fin = n_lev - 1
+    geom_f = meta.geoms[fin]
+    vel = np.asarray(dstate.data[fin][
+        np.asarray([state.comp(n) for n in
+                    ("x_velocity", "y_velocity", "z_velocity")])],
+        dtype=np.float64)
+    bboxf = dstate.lmeta[fin].bbox
+    plo_f = (np.array(geom_f.prob_lo)
+             + (np.array(bboxf.lo) - np.array(geom_f.domain.lo))
+             * np.array(geom_f.dx))
+    t0 = time.perf_counter()
+    numpy_trace(vel, plo_f, np.array(geom_f.dx), seeds, 25,
+                0.5 * geom_f.dx[0])
+    cpu_stream_ms = (time.perf_counter() - t0) * 1e3
+
+    # conditionalMean + jpdf
+    from peleanalysis_tpu.tools.conditional_mean import \
+        accumulate_conditional_mean
+    from peleanalysis_tpu.tools.jpdf import compute_jpdf_pair
+    accumulate_conditional_mean(dstate, "temp", ["density"], 64, 300.0,
+                                1801.0)  # warm
+    t0 = time.perf_counter()
+    accumulate_conditional_mean(dstate, "temp", ["density"], 64, 300.0,
+                                1801.0)
+    f1 = [dstate.data[l][state.comp("temp")] for l in range(n_lev)]
+    f2 = [dstate.data[l][state.comp("progress")] for l in range(n_lev)]
+    compute_jpdf_pair(dstate, f1, f2, 300.0, 1801.0, -0.1, 1.1, 64)
+    stats_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    w = refweights = [64, 8, 1]
+    for lev in range(n_lev):
+        p = np.asarray(dstate.data[lev][state.comp("temp")])
+        d = np.asarray(dstate.data[lev][state.comp("density")])
+        m = np.asarray(dstate.valid_mask(lev))
+        idx = np.clip(((p - 300.0) / 1501.0 * 64).astype(int), 0, 63)
+        np.add.at(np.zeros(64), idx[m], w[lev])
+        np.add.at(np.zeros(64), idx[m], w[lev] * d[m])
+        q = np.asarray(dstate.data[lev][state.comp("progress")])
+        i2 = np.clip(((q + 0.1) / 1.2 * 64).astype(int), 0, 63)
+        flat = idx[m] * 64 + i2[m]
+        np.add.at(np.zeros(64 * 64), flat, 1.0)
+    cpu_stats_ms = (time.perf_counter() - t0) * 1e3
+
     print(json.dumps({
         "metric": "grad_curv_iso_3level_ms",
         "value": round(tpu_ms, 3),
@@ -171,9 +261,13 @@ def main():
             "grad_ms": round(grad_ms, 3),
             "curvature_ms": round(curv_ms, 3),
             "isosurface_ms": round(iso_ms, 3),
+            "stream_512lines_ms": round(stream_ms, 1),
+            "condmean_jpdf_ms": round(stats_ms, 1),
             "cpu_grad_ms": round(cpu_grad * 1e3, 1),
             "cpu_curvature_ms": round(cpu_curv * 1e3, 1),
             "cpu_isosurface_ms": round(cpu_iso * 1e3, 1),
+            "cpu_stream_ms": round(cpu_stream_ms, 1),
+            "cpu_condmean_jpdf_ms": round(cpu_stats_ms, 1),
         },
     }))
 

@@ -3,9 +3,11 @@ reference's per-cell binning loops (+MPI reductions) in conditionalMean /
 jpdf / integral (/root/reference/Src/conditionalMean.cpp:260-303,
 Src/jpdf.cpp:427-537).
 
-Each level contributes a scatter-add over bin indices; XLA lowers the
-.at[].add onto the TPU and the per-level results are summed — the psum /
-ReduceRealSum analog happens implicitly when the box axis is sharded.
+TPU design note: scatter-adds (`.at[].add`) serialize on collisions and ran
+~6 M adds/s; histograms here are instead **one-hot contractions on the MXU**
+— per chunk of C cells, a [nbins, C] @ [C, ...] matmul accumulates counts /
+sums / joint bins (the 2-D pdf is literally onehot1.T @ (w * onehot2)).
+That turns 25M-cell binning from seconds into milliseconds.
 """
 from __future__ import annotations
 
@@ -14,6 +16,15 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+_CHUNK = 1 << 16
+
+
+def _pad_flat(x: jnp.ndarray, fill) -> Tuple[jnp.ndarray, int]:
+    n = x.size
+    m = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK
+    return jnp.pad(x.reshape(-1), (0, m - n),
+                   constant_values=fill).reshape(-1, _CHUNK), n
 
 
 @partial(jax.jit, static_argnames=("nbins", "clamp", "with_minmax"))
@@ -25,11 +36,11 @@ def binned_stats(bin_vals: jnp.ndarray, avg_vals: jnp.ndarray,
 
     bin_vals: [*shape]; avg_vals: [ncomp, *shape]; weight: scalar or [*shape];
     mask: bool [*shape].  Out-of-range cells are dropped (clamp=False,
-    conditionalMean.cpp:270-275) or clamped to edge bins (clamp=True, jpdf
-    semantics).  Returns (hits[nbins], sums[nbins,ncomp], sumsq[nbins,ncomp],
-    mins, maxs).
+    conditionalMean.cpp:270-275) or clamped to edge bins (jpdf semantics).
+    Returns (hits[nbins], sums[nbins,ncomp], sumsq[nbins,ncomp], mins, maxs).
     """
     ncomp = avg_vals.shape[0]
+    dt = avg_vals.dtype
     x = (bin_vals - bmin) / (bmax - bmin) * nbins
     idx = jnp.floor(x).astype(jnp.int32)
     if clamp:
@@ -39,20 +50,42 @@ def binned_stats(bin_vals: jnp.ndarray, avg_vals: jnp.ndarray,
         ok = mask & (idx >= 0) & (idx < nbins)
         idx = jnp.clip(idx, 0, nbins - 1)
     w = jnp.where(ok, jnp.broadcast_to(weight, bin_vals.shape), 0.0)
-    idxf = idx.reshape(-1)
-    wf = w.reshape(-1)
-    hits = jnp.zeros(nbins, w.dtype).at[idxf].add(wf)
-    vf = avg_vals.reshape(ncomp, -1)
-    sums = jnp.zeros((nbins, ncomp), w.dtype).at[idxf].add((vf * wf).T)
-    sumsq = jnp.zeros((nbins, ncomp), w.dtype).at[idxf].add((vf * vf * wf).T)
-    mins = maxs = None
-    if with_minmax:
-        big = jnp.asarray(jnp.inf, vf.dtype)
-        okf = ok.reshape(-1)
-        vmin = jnp.where(okf[None], vf, big)
-        vmax = jnp.where(okf[None], vf, -big)
-        mins = jnp.full((nbins, ncomp), big).at[idxf].min(vmin.T)
-        maxs = jnp.full((nbins, ncomp), -big).at[idxf].max(vmax.T)
+
+    idx_c, n = _pad_flat(idx, 0)
+    w_c, _ = _pad_flat(w.astype(dt), 0.0)
+    v_c = jnp.stack([_pad_flat(avg_vals[k].astype(dt), 0.0)[0]
+                     for k in range(ncomp)], axis=-1)   # [nc, C, ncomp]
+    ok_c, _ = _pad_flat(ok, False)
+    big = jnp.asarray(jnp.inf, dt)
+
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+
+    def body(carry, args):
+        hits, sums, sumsq, mins, maxs = carry
+        ic, wc, vc, okc = args
+        onehot = (ic[:, None] == bins[None, :]).astype(dt)   # [C, nbins]
+        oww = onehot * wc[:, None]
+        hits = hits + jnp.sum(oww, axis=0)
+        sums = sums + jnp.einsum("cb,ck->bk", oww, vc,
+                                 preferred_element_type=dt)
+        sumsq = sumsq + jnp.einsum("cb,ck->bk", oww, vc * vc,
+                                   preferred_element_type=dt)
+        if with_minmax:
+            sel = onehot.astype(bool) & okc[:, None]
+            for_min = jnp.where(sel[:, :, None], vc[:, None, :], big)
+            for_max = jnp.where(sel[:, :, None], vc[:, None, :], -big)
+            mins = jnp.minimum(mins, jnp.min(for_min, axis=0))
+            maxs = jnp.maximum(maxs, jnp.max(for_max, axis=0))
+        return (hits, sums, sumsq, mins, maxs), None
+
+    init = (jnp.zeros(nbins, dt), jnp.zeros((nbins, ncomp), dt),
+            jnp.zeros((nbins, ncomp), dt),
+            jnp.full((nbins, ncomp), big),
+            jnp.full((nbins, ncomp), -big))
+    (hits, sums, sumsq, mins, maxs), _ = jax.lax.scan(
+        body, init, (idx_c, w_c, v_c, ok_c))
+    if not with_minmax:
+        mins = maxs = None
     return hits, sums, sumsq, mins, maxs
 
 
@@ -62,20 +95,40 @@ def joint_pdf(v1: jnp.ndarray, v2: jnp.ndarray, vol: jnp.ndarray,
               v1min: float, v1max: float, v2min: float, v2max: float,
               nbins: int):
     """2-D volume-weighted joint histogram (jpdf semantics: out-of-range
-    values are clamped into the edge bins, jpdf.cpp:489-496).
-    Returns (bin[nbins,nbins], binX1, binX2) flattened row-major [v1, v2]."""
+    values clamp into edge bins, jpdf.cpp:489-496) as chunked one-hot
+    matmuls: bin += onehot1.T @ (w * onehot2) — pure MXU work.
+    Returns (bin, binX1, binX2) each [nbins, nbins] row-major [v1, v2]."""
+    dt = jnp.result_type(v1.dtype, jnp.float32)
     i1 = jnp.clip(jnp.floor((v1 - v1min) / (v1max - v1min) * nbins)
                   .astype(jnp.int32), 0, nbins - 1)
     i2 = jnp.clip(jnp.floor((v2 - v2min) / (v2max - v2min) * nbins)
                   .astype(jnp.int32), 0, nbins - 1)
-    w = jnp.where(mask, jnp.broadcast_to(vol, v1.shape), 0.0).reshape(-1)
-    idx = (i1 * nbins + i2).reshape(-1)
-    n2 = nbins * nbins
-    b = jnp.zeros(n2, w.dtype).at[idx].add(w)
-    bx1 = jnp.zeros(n2, w.dtype).at[idx].add(w * v1.reshape(-1))
-    bx2 = jnp.zeros(n2, w.dtype).at[idx].add(w * v2.reshape(-1))
-    return b.reshape(nbins, nbins), bx1.reshape(nbins, nbins), \
-        bx2.reshape(nbins, nbins)
+    w = jnp.where(mask, jnp.broadcast_to(vol, v1.shape), 0.0).astype(dt)
+
+    i1c, _ = _pad_flat(i1, 0)
+    i2c, _ = _pad_flat(i2, 0)
+    wc, _ = _pad_flat(w, 0.0)
+    v1c, _ = _pad_flat(v1.astype(dt), 0.0)
+    v2c, _ = _pad_flat(v2.astype(dt), 0.0)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+
+    def body(carry, args):
+        b, bx1, bx2 = carry
+        a1, a2, ww, f1, f2 = args
+        o1 = (a1[:, None] == bins[None, :]).astype(dt)      # [C, n]
+        o2 = (a2[:, None] == bins[None, :]).astype(dt)
+        o1w = o1 * ww[:, None]
+        b = b + jnp.einsum("cb,cd->bd", o1w, o2,
+                           preferred_element_type=dt)
+        bx1 = bx1 + jnp.einsum("cb,cd->bd", o1w * f1[:, None], o2,
+                               preferred_element_type=dt)
+        bx2 = bx2 + jnp.einsum("cb,cd->bd", o1w * f2[:, None], o2,
+                               preferred_element_type=dt)
+        return (b, bx1, bx2), None
+
+    init = (jnp.zeros((nbins, nbins), dt),) * 3
+    (b, bx1, bx2), _ = jax.lax.scan(body, init, (i1c, i2c, wc, v1c, v2c))
+    return b, bx1, bx2
 
 
 def masked_sum(vals: jnp.ndarray, mask: jnp.ndarray,
