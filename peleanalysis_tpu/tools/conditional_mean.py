@@ -36,27 +36,44 @@ def accumulate_conditional_mean(
     bin_max: float,
     with_minmax: bool = False,
 ):
+    """All levels accumulated inside one jitted call (one host fetch)."""
+    import jax
+
     meta = dstate.meta
     weights = refinement_weights(meta.ref_ratio, meta.n_levels)
-    hits = np.zeros(nbins)
-    sums = np.zeros((nbins, len(avg_names)))
-    sumsq = np.zeros((nbins, len(avg_names)))
-    mins = np.full((nbins, len(avg_names)), np.inf)
-    maxs = np.full((nbins, len(avg_names)), -np.inf)
     ib = dstate.comp(bin_name)
     ia = np.array([dstate.comp(n) for n in avg_names])
-    for lev in range(meta.n_levels):
-        h, s, s2, mn, mx = binned_stats(
-            dstate.data[lev][ib], dstate.data[lev][ia],
-            float(weights[lev]), dstate.valid_mask(lev),
-            bin_min, bin_max, nbins, clamp=False, with_minmax=with_minmax)
-        hits += np.asarray(h)
-        sums += np.asarray(s)
-        sumsq += np.asarray(s2)
-        if with_minmax:
-            mins = np.minimum(mins, np.asarray(mn))
-            maxs = np.maximum(maxs, np.asarray(mx))
-    return hits, sums, sumsq, mins, maxs
+    masks = [dstate.valid_mask(lev) for lev in range(meta.n_levels)]
+
+    def all_levels(data_list, mask_list):
+        acc = None
+        for lev in range(meta.n_levels):
+            out = binned_stats(data_list[lev][ib], data_list[lev][ia],
+                               float(weights[lev]), mask_list[lev],
+                               bin_min, bin_max, nbins, clamp=False,
+                               with_minmax=with_minmax)
+            if acc is None:
+                acc = list(out)
+            else:
+                acc[0] = acc[0] + out[0]
+                acc[1] = acc[1] + out[1]
+                acc[2] = acc[2] + out[2]
+                if with_minmax:
+                    import jax.numpy as jnp
+                    acc[3] = jnp.minimum(acc[3], out[3])
+                    acc[4] = jnp.maximum(acc[4], out[4])
+        return tuple(a for a in acc if a is not None)
+
+    out = jax.device_get(jax.jit(all_levels)(list(dstate.data), masks))
+    if with_minmax:
+        hits, sums, sumsq, mins, maxs = out
+    else:
+        hits, sums, sumsq = out
+        mins = np.full((nbins, len(avg_names)), np.inf)
+        maxs = np.full((nbins, len(avg_names)), -np.inf)
+    return (np.asarray(hits, np.float64), np.asarray(sums, np.float64),
+            np.asarray(sumsq, np.float64), np.asarray(mins, np.float64),
+            np.asarray(maxs, np.float64))
 
 
 def write_cm_dat(path: str, bin_name: str, avg_names: Sequence[str],

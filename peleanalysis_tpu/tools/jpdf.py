@@ -64,21 +64,32 @@ def stoichiometry_field(dstate: DenseAmrState, var_names: Sequence[str],
 def compute_jpdf_pair(dstate: DenseAmrState, f1_levels, f2_levels,
                       v1min, v1max, v2min, v2max, nbins,
                       cond_levels=None):
-    """Accumulate one pair over all levels. f*_levels: [lev] -> [*bbox]."""
-    b = np.zeros((nbins, nbins))
-    bx1 = np.zeros((nbins, nbins))
-    bx2 = np.zeros((nbins, nbins))
-    for lev in range(dstate.meta.n_levels):
-        vol = float(np.prod(dstate.meta.geoms[lev].dx))
-        mask = dstate.valid_mask(lev)
+    """Accumulate one pair over all levels in one jitted call.
+    f*_levels: [lev] -> [*bbox]."""
+    import jax
+
+    n_lev = dstate.meta.n_levels
+    vols = [float(np.prod(dstate.meta.geoms[lev].dx))
+            for lev in range(n_lev)]
+    masks = []
+    for lev in range(n_lev):
+        m = dstate.valid_mask(lev)
         if cond_levels is not None:
-            mask = mask & cond_levels[lev]
-        bb, b1, b2 = joint_pdf(f1_levels[lev], f2_levels[lev], vol, mask,
-                               v1min, v1max, v2min, v2max, nbins)
-        b += np.asarray(bb)
-        bx1 += np.asarray(b1)
-        bx2 += np.asarray(b2)
-    return b, bx1, bx2
+            m = m & cond_levels[lev]
+        masks.append(m)
+
+    def all_levels(f1s, f2s, ms):
+        b = bx1 = bx2 = 0.0
+        for lev in range(n_lev):
+            bb, b1, b2 = joint_pdf(f1s[lev], f2s[lev], vols[lev], ms[lev],
+                                   v1min, v1max, v2min, v2max, nbins)
+            b, bx1, bx2 = b + bb, bx1 + b1, bx2 + b2
+        return b, bx1, bx2
+
+    b, bx1, bx2 = jax.device_get(jax.jit(all_levels)(
+        list(f1_levels), list(f2_levels), masks))
+    return (np.asarray(b, np.float64), np.asarray(bx1, np.float64),
+            np.asarray(bx2, np.float64))
 
 
 def normalize_pair(b, bx1, bx2, v1min, v1max, v2min, v2max, domain_vol):
