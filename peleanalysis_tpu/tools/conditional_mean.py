@@ -18,6 +18,32 @@ from ..amr.dense import DenseAmrState
 from ..amr.hierarchy import AmrState
 from ..ops.stats import binned_stats
 from ..parmparse import ParmParse
+from functools import partial
+import jax
+
+
+@partial(jax.jit, static_argnames=("ib", "ia", "weights", "nbins",
+                                   "with_minmax", "bin_min", "bin_max"))
+def _accumulate_all(data_list, mask_list, ib, ia, weights, bin_min, bin_max,
+                    nbins, with_minmax):
+    import jax.numpy as jnp
+    acc = None
+    for lev in range(len(data_list)):
+        out = binned_stats(data_list[lev][ib],
+                           data_list[lev][jnp.asarray(ia)],
+                           float(weights[lev]), mask_list[lev],
+                           bin_min, bin_max, nbins, clamp=False,
+                           with_minmax=with_minmax)
+        if acc is None:
+            acc = list(out)
+        else:
+            acc[0] = acc[0] + out[0]
+            acc[1] = acc[1] + out[1]
+            acc[2] = acc[2] + out[2]
+            if with_minmax:
+                acc[3] = jnp.minimum(acc[3], out[3])
+                acc[4] = jnp.maximum(acc[4], out[4])
+    return tuple(a for a in acc if a is not None)
 
 
 def refinement_weights(ref_ratio: Sequence[int], n_levels: int) -> List[int]:
@@ -37,34 +63,14 @@ def accumulate_conditional_mean(
     with_minmax: bool = False,
 ):
     """All levels accumulated inside one jitted call (one host fetch)."""
-    import jax
-
     meta = dstate.meta
-    weights = refinement_weights(meta.ref_ratio, meta.n_levels)
+    weights = tuple(refinement_weights(meta.ref_ratio, meta.n_levels))
     ib = dstate.comp(bin_name)
-    ia = np.array([dstate.comp(n) for n in avg_names])
+    ia = tuple(dstate.comp(n) for n in avg_names)
     masks = [dstate.valid_mask(lev) for lev in range(meta.n_levels)]
-
-    def all_levels(data_list, mask_list):
-        acc = None
-        for lev in range(meta.n_levels):
-            out = binned_stats(data_list[lev][ib], data_list[lev][ia],
-                               float(weights[lev]), mask_list[lev],
-                               bin_min, bin_max, nbins, clamp=False,
-                               with_minmax=with_minmax)
-            if acc is None:
-                acc = list(out)
-            else:
-                acc[0] = acc[0] + out[0]
-                acc[1] = acc[1] + out[1]
-                acc[2] = acc[2] + out[2]
-                if with_minmax:
-                    import jax.numpy as jnp
-                    acc[3] = jnp.minimum(acc[3], out[3])
-                    acc[4] = jnp.maximum(acc[4], out[4])
-        return tuple(a for a in acc if a is not None)
-
-    out = jax.device_get(jax.jit(all_levels)(list(dstate.data), masks))
+    out = jax.device_get(_accumulate_all(
+        list(dstate.data), masks, ib, ia, weights,
+        float(bin_min), float(bin_max), nbins, with_minmax))
     if with_minmax:
         hits, sums, sumsq, mins, maxs = out
     else:

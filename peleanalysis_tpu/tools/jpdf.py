@@ -30,6 +30,19 @@ from ..amr.hierarchy import AmrState
 from ..io.fab import write_fab
 from ..ops.stats import joint_pdf
 from ..parmparse import ParmParse
+from functools import partial
+import jax
+
+
+@partial(jax.jit, static_argnames=("vols", "bounds", "nbins"))
+def _jpdf_all(f1s, f2s, ms, vols, bounds, nbins):
+    v1min, v1max, v2min, v2max = bounds
+    b = bx1 = bx2 = 0.0
+    for lev in range(len(f1s)):
+        bb, b1, b2 = joint_pdf(f1s[lev], f2s[lev], vols[lev], ms[lev],
+                               v1min, v1max, v2min, v2max, nbins)
+        b, bx1, bx2 = b + bb, bx1 + b1, bx2 + b2
+    return b, bx1, bx2
 
 SMALL = 1.0e-7
 
@@ -66,28 +79,18 @@ def compute_jpdf_pair(dstate: DenseAmrState, f1_levels, f2_levels,
                       cond_levels=None):
     """Accumulate one pair over all levels in one jitted call.
     f*_levels: [lev] -> [*bbox]."""
-    import jax
-
     n_lev = dstate.meta.n_levels
-    vols = [float(np.prod(dstate.meta.geoms[lev].dx))
-            for lev in range(n_lev)]
+    vols = tuple(float(np.prod(dstate.meta.geoms[lev].dx))
+                 for lev in range(n_lev))
     masks = []
     for lev in range(n_lev):
         m = dstate.valid_mask(lev)
         if cond_levels is not None:
             m = m & cond_levels[lev]
         masks.append(m)
-
-    def all_levels(f1s, f2s, ms):
-        b = bx1 = bx2 = 0.0
-        for lev in range(n_lev):
-            bb, b1, b2 = joint_pdf(f1s[lev], f2s[lev], vols[lev], ms[lev],
-                                   v1min, v1max, v2min, v2max, nbins)
-            b, bx1, bx2 = b + bb, bx1 + b1, bx2 + b2
-        return b, bx1, bx2
-
-    b, bx1, bx2 = jax.device_get(jax.jit(all_levels)(
-        list(f1_levels), list(f2_levels), masks))
+    b, bx1, bx2 = jax.device_get(_jpdf_all(
+        list(f1_levels), list(f2_levels), masks, vols,
+        (float(v1min), float(v1max), float(v2min), float(v2max)), nbins))
     return (np.asarray(b, np.float64), np.asarray(bx1, np.float64),
             np.asarray(bx2, np.float64))
 
