@@ -166,7 +166,7 @@ def main():
     # stream: RK4 lines from isosurface-like seeds through the velocity field
     from peleanalysis_tpu.stream.trace import trace_streamlines
     rng = np.random.default_rng(0)
-    seeds = 0.5 + 0.12 * (rng.random((512, 3)) - 0.5)
+    seeds = 0.5 + 0.12 * (rng.random((4096, 3)) - 0.5)
     trace_streamlines(dstate, seeds, 51, 0.5, trace_field=None)  # warm
     t0 = time.perf_counter()
     lines = trace_streamlines(dstate, seeds, 51, 0.5, trace_field=None)
@@ -261,7 +261,7 @@ def main():
             "grad_ms": round(grad_ms, 3),
             "curvature_ms": round(curv_ms, 3),
             "isosurface_ms": round(iso_ms, 3),
-            "stream_512lines_ms": round(stream_ms, 1),
+            "stream_4096lines_ms": round(stream_ms, 1),
             "condmean_jpdf_ms": round(stats_ms, 1),
             "cpu_grad_ms": round(cpu_grad * 1e3, 1),
             "cpu_curvature_ms": round(cpu_curv * 1e3, 1),

@@ -193,8 +193,18 @@ def trace_streamlines(
         geom = meta.geoms[lev]
         dx = np.array(geom.dx)
         ngrow = int(np.ceil(h_phys * n_half / dx.min())) + 2
-        grown = fill_dense_arrays(meta, dstate.lmeta, all_data, masks, lev,
-                                  ngrow, bc, "linear")
+        # jit the whole fill once per (level, ngrow, ncomp) — the eager path
+        # dispatches every slice/upsample op separately over the runtime
+        cache = getattr(dstate, "_trace_fill_cache", None)
+        if cache is None:
+            cache = dstate._trace_fill_cache = {}
+        key = (lev, ngrow, all_data[0].shape[0], interp_sig := "linear")
+        if key not in cache:
+            cache[key] = jax.jit(lambda dl, ml, _lev=lev, _g=ngrow:
+                                 fill_dense_arrays(meta, dstate.lmeta, dl,
+                                                   ml, _lev, _g, bc,
+                                                   "linear"))
+        grown = cache[key](all_data, masks)
         gbox = dstate.lmeta[lev].bbox.grow(ngrow)
         plo_g = (np.array(geom.prob_lo)
                  + (np.array(gbox.lo) - np.array(geom.domain.lo)) * dx)
