@@ -426,8 +426,14 @@ def extract_isosurface(
         for lev in range(meta.n_levels)]
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
-    grown_all = fill_dense_multilevel(meta, dstate.lmeta, data_levels, masks,
-                                      1, bc, "pc")
+    cache = getattr(dstate, "_mc_fill_cache", None)
+    if cache is None:
+        cache = dstate._mc_fill_cache = {}
+    key = (len(names), bc)
+    if key not in cache:
+        cache[key] = jax.jit(lambda dl, ml: fill_dense_multilevel(
+            meta, dstate.lmeta, dl, ml, 1, bc, "pc"))
+    grown_all = cache[key](data_levels, masks)
     ci_all = None
     active_all = None
     if classify == "device":
