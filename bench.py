@@ -228,13 +228,15 @@ def main():
     from peleanalysis_tpu.tools.conditional_mean import \
         accumulate_conditional_mean
     from peleanalysis_tpu.tools.jpdf import compute_jpdf_pair
+    f1 = [dstate.data[l][state.comp("temp")] for l in range(n_lev)]
+    f2 = [dstate.data[l][state.comp("progress")] for l in range(n_lev)]
+    # warm both accumulators (trace + cache load)
     accumulate_conditional_mean(dstate, "temp", ["density"], 64, 300.0,
-                                1801.0)  # warm
+                                1801.0)
+    compute_jpdf_pair(dstate, f1, f2, 300.0, 1801.0, -0.1, 1.1, 64)
     t0 = time.perf_counter()
     accumulate_conditional_mean(dstate, "temp", ["density"], 64, 300.0,
                                 1801.0)
-    f1 = [dstate.data[l][state.comp("temp")] for l in range(n_lev)]
-    f2 = [dstate.data[l][state.comp("progress")] for l in range(n_lev)]
     compute_jpdf_pair(dstate, f1, f2, 300.0, 1801.0, -0.1, 1.1, 64)
     stats_ms = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
