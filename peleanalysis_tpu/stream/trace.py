@@ -193,49 +193,52 @@ def trace_streamlines(
         geom = meta.geoms[lev]
         dx = np.array(geom.dx)
         ngrow = int(np.ceil(h_phys * n_half / dx.min())) + 2
-        # jit the whole fill once per (level, ngrow, ncomp) — the eager path
-        # dispatches every slice/upsample op separately over the runtime
-        cache = getattr(dstate, "_trace_fill_cache", None)
-        if cache is None:
-            cache = dstate._trace_fill_cache = {}
-        key = (lev, ngrow, all_data[0].shape[0], interp_sig := "linear")
-        if key not in cache:
-            cache[key] = jax.jit(lambda dl, ml, _lev=lev, _g=ngrow:
-                                 fill_dense_arrays(meta, dstate.lmeta, dl,
-                                                   ml, _lev, _g, bc,
-                                                   "linear"))
-        grown = cache[key](all_data, masks)
         gbox = dstate.lmeta[lev].bbox.grow(ngrow)
         plo_g = (np.array(geom.prob_lo)
                  + (np.array(gbox.lo) - np.array(geom.domain.lo)) * dx)
         nv = len(vec_src)
-        if trace_field is not None:
-            # central-difference gradient over the grown box
-            # (stream_nd.f90:33-45); shrink by 1 -> adjust origin
-            gx, gy, gz = centered_gradient(grown[0][None], geom.dx, 1)
-            vec = jnp.concatenate([gx, gy, gz], axis=0)
-            fields = grown[nv:, 1:-1, 1:-1, 1:-1]
-            plo_v = plo_g + dx
-        else:
-            vec = grown[:3]
-            fields = grown[nv:]
-            plo_v = plo_g
-        sseeds = jnp.asarray(seeds[sel])
-        plo_j = jnp.asarray(plo_v)
-        dxj = jnp.asarray(dx)
-        pos_p, _ = _trace_level(vec, fields, plo_j, dxj, h_phys, sseeds,
-                                n_half, 1.0)
-        pos_m, _ = _trace_level(vec, fields, plo_j, dxj, h_phys, sseeds,
-                                n_half, -1.0)
-        # assemble [-n..+n]: minus path reversed, seed, plus path
-        path = jnp.concatenate([pos_m[::-1][:-1], pos_p], axis=0)  # [2n+1,ns,3]
-        path = jnp.transpose(path, (1, 0, 2))
-        if nf:
-            vals = _sample_fields(fields, plo_j, dxj, path)
-            out[sel] = np.concatenate([np.asarray(path), np.asarray(vals)],
-                                      axis=-1)
-        else:
-            out[sel] = np.asarray(path)
+
+        # One jitted function per (level, ngrow, comp-count, mode): fill the
+        # grow-region, build the traced vector field, march both directions,
+        # sample — a single dispatch + a single fetch per level.
+        cache = getattr(dstate, "_trace_fn_cache", None)
+        if cache is None:
+            cache = dstate._trace_fn_cache = {}
+        key = (lev, ngrow, all_data[0].shape[0], trace_field is not None,
+               n_half, nf)
+
+        def make_fn(_lev, _g, _grad_mode, _plo_g, _dx):
+            def fn(dl, ml, sseeds, h):
+                grown = fill_dense_arrays(meta, dstate.lmeta, dl, ml, _lev,
+                                          _g, bc, "linear")
+                if _grad_mode:
+                    gx, gy, gz = centered_gradient(grown[0][None],
+                                                   tuple(_dx), 1)
+                    vec = jnp.concatenate([gx, gy, gz], axis=0)
+                    fields = grown[nv:, 1:-1, 1:-1, 1:-1]
+                    plo_v = jnp.asarray(_plo_g + _dx)
+                else:
+                    vec = grown[:3]
+                    fields = grown[nv:]
+                    plo_v = jnp.asarray(_plo_g)
+                dxj = jnp.asarray(_dx)
+                pos_p, _ = _trace_level(vec, fields, plo_v, dxj, h, sseeds,
+                                        n_half, 1.0)
+                pos_m, _ = _trace_level(vec, fields, plo_v, dxj, h, sseeds,
+                                        n_half, -1.0)
+                path = jnp.concatenate([pos_m[::-1][:-1], pos_p], axis=0)
+                path = jnp.transpose(path, (1, 0, 2))
+                if nf:
+                    vals = _sample_fields(fields, plo_v, dxj, path)
+                    return jnp.concatenate([path, vals], axis=-1)
+                return path
+            return jax.jit(fn)
+
+        if key not in cache:
+            cache[key] = make_fn(lev, ngrow, trace_field is not None,
+                                 plo_g, dx)
+        out[sel] = np.asarray(cache[key](all_data, masks,
+                                         jnp.asarray(seeds[sel]), h_phys))
     return out
 
 
