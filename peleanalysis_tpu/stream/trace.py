@@ -179,10 +179,19 @@ def trace_streamlines(
         vec_src = [trace_field]
     else:
         vec_src = ["x_velocity", "y_velocity", "z_velocity"]
+        if "z_velocity" not in dstate.names:  # DIM=2 plotfile (promoted)
+            vec_src = vec_src[:2]
     comps = [dstate.comp(n) for n in vec_src]
     scomps = [dstate.comp(n) for n in sample_names]
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
     all_data = [d[np.asarray(comps + scomps)] for d in dstate.data]
+    if trace_field is None and len(vec_src) == 2:
+        # promote planar velocity with a zero z component
+        import jax.numpy as _jnp
+        all_data = [_jnp.concatenate(
+            [d[:2], _jnp.zeros_like(d[:1]), d[2:]], axis=0)
+            for d in all_data]
+        vec_src = ["x_velocity", "y_velocity", "_zero"]
 
     nf = len(sample_names)
     out = np.zeros((len(seeds), 2 * n_half + 1, 3 + nf))

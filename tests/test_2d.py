@@ -125,3 +125,23 @@ def test_2d_conditional_mean(plt2d, tmp_path, monkeypatch):
     assert rc == 0
     import os
     assert os.path.exists("CM_progress.dat")
+
+
+def test_2d_stream_rotation(tmp_path):
+    """2D plotfile streamline tracing: planar rotation stays on a circle."""
+    from peleanalysis_tpu.stream.trace import trace_streamlines
+    fields = {
+        "x_velocity": lambda x, y: -(y - 0.5),
+        "y_velocity": lambda x, y: (x - 0.5),
+    }
+    plt = str(tmp_path / "plt2v")
+    write_synthetic_plotfile(plt, n_cell=32, n_levels=1, ndim=2,
+                             fields=fields)
+    ds = DenseAmrState.from_batched(
+        AmrState.from_plotfile(plt, dtype=np.float64))
+    seeds = np.array([[0.65, 0.5, 0.5]])
+    lines = trace_streamlines(ds, seeds, 40, 0.5, trace_field=None)
+    r = np.linalg.norm(lines[0, :, :2] - 0.5, axis=1)
+    assert np.abs(r - 0.15).max() < 0.01
+    # no z drift
+    np.testing.assert_allclose(lines[0, :, 2], 0.5, atol=1e-9)
