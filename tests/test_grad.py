@@ -100,3 +100,30 @@ def test_grad_cli_roundtrip(synthetic_plotfile, tmp_path):
     r = PlotfileReader(outfile)
     assert "||gradtemp||" in r.var_names
     assert r.meta.finest_level == 2
+
+
+def test_grad_periodic_domain(tmp_path):
+    """Fully periodic domain: centered gradients are exact-to-h^2 right up to
+    the domain faces (wrap fill instead of foextrap)."""
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    k = 2 * np.pi
+    fields = {"f": lambda x, y, z: np.sin(k * x) * np.cos(k * y) + 0 * z}
+    path = str(tmp_path / "pltp")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=1, fields=fields,
+                             is_periodic=(True, True, True))
+    st = AmrState.from_plotfile(path, is_periodic=(True, True, True),
+                                dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    out = compute_grad_dense(ds, "f")
+    geom = st.meta.geoms[0]
+    cs = [(np.arange(32) + 0.5) * geom.dx[d] for d in range(3)]
+    X, Y, Z = np.meshgrid(*cs, indexing="ij")
+    want = k * np.cos(k * X) * np.cos(k * Y)
+    got = np.asarray(out.data[0][out.comp("f_gx")])
+    h = geom.dx[0]
+    # uniform h^2 error INCLUDING boundary cells (wrap ghosts)
+    tol = k**3 * h**2 / 6 * 1.5
+    assert np.abs(got - want).max() < tol
