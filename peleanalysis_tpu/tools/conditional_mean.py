@@ -46,10 +46,13 @@ def _accumulate_all(data_list, mask_list, ib, ia, weights, bin_min, bin_max,
     return tuple(a for a in acc if a is not None)
 
 
-def refinement_weights(ref_ratio: Sequence[int], n_levels: int) -> List[int]:
+def refinement_weights(ref_ratio: Sequence[int], n_levels: int,
+                       ndim: int = 3) -> List[int]:
+    """weights[lev] = fine-cells-per-cell at the finest level
+    (conditionalMean.cpp:198-205); ndim=2 for DIM=2 plotfiles."""
     w = [1] * n_levels
     for lev in range(n_levels - 2, -1, -1):
-        w[lev] = w[lev + 1] * ref_ratio[lev] ** 3
+        w[lev] = w[lev + 1] * ref_ratio[lev] ** ndim
     return w
 
 
@@ -64,7 +67,8 @@ def accumulate_conditional_mean(
 ):
     """All levels accumulated inside one jitted call (one host fetch)."""
     meta = dstate.meta
-    weights = tuple(refinement_weights(meta.ref_ratio, meta.n_levels))
+    ndim = 2 if getattr(meta, "ndim2", False) else 3
+    weights = tuple(refinement_weights(meta.ref_ratio, meta.n_levels, ndim))
     ib = dstate.comp(bin_name)
     ia = tuple(dstate.comp(n) for n in avg_names)
     masks = [dstate.valid_mask(lev) for lev in range(meta.n_levels)]

@@ -34,11 +34,12 @@ def _cond_mask(ds: DenseAmrState, lev: int, c_name: Optional[str],
     return m
 
 
-def _ratio_to_finest(meta, lev: int) -> int:
-    r = 1
-    for l in range(lev, meta.n_levels - 1):
-        r *= meta.ref_ratio[l]
-    return r
+def _ratio_to_finest(meta, lev: int, d: int) -> int:
+    """Per-dimension refinement factor lev -> finest (1 along degenerate
+    dims of promoted DIM=2 plotfiles)."""
+    fin = meta.n_levels - 1
+    return (meta.geoms[fin].domain.shape[d]
+            // meta.geoms[lev].domain.shape[d])
 
 
 def integrate_along(ds: DenseAmrState, var_names: Sequence[str],
@@ -62,21 +63,22 @@ def integrate_along(ds: DenseAmrState, var_names: Sequence[str],
         w = float(np.prod([geom.dx[d] for d in int_dirs]))
         mask = _cond_mask(ds, lev, c_name, c_min, c_max)
         axes = tuple(int_dirs)
-        r = _ratio_to_finest(meta, lev)
+        rs = [_ratio_to_finest(meta, lev, d) for d in rem]
         bbox = ds.lmeta[lev].bbox
 
         def to_out(a):
             a = np.asarray(a)
             for k in range(len(rem)):
-                a = np.repeat(a, r, axis=k)
+                a = np.repeat(a, rs[k], axis=k)
             return a
 
         part_w = jnp.sum(jnp.where(mask, 1.0, 0.0) * w, axis=axes)
         parts = [jnp.sum(jnp.where(mask, ds.data[lev][ds.comp(n)], 0.0) * w,
                          axis=axes) for n in var_names]
         if rem:
-            off = tuple(bbox.lo[d] * r - fin_dom.lo[d] for d in rem)
-            sl = tuple(slice(off[k], off[k] + part_w.shape[k] * r)
+            off = tuple(bbox.lo[rem[k]] * rs[k] - fin_dom.lo[rem[k]]
+                        for k in range(len(rem)))
+            sl = tuple(slice(off[k], off[k] + part_w.shape[k] * rs[k])
                        for k in range(len(rem)))
             acc_w[sl] += to_out(part_w)
             for n, p in enumerate(parts):

@@ -145,3 +145,23 @@ def test_2d_stream_rotation(tmp_path):
     assert np.abs(r - 0.15).max() < 0.01
     # no z drift
     np.testing.assert_allclose(lines[0, :, 2], 0.5, atol=1e-9)
+
+
+def test_2d_integral_and_weights(plt2d):
+    from peleanalysis_tpu.tools.conditional_mean import (
+        accumulate_conditional_mean, refinement_weights)
+    from peleanalysis_tpu.tools.integral import integrate_along
+    assert refinement_weights([2, 2], 3, ndim=2) == [16, 4, 1]
+    st = AmrState.from_plotfile(plt2d, dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    # volume integral in a promoted-2D state (dz=1 -> area integral)
+    _, w, fields = integrate_along(ds, ["progress"], [0, 1, 2])
+    assert abs(float(w) - 1.0) < 1e-12
+    # integral along y -> profile over (x, z=1)
+    coords, w1, f1 = integrate_along(ds, ["progress"], [1])
+    assert f1[0].shape == (128, 1)
+    np.testing.assert_allclose(w1, 1.0, rtol=1e-12)
+    # conditional mean weights: total = finest-equivalent 2D cell count
+    hits, sums, _, _, _ = accumulate_conditional_mean(
+        ds, "progress", ["temp"], 8, -0.1, 1.1)
+    np.testing.assert_allclose(hits.sum(), 128 * 128, rtol=1e-12)
