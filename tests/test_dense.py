@@ -164,3 +164,33 @@ def make_two_level_q(fields, n=16, mgs=8):
     fabs = [[eval_on_box(b, g, fields) for b in ba]
             for g, ba in zip([geom0, geom1], [ba0, ba1])]
     return AmrState.from_arrays(meta, list(fields), fabs, dtype=np.float64)
+
+
+def test_ratio4_fill_and_grad():
+    """ref_ratio=4 hierarchies (used by some Pele runs): linear upsample
+    phases and fills must stay exact for linear fields."""
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+    fields = {"f": lambda x, y, z: 2 * x - y + 0.5 * z}
+    dom0 = Box((0, 0, 0), (15, 15, 15))
+    geom0 = Geometry(dom0, (0.0,) * 3, (1.0,) * 3, (False,) * 3)
+    ba0 = decompose(dom0, 8)
+    geom1 = geom0.refine(4)
+    ba1 = decompose(Box((16, 16, 16), (47, 47, 47)), 16)
+    meta = AmrMeta([geom0, geom1], [ba0, ba1], [4])
+    fabs = [[eval_on_box(b, g, fields) for b in ba]
+            for g, ba in zip([geom0, geom1], [ba0, ba1])]
+    st = AmrState.from_arrays(meta, ["f"], fabs, dtype=np.float64)
+    ds = DenseAmrState.from_batched(st)
+    grown = np.asarray(fill_dense(ds, 1, 2, interp="linear"))
+    bbox = ds.lmeta[1].bbox.grow(2)
+    cs = [geom1.prob_lo[d] + (np.arange(bbox.lo[d], bbox.hi[d] + 1) + 0.5)
+          * geom1.dx[d] for d in range(3)]
+    mesh = np.meshgrid(*cs, indexing="ij")
+    np.testing.assert_allclose(grown[0], fields["f"](*mesh), rtol=1e-12)
+    out = compute_grad_dense(ds, "f")
+    inner = (slice(2, -2),) * 3
+    np.testing.assert_allclose(
+        np.asarray(out.data[1][out.comp("f_gx")])[inner], 2.0, atol=1e-10)
+    # conditionalMean weights for r=4
+    from peleanalysis_tpu.tools.conditional_mean import refinement_weights
+    assert refinement_weights([4], 2) == [64, 1]
