@@ -190,10 +190,11 @@ def _active_counts(ci_list, ok_list):
 
 @partial(jax.jit, static_argnames=("cap",))
 def _active_cells(ci_dev, ok_dev, cap):
-    """Flat indices + case values of active dual cells (padded to cap)."""
+    """Flat indices + case values of active dual cells (padded to cap),
+    plus the true count so callers can detect cap overflow."""
     af = (ok_dev & (_EDGE_TABLE_DEV[ci_dev] != 0)).ravel()
     idx = jnp.nonzero(af, size=cap, fill_value=0)[0].astype(jnp.int32)
-    return idx, ci_dev.ravel()[idx]
+    return idx, ci_dev.ravel()[idx], jnp.sum(af)
 
 
 def _ok_mask_dev(dstate, lev):
@@ -442,17 +443,22 @@ def extract_isosurface(
         ci_dev = _classify_all_levels(grown_all, iso_val)
         ok_devs = [_ok_mask_dev(dstate, lev)[0]
                    for lev in range(meta.n_levels)]
-        counts = jax.device_get(_active_counts(ci_dev, ok_devs))
+        # speculative capacities (cached from the previous extraction) let us
+        # fetch indices + counts in ONE roundtrip; on overflow we refetch
+        caps = getattr(dstate, "_mc_caps", None)
+        if caps is None:
+            caps = dstate._mc_caps = {}
         active_all = []
         for lev in range(meta.n_levels):
-            n = int(counts[lev])
-            if n == 0:
-                active_all.append((np.zeros(0, np.int64),
-                                   np.zeros(0, np.uint8)))
-                continue
-            cap = _pad_pow2(n)
-            idx, cia = jax.device_get(_active_cells(
+            cap = caps.get(lev, 1 << 15)
+            idx, cia, n = jax.device_get(_active_cells(
                 ci_dev[lev], ok_devs[lev], cap))
+            n = int(n)
+            if n > cap:  # speculation failed: refetch with the true size
+                cap = _pad_pow2(n)
+                idx, cia, _ = jax.device_get(_active_cells(
+                    ci_dev[lev], ok_devs[lev], cap))
+            caps[lev] = max(_pad_pow2(max(n, 1)), 1 << 15)
             active_all.append((idx[:n].astype(np.int64), cia[:n]))
     all_keys, all_vals = [], []
     for lev in range(meta.n_levels):
