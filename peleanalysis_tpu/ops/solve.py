@@ -41,3 +41,37 @@ def cg_solve(apply_A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, r0, dot(r0, r0)),
                                    None, length=n_iter)
     return x
+
+
+def cg_solve_composite(apply_A: Callable, b_list, x0_list, mask_list,
+                       vol_list, n_iter: int):
+    """Composite-hierarchy CG: unknowns are the VALID cells of every level
+    at once (the MLMG composite-solve analog, curvature.cpp:328-406).
+    apply_A maps a list of per-level arrays to a list; dots are
+    volume-weighted over valid cells so levels contribute consistently."""
+    import jax.numpy as jnp
+
+    ms = [m.astype(b_list[0].dtype) * v for m, v in zip(mask_list, vol_list)]
+
+    def dot(us, vs):
+        return sum(jnp.sum(u * v * m) for u, v, m in zip(us, vs, ms))
+
+    def mask_mul(us):
+        return [u * (m > 0) for u, m in zip(us, mask_list)]
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Ap = mask_mul(apply_A(p))
+        alpha = rs / jnp.maximum(dot(p, Ap), 1e-300)
+        x = [xi + alpha * pi * mi for xi, pi, mi in zip(x, p, mask_list)]
+        r = [ri - alpha * api for ri, api in zip(r, Ap)]
+        rs_new = dot(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-300)
+        p = [(ri + beta * pi) * mi for ri, pi, mi in zip(r, p, mask_list)]
+        return (x, r, p, rs_new), None
+
+    r0 = mask_mul([bi - ai for bi, ai in
+                   zip(b_list, apply_A(x0_list))])
+    init = (list(x0_list), r0, list(r0), dot(r0, r0))
+    (x, _, _, _), _ = jax.lax.scan(body, init, None, length=n_iter)
+    return x

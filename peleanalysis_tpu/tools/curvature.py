@@ -40,7 +40,8 @@ import numpy as np
 
 from ..amr.dense import DenseAmrState
 from ..ops.dense_fill import fill_dense_arrays, fill_dense_multilevel
-from ..ops.solve import cg_solve
+from ..ops.restrict import average_down_all
+from ..ops.solve import cg_solve, cg_solve_composite
 from ..ops.stencil import centered_gradient, interior
 from .grad import grad_bc
 
@@ -65,6 +66,7 @@ def compute_curvature_dense(
     do_smooth: bool = False,
     smooth_time: float = 1.0e-7,
     smooth_iters: int = 50,
+    smooth_composite: bool = True,
     do_gauss: bool = True,
     do_strain: bool = False,
     get_strain_tensor: bool = False,
@@ -102,8 +104,33 @@ def compute_curvature_dense(
         inv = 1.0 / (prog_max - prog_min)
         prog = [jnp.asarray((s - prog_min) * inv, s.dtype) for s in scal]
 
-        # -- smoothing solve, coarse -> fine ---------------------------------
-        if do_smooth:
+        # -- smoothing solve ---------------------------------------------------
+        from ..ops.stencil import laplacian
+
+        if do_smooth and smooth_composite:
+            # composite solve over all levels at once (the MLMG analog):
+            # covered coarse cells track the fine solution via average_down,
+            # ghosts couple fine to coarse via the fill — both directions
+            # inside the operator
+            valid = [jnp.asarray(dstate.valid_mask(l))[None]
+                     for l in range(meta.n_levels)]
+            covered = [dstate.covered_mask(l)
+                       for l in range(meta.n_levels)]
+            vols = [meta.geoms[l].cell_volume()
+                    for l in range(meta.n_levels)]
+
+            def apply_A(x_list):
+                xd = average_down_all(meta, lmeta, x_list, covered)
+                grown = fill_dense_multilevel(meta, lmeta, xd, mask_list,
+                                              1, bc, interp)
+                return [xd[l] - smooth_time
+                        * laplacian(grown[l], meta.geoms[l].dx, 1)
+                        for l in range(meta.n_levels)]
+
+            smoothed = cg_solve_composite(apply_A, prog, prog, valid, vols,
+                                          smooth_iters)
+            smoothed = average_down_all(meta, lmeta, smoothed, covered)
+        elif do_smooth:
             smoothed: List[jnp.ndarray] = list(prog)
             for lev in range(meta.n_levels):
                 dx = meta.geoms[lev].dx
@@ -112,10 +139,7 @@ def compute_curvature_dense(
                     flds = smoothed[:lev] + [x] + prog[lev + 1:]
                     grown = fill_dense_arrays(meta, lmeta, flds, mask_list,
                                               lev, 1, bc, interp)
-                    lap = 0.0
-                    from ..ops.stencil import laplacian
-                    lap = laplacian(grown, dx, 1)
-                    return x - smooth_time * lap
+                    return x - smooth_time * laplacian(grown, dx, 1)
 
                 m = mask_list[lev][None]
                 smoothed[lev] = cg_solve(apply_A, prog[lev], prog[lev], m,
@@ -246,7 +270,8 @@ def compute_curvature_dense(
 
 def main(args: dict) -> None:
     """CLI: curvature infile=<plt> [progressName=temp] [progMin= progMax=]
-    [do_smooth=0] [smoothing_time=1e-7] [do_gaussCurv=1] [do_strain=0]
+    [do_smooth=0] [smoothing_time=1e-7] [smooth_composite=1] [smooth_iters=50]
+    [do_gaussCurv=1] [do_strain=0]
     [getStrainTensor=0] [do_velnormal=0] [threshold_prog=0] [threshold=0.02]
     [is_per=...] [outfile=...]"""
     from ..amr.hierarchy import AmrState
@@ -271,6 +296,8 @@ def main(args: dict) -> None:
         prog_max=pp.query_float("progMax", None),
         do_smooth=pp.query_bool("do_smooth", False),
         smooth_time=pp.query_float("smoothing_time", 1.0e-7),
+        smooth_composite=pp.query_bool("smooth_composite", True),
+        smooth_iters=pp.query_int("smooth_iters", 50),
         do_gauss=pp.query_bool("do_gaussCurv", True),
         do_strain=do_strain,
         get_strain_tensor=pp.query_bool("getStrainTensor", False),
