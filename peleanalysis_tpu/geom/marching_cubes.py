@@ -197,6 +197,28 @@ def _active_cells(ci_dev, ok_dev, cap):
     return idx, ci_dev.ravel()[idx], jnp.sum(af)
 
 
+@partial(jax.jit, static_argnames=("caps",))
+def _active_all_packed(ci_list, ok_list, caps):
+    """Active-cell discovery for ALL levels packed into ONE int32 vector
+    [counts | idx_0..idx_L | cia_0..cia_L] so the host needs a single
+    tunnel roundtrip instead of one per level."""
+    idxs, cias, counts = [], [], []
+    for ci, ok, cap in zip(ci_list, ok_list, caps):
+        af = (ok & (_EDGE_TABLE_DEV[ci] != 0)).ravel()
+        idx = jnp.nonzero(af, size=cap, fill_value=0)[0].astype(jnp.int32)
+        idxs.append(idx)
+        cias.append(ci.ravel()[idx].astype(jnp.int32))
+        counts.append(jnp.sum(af).astype(jnp.int32))
+    return jnp.concatenate([jnp.stack(counts)] + idxs + cias)
+
+
+@jax.jit
+def _gather_rows_multi(used_list, ridx_list):
+    """Per-level node-row gathers concatenated on device: one fetch total."""
+    return jnp.concatenate([u[r] for u, r in zip(used_list, ridx_list)],
+                           axis=0)
+
+
 def _ok_mask_dev(dstate, lev):
     """iso-independent processability mask of dual cells, uploaded once per
     (state, level): no covered corner, touches the level, inside the
@@ -448,16 +470,19 @@ def extract_isosurface(
         caps = getattr(dstate, "_mc_caps", None)
         if caps is None:
             caps = dstate._mc_caps = {}
+        cap_t = tuple(caps.get(lev, 1 << 15) for lev in range(meta.n_levels))
+        packed = np.asarray(_active_all_packed(ci_dev, ok_devs, cap_t))
+        counts = packed[: meta.n_levels]
+        base = meta.n_levels
         active_all = []
         for lev in range(meta.n_levels):
-            cap = caps.get(lev, 1 << 15)
-            idx, cia, n = jax.device_get(_active_cells(
-                ci_dev[lev], ok_devs[lev], cap))
-            n = int(n)
-            if n > cap:  # speculation failed: refetch with the true size
-                cap = _pad_pow2(n)
+            cap, n = cap_t[lev], int(counts[lev])
+            idx = packed[base: base + cap]
+            cia = packed[base + sum(cap_t): base + sum(cap_t) + cap]
+            base += cap
+            if n > cap:  # speculation failed: refetch this level full-size
                 idx, cia, _ = jax.device_get(_active_cells(
-                    ci_dev[lev], ok_devs[lev], cap))
+                    ci_dev[lev], ok_devs[lev], _pad_pow2(n)))
             caps[lev] = max(_pad_pow2(max(n, 1)), 1 << 15)
             active_all.append((idx[:n].astype(np.int64), cia[:n]))
     all_keys, all_vals = [], []
@@ -518,19 +543,28 @@ def extract_isosurface(
         lev_sizes = [k.reshape(-1, 2).shape[0] for k in all_keys]
         lev_base = np.cumsum([0] + lev_sizes)
         nodes = np.empty((len(uniq), nf))
+        used_list, ridx_list, sel_list, n_list = [], [], [], []
         for lev, (rows, used_dev) in enumerate(all_vals):
             sel = np.nonzero((first >= lev_base[lev])
                              & (first < lev_base[lev + 1]))[0]
-            if len(sel) == 0:
+            if len(sel) == 0 or used_dev is None:
                 continue
             local = first[sel] - lev_base[lev]
             rsel = rows.reshape(-1)[local]           # used-edge rows
             npad = _pad_pow2(len(rsel))
-            ridx = jnp.asarray(np.concatenate(
+            ridx_list.append(jnp.asarray(np.concatenate(
                 [rsel.astype(np.int32),
-                 np.zeros(npad - len(rsel), np.int32)]))
-            got = np.asarray(_gather_rows(used_dev, ridx))[:len(rsel)]
-            nodes[sel] = got
+                 np.zeros(npad - len(rsel), np.int32)])))
+            used_list.append(used_dev)
+            sel_list.append(sel)
+            n_list.append(len(rsel))
+        if used_list:
+            # all levels gathered + concatenated on device: ONE fetch
+            got_all = np.asarray(_gather_rows_multi(used_list, ridx_list))
+            off = 0
+            for sel, n, ridx in zip(sel_list, n_list, ridx_list):
+                nodes[sel] = got_all[off: off + n]
+                off += len(ridx)
     else:
         tri_vals = np.concatenate(all_vals)
         nodes = tri_vals.reshape(-1, tri_vals.shape[-1])[first]
