@@ -27,6 +27,7 @@ from .fab import read_fab
 from .plotfile import _parse_vismf_header, _write_vismf
 
 FORMAT_NAME = "Oddball-multilevel-connected-data-format"
+FORMAT_NAME_10 = FORMAT_NAME + "-1.0"
 ZBOX = Box((0, 0, 0), (0, 0, 0))
 
 
@@ -117,14 +118,33 @@ def compute_inside_nodes(meta, seeds: np.ndarray) -> List[List[np.ndarray]]:
     return out
 
 
-def write_stream_data(path: str, sd: StreamData, meta=None) -> None:
+def write_stream_data(path: str, sd: StreamData, meta=None,
+                      version: str = "0") -> None:
+    """version="1.0" writes the extended header (element-file name/format,
+    probLo/probHi, per-level prob domains, per-level VisMF names) in the
+    layout the reference READER expects (StreamData.cpp:147-200) — the
+    reference's own v1.0 writer (StreamData.cpp:333-344) emits boxArrays its
+    reader never consumes, so we follow the reader."""
+    if version not in ("0", "1.0"):
+        raise ValueError(f"unknown StreamData version {version!r}")
+    if version == "1.0" and meta is None:
+        raise ValueError("version='1.0' needs meta for probLo/probHi/domains")
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "Header"), "w") as f:
-        f.write(FORMAT_NAME + "\n")
+        f.write((FORMAT_NAME_10 if version == "1.0" else FORMAT_NAME) + "\n")
         f.write(f"{sd.n_levels}\n")
         f.write(f"{len(sd.names)}\n")
         for n in sd.names:
             f.write(n + "\n")
+        if version == "1.0":
+            f.write("Elements\nELEMENT_DATA_ASCII\n")
+            g0 = meta.geoms[0]
+            f.write(" ".join(f"{v:.17g}" for v in g0.prob_lo) + " \n")
+            f.write(" ".join(f"{v:.17g}" for v in g0.prob_hi) + " \n")
+            for lev in range(sd.n_levels):
+                f.write(repr(meta.geoms[lev].domain) + "\n")
+            for lev in range(sd.n_levels):
+                f.write(f"Level_{lev}/Str\n")
     with open(os.path.join(path, "Elements"), "w") as f:
         npe = sd.elements.shape[1] if sd.elements.size else 3
         f.write(f"{len(sd.elements)}\n{npe}\n")
@@ -162,7 +182,19 @@ def read_stream_data(path: str) -> StreamData:
         n_levels = int(f.readline())
         n_vars = int(f.readline())
         names = [f.readline().strip() for _ in range(n_vars)]
-        # (format 1.0 carries extra geometry lines; tolerated but unused)
+        elements_file = "Elements"
+        mf_paths = [f"Level_{lev}/Str" for lev in range(n_levels)]
+        if fmt.strip() == FORMAT_NAME_10:
+            # extended header: element file name/format, probLo/probHi,
+            # per-level prob domains, then per-level VisMF names
+            # (StreamData.cpp:147-200); files from the reference's own v1.0
+            # writer carry boxArrays instead of VisMF names — tolerated by
+            # keeping the defaults when no path-like lines follow
+            elements_file = f.readline().split()[0]
+            rest = [ln.strip() for ln in f if ln.strip()]
+            paths = [ln.split()[0] for ln in rest if "/" in ln.split()[0]]
+            if len(paths) >= n_levels:
+                mf_paths = paths[:n_levels]
     def _next_nonblank(f):
         while True:
             line = f.readline()
@@ -171,7 +203,7 @@ def read_stream_data(path: str) -> StreamData:
             if line.strip():
                 return line
 
-    with open(os.path.join(path, "Elements")) as f:
+    with open(os.path.join(path, elements_file)) as f:
         n_elts = int(_next_nonblank(f))
         npe = int(_next_nonblank(f))
         face = []
@@ -199,8 +231,9 @@ def read_stream_data(path: str) -> StreamData:
                    if len(ids)), default=0)
     lines = None
     for lev in range(n_levels):
-        hdr = _parse_vismf_header(os.path.join(path, f"Level_{lev}",
-                                               "Str_H"))
+        lev_dir, mf_base = os.path.split(mf_paths[lev])
+        hdr = _parse_vismf_header(os.path.join(path, lev_dir,
+                                               mf_base + "_H"))
         # pad inside_nodes with empties to the VisMF box count
         while len(inside_nodes[lev]) < len(hdr["boxes"]):
             inside_nodes[lev].append(np.zeros(0, np.int64))
@@ -208,7 +241,7 @@ def read_stream_data(path: str) -> StreamData:
             ids = inside_nodes[lev][ib]
             if len(ids) == 0:
                 continue
-            with open(os.path.join(path, f"Level_{lev}", fname), "rb") as fb:
+            with open(os.path.join(path, lev_dir, fname), "rb") as fb:
                 fb.seek(off)
                 box, data = read_fab(fb)   # [ncomp, ni, nj, 1]
             if lines is None:

@@ -96,7 +96,8 @@ def main(args: dict) -> None:
     if pp.contains("streamFile"):
         inside = compute_inside_nodes(st.meta, lines[:, (n_rk // 2), :3])
         sd = StreamData(names, np.asarray(elements, np.int32), inside, lines)
-        write_stream_data(pp.get_str("streamFile"), sd)
+        write_stream_data(pp.get_str("streamFile"), sd, meta=st.meta,
+                          version=pp.query_str("sd_version", "0"))
         print(f"wrote {pp.get_str('streamFile')}")
     if pp.contains("outFile"):
         write_tecplot_lines(pp.get_str("outFile"), names, lines)

@@ -279,3 +279,42 @@ def test_surface_decorators_unit():
     pts2[:, 3:] = [1.0, 2.0, -1.0]
     out = surf.advect_points(pts2, names2, 0.5)
     np.testing.assert_allclose(out[:, :3], [[0.5, 1.0, -0.5]] * 3)
+
+
+def test_stream_data_v10_roundtrip(tmp_path):
+    """Format-1.0 StreamData (extended header) writes and reads back, and the
+    extended header carries element-file + per-level VisMF paths."""
+    import numpy as np
+    from peleanalysis_tpu.io.stream_data import (
+        FORMAT_NAME_10, StreamData, compute_inside_nodes, read_stream_data,
+        write_stream_data)
+    from peleanalysis_tpu.amr.hierarchy import AmrMeta
+    from peleanalysis_tpu.testing import make_amr_hierarchy
+
+    geoms, bas, ratios = make_amr_hierarchy(n_cell=16, n_levels=2,
+                                            max_grid_size=8)
+    meta = AmrMeta(geoms, bas, ratios)
+    rng = np.random.default_rng(0)
+    n_lines, n_pts = 12, 7
+    seeds = rng.uniform(0.1, 0.9, size=(n_lines, 3))
+    lines = rng.normal(size=(n_lines, n_pts, 4))
+    lines[:, n_pts // 2, :3] = seeds
+    inside = compute_inside_nodes(meta, seeds)
+    elements = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    sd = StreamData(["X", "Y", "Z", "temp"], elements, inside, lines)
+
+    p = str(tmp_path / "sd10")
+    write_stream_data(p, sd, meta=meta, version="1.0")
+    with open(p + "/Header") as f:
+        assert f.readline().strip() == FORMAT_NAME_10
+    back = read_stream_data(p)
+    assert back.names == sd.names
+    np.testing.assert_array_equal(back.elements, sd.elements)
+    np.testing.assert_allclose(back.lines, sd.lines, rtol=1e-14)
+
+    # v1.0 requires meta
+    import pytest
+    with pytest.raises(ValueError):
+        write_stream_data(str(tmp_path / "bad"), sd, version="1.0")
+    with pytest.raises(ValueError):
+        write_stream_data(str(tmp_path / "bad"), sd, version="2.0")
