@@ -21,17 +21,19 @@ VEL = ["x_velocity", "y_velocity", "z_velocity"]
 
 def rms_velocity(ds: DenseAmrState) -> float:
     """Finest-level-only, matching the reference (all finest cells count —
-    no covered-mask since nothing covers the finest level)."""
+    no covered-mask since nothing covers the finest level).  2-D plotfiles
+    average over the two in-plane components."""
     fin = ds.meta.n_levels - 1
+    vel = VEL[:2] if getattr(ds.meta, "ndim2", False) else VEL
     m = ds.in_level_mask(fin)
     vol = float(np.sum(np.asarray(m)))
     var_sum = 0.0
-    for name in VEL:
+    for name in vel:
         u = ds.data[fin][ds.comp(name)]
         ub = float(jnp.sum(jnp.where(m, u, 0.0))) / vol
         u2 = float(jnp.sum(jnp.where(m, u * u, 0.0))) / vol
         var_sum += u2 - ub * ub
-    return float(np.sqrt(var_sum / 3.0))
+    return float(np.sqrt(var_sum / len(vel)))
 
 
 def main(args: dict) -> None:
@@ -42,7 +44,13 @@ def main(args: dict) -> None:
     out = pp.query_str("outfile", "RmsVel.dat")
     rows = []
     for plt in infiles:
-        st = AmrState.from_plotfile(plt, names=VEL, max_level=finest)
+        from ..io.plotfile import PlotfileReader
+        avail = PlotfileReader(plt).var_names
+        vel = [n for n in VEL if n in avail]
+        if len(vel) < 2:
+            raise ValueError(f"{plt}: no velocity components found "
+                             f"(have {avail})")
+        st = AmrState.from_plotfile(plt, names=vel, max_level=finest)
         ds = DenseAmrState.from_batched(st)
         rows.append((st.meta.time, rms_velocity(ds)))
     with open(out, "w") as f:

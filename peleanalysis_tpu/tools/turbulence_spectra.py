@@ -21,24 +21,27 @@ from .flatten_amr import flatten_to_level
 VEL = ["x_velocity", "y_velocity", "z_velocity"]
 
 
-def energy_spectrum(u: np.ndarray, v: np.ndarray, w: np.ndarray,
+def energy_spectrum(u: np.ndarray, v: np.ndarray, w=None,
                     lengths=(1.0, 1.0, 1.0)):
     """Shell-averaged kinetic-energy spectrum E(k) of a periodic velocity
-    field on a uniform grid.  Returns (k, E) with sum(E) ~ 0.5<|u'|^2>."""
+    field on a uniform grid (2-D or 3-D; pass w=None for 2-D).  Returns
+    (k, E) with sum(E) ~ 0.5<|u'|^2>."""
     import jax.numpy as jnp
 
+    vel = [u, v] + ([] if w is None else [w])
     n = u.shape
+    ndim = u.ndim
     vol = float(np.prod(n))
     comps = []
-    for a in (u, v, w):
+    for a in vel:
         ah = jnp.fft.fftn(jnp.asarray(a - a.mean())) / vol
         comps.append(ah)
     e3 = 0.5 * sum(jnp.abs(c) ** 2 for c in comps)
     e3 = np.asarray(e3)
     ks = [np.fft.fftfreq(n[d], d=lengths[d] / n[d]) * lengths[d]
-          for d in range(3)]
-    KX, KY, KZ = np.meshgrid(*ks, indexing="ij")
-    kmag = np.sqrt(KX**2 + KY**2 + KZ**2)
+          for d in range(ndim)]
+    K = np.meshgrid(*ks, indexing="ij")
+    kmag = np.sqrt(sum(k ** 2 for k in K))
     kmax = int(min(nn // 2 for nn in n))
     kbin = np.clip(np.round(kmag).astype(int), 0, kmax)
     E = np.zeros(kmax + 1)
@@ -46,14 +49,15 @@ def energy_spectrum(u: np.ndarray, v: np.ndarray, w: np.ndarray,
     return np.arange(kmax + 1), E
 
 
-def turbulence_stats(u, v, w):
-    out = {}
+def turbulence_stats(u, v, w=None):
+    out = {"wrms": 0.0}
     tke = 0.0
-    for nm, a in (("u", u), ("v", v), ("w", w)):
+    vel = [("u", u), ("v", v)] + ([] if w is None else [("w", w)])
+    for nm, a in vel:
         fl = a - a.mean()
         out[f"{nm}rms"] = float(np.sqrt(np.mean(fl**2)))
         tke += 0.5 * float(np.mean(fl**2))
-    out["urms_iso"] = float(np.sqrt(2.0 * tke / 3.0))
+    out["urms_iso"] = float(np.sqrt(2.0 * tke / len(vel)))
     out["tke"] = tke
     return out
 
@@ -65,13 +69,22 @@ def main(args: dict) -> None:
     base = pp.query_str("outfile_base", "turb")
     rows = []
     for plt in infiles:
-        st = AmrState.from_plotfile(plt, names=VEL, dtype=np.float64)
+        from ..io.plotfile import PlotfileReader
+        avail = PlotfileReader(plt).var_names
+        vel_names = [n for n in VEL if n in avail]
+        st = AmrState.from_plotfile(plt, names=vel_names, dtype=np.float64)
+        two_d = getattr(st.meta, "ndim2", False)
         lev = pp.query_int("level", st.meta.n_levels - 1)
         dense = np.asarray(flatten_to_level(st, lev))
         geom = st.meta.geoms[lev]
         L = tuple(h - l for l, h in zip(geom.prob_lo, geom.prob_hi))
-        k, E = energy_spectrum(dense[0], dense[1], dense[2], L)
-        stats = turbulence_stats(dense[0], dense[1], dense[2])
+        if two_d:
+            k, E = energy_spectrum(dense[0][..., 0], dense[1][..., 0],
+                                   None, L[:2])
+            stats = turbulence_stats(dense[0][..., 0], dense[1][..., 0])
+        else:
+            k, E = energy_spectrum(dense[0], dense[1], dense[2], L)
+            stats = turbulence_stats(dense[0], dense[1], dense[2])
         tag = plt.rstrip("/").split("/")[-1]
         with open(f"{base}_{tag}_spectrum.dat", "w") as f:
             for ki, Ei in zip(k, E):

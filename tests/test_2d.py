@@ -165,3 +165,63 @@ def test_2d_integral_and_weights(plt2d):
     hits, sums, _, _, _ = accumulate_conditional_mean(
         ds, "progress", ["temp"], 8, -0.1, 1.1)
     np.testing.assert_allclose(hits.sum(), 128 * 128, rtol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def plt2d_vel(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("p2v") / "plt")
+    write_synthetic_plotfile(
+        path, n_cell=32, n_levels=2, ndim=2,
+        fields={"temp": lambda x, y: 300 + x,
+                "x_velocity": lambda x, y: -(y - .5),
+                "y_velocity": lambda x, y: (x - .5)},
+        is_periodic=(False, False))
+    return path
+
+
+def test_2d_rms_vel(plt2d_vel, tmp_path, monkeypatch):
+    """rmsVel on a 2-D plotfile averages over the two in-plane components
+    (was: hardcoded z_velocity load -> ValueError)."""
+    monkeypatch.chdir(tmp_path)
+    from peleanalysis_tpu.tools import rms_vel
+    rms_vel.main({"infile": plt2d_vel, "outfile": "rms.dat"})
+    t, u = np.loadtxt("rms.dat")
+    # solid rotation: per-comp variance of uniform coord over the finest
+    # level's [0.25,0.75] span = 0.5^2/12
+    assert abs(u - np.sqrt(0.25 / 12)) < 5e-3
+
+
+def test_2d_turbulence_spectra(plt2d_vel, tmp_path, monkeypatch):
+    """2-D spectra: ring-binned E(k) with Parseval, w omitted."""
+    monkeypatch.chdir(tmp_path)
+    from peleanalysis_tpu.tools import turbulence_spectra
+    turbulence_spectra.main({"infile": plt2d_vel, "outfile_base": "t2"})
+    E = np.loadtxt("t2_plt_spectrum.dat")
+    from peleanalysis_tpu.tools.flatten_amr import flatten_to_level
+    st = AmrState.from_plotfile(plt2d_vel,
+                                names=["x_velocity", "y_velocity"],
+                                dtype=np.float64)
+    d = np.asarray(flatten_to_level(st, 1))[..., 0]
+    tke = 0.5 * sum(float(np.mean((a - a.mean()) ** 2)) for a in d)
+    # %e file formatting rounds each row at ~1e-7 relative
+    assert abs(E[:, 1].sum() - tke) < 1e-5 * max(tke, 1e-30)
+    stats = open("t2_stats.dat").read()
+    assert "urms_iso" in stats or len(stats.splitlines()) == 2
+
+
+def test_2d_sub_plt(plt2d, tmp_path, monkeypatch):
+    """subPlt accepts a 4-int box on 2-D plotfiles."""
+    monkeypatch.chdir(tmp_path)
+    from peleanalysis_tpu.tools import sub_plt
+    sub_plt.main({"infile": plt2d, "box": "16 16 47 47",
+                  "outfile": "sub2d"})
+    st = AmrState.from_plotfile("sub2d")
+    assert st.meta.geoms[0].domain.shape[:2] == (32, 32)
+    full = AmrState.from_plotfile(plt2d, dtype=np.float64)
+    ic = full.names.index("temp")
+    ds_f = DenseAmrState.from_batched(full)
+    ds_s = DenseAmrState.from_batched(AmrState.from_plotfile(
+        "sub2d", dtype=np.float64))
+    a = np.asarray(ds_f.data[0][ic])[16:48, 16:48, 0]
+    b = np.asarray(ds_s.data[0][ds_s.comp("temp")])[..., 0]
+    np.testing.assert_allclose(b, a, rtol=1e-6)
