@@ -257,6 +257,166 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return table[idx]
 
 
+# ---------------------------------------------------------------------------
+# Fully fused on-device extraction: fill -> classify -> emit -> dedup in ONE
+# jit dispatch, ONE packed fetch.  Node identity is the integer edge key as
+# QUADS (lev, gx, gy, gz) x 2 corners = 8 x int32 (no int64 on device), and
+# the exact sort-unique is lax.sort with num_keys=8 — the device analog of
+# the host lexsort (improving on the reference's epsilon-ball Node::operator<,
+# isosurface.cpp:834-873).
+# ---------------------------------------------------------------------------
+_TRI_TABLE_DEV = jnp.asarray(TRI_TABLE[:, :15].reshape(256, 5, 3))
+_PAIR_A = tuple(int(v) for v in CORNER_PAIRS[:, 0])
+_PAIR_B = tuple(int(v) for v in CORNER_PAIRS[:, 1])
+_I32MAX = np.int32(np.iinfo(np.int32).max)
+
+
+def _lex_lt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a < b lexicographically over the last axis."""
+    lt = jnp.zeros(a.shape[:-1], bool)
+    for d in range(a.shape[-1] - 1, -1, -1):
+        lt = jnp.where(a[..., d] < b[..., d], True,
+                       jnp.where(a[..., d] > b[..., d], False, lt))
+    return lt
+
+
+def _corner_quads_dev(ii, jj, kk, inlev_p, c):
+    """(lev, gx, gy, gz) int32 quads for grown-bbox cell indices; collapsed
+    ghost/hole corners keyed by their coarse parent (device version of
+    _corner_keys_at)."""
+    lev, gbox_lo, dom_lo, dom_shape, periodic, r, domc_lo = c
+    G = []
+    for d, loc in enumerate((ii, jj, kk)):
+        raw = loc + (gbox_lo[d] - dom_lo[d])
+        if periodic[d]:
+            G.append((raw % dom_shape[d]).astype(jnp.int32))
+        else:
+            G.append(jnp.clip(raw, 0, dom_shape[d] - 1).astype(jnp.int32))
+    fine = jnp.stack([jnp.full_like(G[0], lev + 1)] + G, axis=-1)
+    if lev == 0:
+        return fine
+    Gc = [((G[d] + dom_lo[d]) // r - domc_lo[d]).astype(jnp.int32)
+          for d in range(3)]
+    crse = jnp.stack([jnp.full_like(G[0], lev)] + Gc, axis=-1)
+    return jnp.where(inlev_p[ii, jj, kk][..., None], fine, crse)
+
+
+def _emit_level_fused(grown, ok, inlev_p, iso_val, cap, c, iso_comp):
+    """One level's triangles, fully on device.  Returns
+    (verts [cap,12,nf], tri_keys [cap*5,3,8], tri_rows [cap*5,3] level-local,
+    tri_valid [cap*5], n_active)."""
+    ci = _classify(grown[iso_comp], iso_val)
+    shp = ci.shape
+    af = (ok & (_EDGE_TABLE_DEV[ci] != 0)).ravel()
+    n = jnp.sum(af)
+    idx = jnp.nonzero(af, size=cap, fill_value=0)[0]
+    live = (jnp.arange(cap) < n)
+    ai, aj, ak = jnp.unravel_index(idx, shp)
+    cia = ci.ravel()[idx]
+
+    quads = []                                           # 8 x [cap,4]
+    cvals = []                                           # 8 x [nf,cap]
+    for o in np.asarray(CORNER_OFFSETS):
+        ii, jj, kk = ai + o[0], aj + o[1], ak + o[2]
+        quads.append(_corner_quads_dev(ii, jj, kk, inlev_p, c))
+        cvals.append(grown[:, ii, jj, kk])
+    qk = jnp.stack(quads, axis=1)                        # [cap,8,4]
+    cv = jnp.stack(cvals, axis=2)                        # [nf,cap,8]
+
+    ka = qk[:, np.asarray(_PAIR_A)]                      # [cap,12,4]
+    kb = qk[:, np.asarray(_PAIR_B)]
+    a_first = _lex_lt(ka, kb)[..., None]
+    ekey = jnp.concatenate([jnp.where(a_first, ka, kb),
+                            jnp.where(a_first, kb, ka)], axis=-1)  # [cap,12,8]
+
+    A = cv[:, :, np.asarray(_PAIR_A)]                    # [nf,cap,12]
+    B = cv[:, :, np.asarray(_PAIR_B)]
+    fa, fb = A[iso_comp], B[iso_comp]                    # [cap,12]
+    denom = fb - fa
+    t = jnp.where(jnp.abs(denom) > 1e-30,
+                  (iso_val - fa) / jnp.where(denom == 0, 1.0, denom), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    verts = jnp.moveaxis(A + t[None] * (B - A), 0, -1)   # [cap,12,nf]
+
+    tri_e = _TRI_TABLE_DEV[cia]                          # [cap,5,3]
+    tri_valid = ((tri_e[..., 0] >= 0) & live[:, None]).ravel()  # [cap*5]
+    e_safe = jnp.maximum(tri_e, 0)
+    tri_keys = ekey[jnp.arange(cap)[:, None, None], e_safe]     # [cap,5,3,8]
+    tri_rows = (jnp.arange(cap, dtype=jnp.int32)[:, None, None] * 12
+                + e_safe.astype(jnp.int32))                     # [cap,5,3]
+    return (verts, tri_keys.reshape(cap * 5, 3, 8),
+            tri_rows.reshape(cap * 5, 3), tri_valid, n)
+
+
+def _pack_result(nodes, elements, counts):
+    """Single int32 vector: [counts | elements | bitcast(nodes)]."""
+    nb = jax.lax.bitcast_convert_type(nodes, jnp.int32)
+    return jnp.concatenate([jnp.asarray(counts, jnp.int32).ravel(),
+                            elements.astype(jnp.int32).ravel(),
+                            nb.ravel()])
+
+
+def _build_fused_fn(meta, lmeta, consts, bc, nf, iso_comp, caps,
+                    node_cap, tri_cap, unwraps):
+    """Jitted fill->classify->emit->dedup over the whole hierarchy."""
+    n_levels = meta.n_levels
+
+    def fn(data_levels, mask_list, inlev_devs, ok_devs, iso_val):
+        grown = fill_dense_multilevel(meta, lmeta, data_levels, mask_list,
+                                      1, bc, "pc")
+        # periodic unwrap of ghost-ring coordinates (isosurface.cpp:1482-1507)
+        unwrapped = []
+        for lev, g in enumerate(grown):
+            for (sl, dv) in unwraps[lev]:
+                g = g.at[sl].add(dv)
+            unwrapped.append(g)
+
+        verts_all, tk_all, tr_all, tv_all, ns = [], [], [], [], []
+        row_off = 0
+        for lev in range(n_levels):
+            v, tk, tr, tv, n = _emit_level_fused(
+                unwrapped[lev], ok_devs[lev], inlev_devs[lev], iso_val,
+                caps[lev], consts[lev], iso_comp)
+            verts_all.append(v.reshape(-1, nf))
+            tk_all.append(tk)
+            tr_all.append(tr + row_off)
+            tv_all.append(tv)
+            ns.append(n)
+            row_off += caps[lev] * 12
+
+        verts = jnp.concatenate(verts_all)               # [sum cap*12, nf]
+        TK = jnp.concatenate(tk_all)                     # [T,3,8]
+        TR = jnp.concatenate(tr_all)                     # [T,3]
+        TV = jnp.concatenate(tv_all)                     # [T]
+        T = TK.shape[0]
+        N = T * 3
+        flatK = TK.reshape(N, 8)
+        flatR = TR.reshape(N)
+        flatV = jnp.repeat(TV, 3)
+        keyK = jnp.where(flatV[:, None], flatK, _I32MAX)
+        ops = tuple(keyK[:, d] for d in range(8)) \
+            + (jnp.arange(N, dtype=jnp.int32),)
+        sorted_ops = jax.lax.sort(ops, num_keys=8, is_stable=True)
+        sk = jnp.stack(sorted_ops[:8], axis=-1)          # [N,8]
+        perm = sorted_ops[8]
+        new = jnp.concatenate([jnp.ones(1, bool),
+                               jnp.any(sk[1:] != sk[:-1], axis=1)])
+        newv = new & flatV[perm]
+        gid = jnp.cumsum(newv.astype(jnp.int32)) - 1
+        inv = jnp.zeros(N, jnp.int32).at[perm].set(gid)
+        n_uniq = jnp.sum(newv)
+        firstpos = jnp.nonzero(newv, size=node_cap, fill_value=0)[0]
+        nodes = verts[flatR[perm[firstpos]]]             # [node_cap, nf]
+        tri_idx = jnp.nonzero(TV, size=tri_cap, fill_value=0)[0]
+        elements = inv.reshape(T, 3)[tri_idx]            # [tri_cap,3]
+        n_tri = jnp.sum(TV)
+        counts = jnp.concatenate([jnp.stack([n_uniq, n_tri]).astype(jnp.int32),
+                                  jnp.stack(ns).astype(jnp.int32)])
+        return _pack_result(nodes, elements, counts)
+
+    return jax.jit(fn)
+
+
 def _pad_pow2(n: int, minimum: int = 256) -> int:
     m = minimum
     while m < n:
@@ -427,6 +587,119 @@ def extract_level(dstate: DenseAmrState, lev: int, iso_comp: int,
     return tri_keys, tri_vals
 
 
+def _fused_consts(dstate):
+    """Static per-level integer tuples + coordinate-unwrap slices for the
+    fused extractor (cached: they only depend on the hierarchy)."""
+    cached = getattr(dstate, "_mc_fused_consts", None)
+    if cached is not None:
+        return cached
+    meta = dstate.meta
+    consts, unwraps = [], []
+    for lev in range(meta.n_levels):
+        geom = meta.geoms[lev]
+        dom = geom.domain
+        gbox = dstate.lmeta[lev].bbox.grow(1)
+        r = meta.ref_ratio[lev - 1] if lev > 0 else 1
+        domc = dom.coarsen(r) if lev > 0 else dom
+        consts.append((lev, tuple(gbox.lo), tuple(dom.lo), tuple(dom.shape),
+                       tuple(bool(p) for p in geom.is_periodic), int(r),
+                       tuple(domc.lo)))
+        uw = []
+        for d in range(3):
+            if not geom.is_periodic[d]:
+                continue
+            L = float(geom.prob_hi[d] - geom.prob_lo[d])
+            if gbox.lo[d] < dom.lo[d]:
+                sl = [slice(None)] * 3
+                sl[d] = slice(0, 1)
+                uw.append(((d,) + tuple(sl), -L))
+            if gbox.hi[d] > dom.hi[d]:
+                n = gbox.shape[d]
+                sl = [slice(None)] * 3
+                sl[d] = slice(n - 1, n)
+                uw.append(((d,) + tuple(sl), L))
+        unwraps.append(tuple(uw))
+    dstate._mc_fused_consts = (tuple(consts), tuple(unwraps))
+    return dstate._mc_fused_consts
+
+
+def extract_isosurface_fused(dstate: DenseAmrState, iso_name: str,
+                             iso_val: float,
+                             extra_names: Sequence[str] = (),
+                             bc=None, label: Optional[str] = None) -> MEF:
+    """Single-dispatch single-fetch extraction (see the fused block above).
+    Produces the same MEF as extract_isosurface up to node/element order."""
+    meta = dstate.meta
+    names = [iso_name] + [n for n in extra_names if n != iso_name]
+    comps = [dstate.comp(n) for n in names]
+    if bc is None:
+        bc = default_bc(3)
+    nf = 3 + len(names)
+
+    coord_levels = _coord_levels(dstate)
+    data_levels = [jnp.concatenate(
+        [coord_levels[lev], dstate.data[lev][np.asarray(comps)]], axis=0)
+        for lev in range(meta.n_levels)]
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+    ok_devs = [_ok_mask_dev(dstate, lev)[0] for lev in range(meta.n_levels)]
+    inlev_devs = getattr(dstate, "_mc_inlev_dev", None)
+    if inlev_devs is None:
+        inlev_devs = dstate._mc_inlev_dev = [
+            jnp.asarray(_grown_masks(dstate, lev)[1])
+            for lev in range(meta.n_levels)]
+    consts, unwraps = _fused_consts(dstate)
+    dtype = data_levels[0].dtype
+    words = 2 if dtype == jnp.float64 else 1
+
+    caps_d = getattr(dstate, "_mc_caps", None)
+    if caps_d is None:
+        caps_d = dstate._mc_caps = {}
+    node_cap = getattr(dstate, "_mc_node_cap", 1 << 15)
+    tri_cap = getattr(dstate, "_mc_tri_cap", 1 << 15)
+    fns = getattr(dstate, "_mc_fused_fns", None)
+    if fns is None:
+        fns = dstate._mc_fused_fns = {}
+
+    for _attempt in range(4):
+        caps = tuple(caps_d.get(lev, 1 << 14)
+                     for lev in range(meta.n_levels))
+        key = (len(names), bc, caps, node_cap, tri_cap, str(dtype))
+        if key not in fns:
+            fns[key] = _build_fused_fn(meta, dstate.lmeta, consts, bc, nf,
+                                       3, caps, node_cap, tri_cap, unwraps)
+        packed = np.asarray(fns[key](data_levels, masks, inlev_devs,
+                                     ok_devs, iso_val))
+        nl = meta.n_levels
+        n_uniq, n_tri = int(packed[0]), int(packed[1])
+        n_act = [int(v) for v in packed[2: 2 + nl]]
+        ok = True
+        for lev in range(nl):
+            if n_act[lev] > caps[lev]:
+                caps_d[lev] = _pad_pow2(n_act[lev])
+                ok = False
+            else:
+                caps_d[lev] = max(_pad_pow2(max(n_act[lev], 1)), 1 << 12)
+        if n_uniq > node_cap:
+            node_cap = dstate._mc_node_cap = _pad_pow2(n_uniq)
+            ok = False
+        if n_tri > tri_cap:
+            tri_cap = dstate._mc_tri_cap = _pad_pow2(n_tri)
+            ok = False
+        if ok:
+            break
+    base = 2 + nl
+    elements = packed[base: base + tri_cap * 3].reshape(tri_cap, 3)[:n_tri]
+    nbits = packed[base + tri_cap * 3:]
+    nodes = nbits.view(np.float64 if words == 2
+                       else np.float32).reshape(node_cap, nf)[:n_uniq]
+    if n_uniq == 0:
+        return MEF(label or "0", ["X", "Y", "Z"] + names,
+                   np.zeros((0, nf)), np.zeros((0, 3), np.int32))
+    return MEF(label or "0", ["X", "Y", "Z"] + names,
+               np.asarray(nodes, np.float64),
+               np.asarray(elements, np.int32))
+
+
 def extract_isosurface(
     dstate: DenseAmrState,
     iso_name: str,
@@ -437,6 +710,9 @@ def extract_isosurface(
     classify: str = "device",
 ) -> MEF:
     """Marching-cubes isosurface over all levels -> deduplicated MEF."""
+    if classify == "fused":
+        return extract_isosurface_fused(dstate, iso_name, iso_val,
+                                        extra_names, bc, label)
     meta = dstate.meta
     names = [iso_name] + [n for n in extra_names if n != iso_name]
     comps = [dstate.comp(n) for n in names]

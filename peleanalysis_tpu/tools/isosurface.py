@@ -50,9 +50,11 @@ def main(args: dict) -> None:
             mef = extract_isolines(ds, iso_name, iso_val, extras,
                                    label=f"{st.meta.time:g}")
     else:
+        engine = pp.query_str("engine", "device")  # device|fused|numpy
         with phase("Compute Surface"):
             mef = extract_isosurface(ds, iso_name, iso_val, extras,
-                                     label=f"{st.meta.time:g}")
+                                     label=f"{st.meta.time:g}",
+                                     classify=engine)
     base = pp.query_str("outfile_base", f"{infile}_{iso_name}_{iso_val:g}")
     if pp.query_bool("writeSurf", True):
         fmt = pp.query_str("surfFormat", "MEF")

@@ -117,3 +117,42 @@ def test_isosurface_cli(tmp_path, monkeypatch):
     assert mef.n_elts > 10
     assert mef.names == ["X", "Y", "Z", "temp", "density"]
     np.testing.assert_allclose(mef.field("temp"), 1000.0, atol=1e-9)
+
+
+def test_fused_matches_device_path(sphere_ds):
+    """The single-dispatch fused extractor (device sort-unique over int32
+    key quads) produces the identical node set and triangle topology as the
+    host-dedup path, up to ordering."""
+    from peleanalysis_tpu.geom.marching_cubes import extract_isosurface
+
+    m1 = extract_isosurface(sphere_ds, "temp", 1000.0)
+    m2 = extract_isosurface(sphere_ds, "temp", 1000.0, classify="fused")
+    assert len(m1.nodes) > 100
+    assert len(m1.nodes) == len(m2.nodes)
+    assert len(m1.elements) == len(m2.elements)
+
+    def canon(m):
+        n = np.round(m.nodes, 9)
+        order = np.lexsort(n.T[::-1])
+        rank = np.empty(len(n), np.int64)
+        rank[order] = np.arange(len(n))
+        tris = np.sort(rank[m.elements], axis=1)
+        return n[order], tris[np.lexsort(tris.T[::-1])]
+
+    n1, t1 = canon(m1)
+    n2, t2 = canon(m2)
+    np.testing.assert_allclose(n1, n2, atol=1e-12)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_fused_empty_and_repeat(sphere_ds):
+    from peleanalysis_tpu.geom.marching_cubes import extract_isosurface
+    m = extract_isosurface(sphere_ds, "temp", 1e9, classify="fused")
+    assert len(m.nodes) == 0 and len(m.elements) == 0
+    # second call at another isoval reuses the compiled fn + caches;
+    # temp = 300 + 1500 exp(-r2/w2) = 800 -> r = w*sqrt(ln(3)) with w=0.15
+    m2 = extract_isosurface(sphere_ds, "temp", 800.0, classify="fused")
+    assert len(m2.nodes) > 100
+    r = np.sqrt(((m2.nodes[:, :3] - 0.5) ** 2).sum(1))
+    r_exp = 0.15 * np.sqrt(np.log(3.0))
+    assert np.abs(r - r_exp).max() < 4e-3
