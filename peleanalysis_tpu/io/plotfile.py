@@ -106,7 +106,31 @@ class PlotfileReader:
 
     def read_level(self, lev: int,
                    comps: Optional[Sequence[int]] = None) -> List[np.ndarray]:
-        return [self.read_box(lev, i, comps) for i in range(len(self._index(lev)["boxes"]))]
+        """All boxes of a level; uses the native parallel FAB loader
+        (native/vismf_io.cpp, the AmrData-reader analog) when it builds,
+        falling back to the pure-python per-box path."""
+        idx = self._index(lev)
+        nbox = len(idx["boxes"])
+        try:
+            from ..native import load_fabs
+            # dtype/ncomp are uniform across a VisMF: probe the first FAB
+            with open(os.path.join(idx["dir"], idx["fabs"][0][0]),
+                      "rb") as f:
+                f.seek(idx["fabs"][0][1])
+                _, ncomp, dtype = read_fab_header(f)
+            sel = list(range(ncomp)) if comps is None else list(comps)
+            paths = [os.path.join(idx["dir"], idx["fabs"][i][0])
+                     for i in range(nbox)]
+            offsets = np.array([idx["fabs"][i][1] for i in range(nbox)],
+                               np.int64)
+            shapes = [idx["boxes"][i].shape for i in range(nbox)]
+            dims = np.array(shapes, np.int32)
+            dests = [np.empty((len(sel),) + s, np.float64) for s in shapes]
+            load_fabs(paths, offsets, dims, np.array(sel, np.int32),
+                      dtype.itemsize, dests)
+            return dests
+        except Exception:
+            return [self.read_box(lev, i, comps) for i in range(nbox)]
 
     def read_level_names(self, lev: int, names: Sequence[str]) -> List[np.ndarray]:
         return self.read_level(lev, [self.var_index(n) for n in names])

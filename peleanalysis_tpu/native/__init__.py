@@ -1,6 +1,7 @@
 """Native (C++) host-side kernels: build-on-first-use via g++, loaded through
-ctypes (the image ships no pybind11).  Currently: QEM mesh decimation
-(qslim replacement for decimateMEF)."""
+ctypes (the image ships no pybind11).  Components: QEM mesh decimation
+(qslim replacement for decimateMEF) and the parallel VisMF/FAB loader
+(the reference's C++ AmrData-reader analog)."""
 from __future__ import annotations
 
 import ctypes
@@ -16,13 +17,14 @@ _LIB = None
 
 
 def _build() -> str:
-    src = os.path.join(_DIR, "qem.cpp")
+    srcs = [os.path.join(_DIR, "qem.cpp"),
+            os.path.join(_DIR, "vismf_io.cpp")]
     so = os.path.join(_DIR, "libpele_native.so")
     if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
+            or any(os.path.getmtime(so) < os.path.getmtime(s) for s in srcs)):
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
-            check=True)
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             *srcs, "-o", so], check=True)
     return so
 
 
@@ -43,8 +45,43 @@ def get_lib():
                 np.ctypeslib.ndpointer(np.int32, flags="C"),
                 np.ctypeslib.ndpointer(np.int32, flags="C"),
             ]
+            lib.load_fabs.restype = ctypes.c_int
+            lib.load_fabs.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                np.ctypeslib.ndpointer(np.int32, flags="C"),
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.int32, flags="C"),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_int, ctypes.c_int,
+            ]
             _LIB = lib
     return _LIB
+
+
+def load_fabs(paths, offsets, dims, sel, itemsize, dests,
+              nthreads: int = 0):
+    """Read many FAB records concurrently (see vismf_io.cpp ABI).
+    paths: list[str]; offsets: int64 [n]; dims: int32 [n,3]; sel: int32
+    on-disk comp indices; dests: list of float64 C-contiguous arrays
+    [len(sel), nx, ny, nz]."""
+    lib = get_lib()
+    n = len(paths)
+    if n == 0:
+        return
+    cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    cdests = (ctypes.c_void_p * n)(
+        *[d.ctypes.data for d in dests])
+    if nthreads <= 0:
+        nthreads = min(max(os.cpu_count() or 4, 1), 16)
+    rc = lib.load_fabs(
+        cpaths, np.ascontiguousarray(offsets, np.int64),
+        np.ascontiguousarray(dims, np.int32).ravel(), len(sel),
+        np.ascontiguousarray(sel, np.int32), int(itemsize),
+        ctypes.cast(cdests, ctypes.POINTER(ctypes.c_void_p)), n, nthreads)
+    if rc != 0:
+        raise IOError(f"load_fabs: job {rc - 1} ({paths[rc - 1]}) failed")
 
 
 def qem_decimate(verts: np.ndarray, tris: np.ndarray, face_target: int,

@@ -140,3 +140,33 @@ def test_converter_scripts(tmp_path):
              str(tmp_path / out)], capture_output=True, text=True, env=env)
         assert r.returncode == 0, (script, r.stderr[-500:])
         assert (tmp_path / out).exists()
+
+
+def test_native_fab_loader_parity(tmp_path):
+    """native/vismf_io.cpp parallel loader returns bit-identical arrays to
+    the pure-python per-box reader, including out-of-order comp selection."""
+    from peleanalysis_tpu.io.plotfile import PlotfileReader
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2, max_grid_size=16,
+                             fields={"a": lambda x, y, z: x + 2 * y,
+                                     "b": lambda x, y, z: np.sin(5 * z),
+                                     "c": lambda x, y, z: x * y * z})
+    r = PlotfileReader(path)
+    pytest.importorskip("ctypes")
+    try:
+        from peleanalysis_tpu.native import load_fabs  # noqa: F401 (build)
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    for lev in range(2):
+        nat = r.read_level(lev)
+        ref = [r.read_box(lev, i)
+               for i in range(len(r._index(lev)["boxes"]))]
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(a, b)
+    nat = r.read_level(0, [2, 0])
+    ref = [r.read_box(0, i, [2, 0])
+           for i in range(len(r._index(0)["boxes"]))]
+    for a, b in zip(nat, ref):
+        np.testing.assert_array_equal(a, b)
