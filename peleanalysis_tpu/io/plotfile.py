@@ -124,7 +124,10 @@ class PlotfileReader:
             offsets = np.array([idx["fabs"][i][1] for i in range(nbox)],
                                np.int64)
             shapes = [idx["boxes"][i].shape for i in range(nbox)]
-            dims = np.array(shapes, np.int32)
+            # DIM=2 plotfiles have 2-tuple box shapes: pad nz=1 for the ABI
+            dims = np.ones((nbox, 3), np.int32)
+            for i, s in enumerate(shapes):
+                dims[i, : len(s)] = s
             dests = [np.empty((len(sel),) + s, np.float64) for s in shapes]
             load_fabs(paths, offsets, dims, np.array(sel, np.int32),
                       dtype.itemsize, dests)

@@ -44,7 +44,9 @@ def main(args: dict) -> None:
     n_steps = pp.query_int("Nsteps", 51)
     h_rk = pp.query_float("hRK", 0.1)
 
-    vel = ["x_velocity", "y_velocity", "z_velocity"]
+    from ..io.plotfile import PlotfileReader
+    vel = [v for v in ("x_velocity", "y_velocity", "z_velocity")
+           if v in PlotfileReader(infile).var_names]
     st = AmrState.from_plotfile(infile, names=vel,
                                 max_level=pp.query_int("finestLevel", None),
                                 dtype=np.float64)

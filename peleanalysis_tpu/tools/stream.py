@@ -64,7 +64,10 @@ def main(args: dict) -> None:
     aux = pp.query_str_list("aux_comps", [])
     build_alt = pp.query_bool("buildAltSurf", False)
 
-    vel = ["x_velocity", "y_velocity", "z_velocity"]
+    from ..io.plotfile import PlotfileReader
+    avail = PlotfileReader(plotfile).var_names
+    vel = [v for v in ("x_velocity", "y_velocity", "z_velocity")
+           if v in avail]
     load = ([progress_name] if not trace_along_v else list(vel))
     sample = [progress_name] + [a for a in aux if a != progress_name]
     if build_alt:

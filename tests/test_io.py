@@ -170,3 +170,21 @@ def test_native_fab_loader_parity(tmp_path):
            for i in range(len(r._index(0)["boxes"]))]
     for a, b in zip(nat, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_fab_loader_2d(tmp_path):
+    """2-tuple (DIM=2) box shapes must not corrupt the native loader ABI
+    (regression: dims array was [nbox,2] while C++ read 3 ints per job)."""
+    from peleanalysis_tpu.io.plotfile import PlotfileReader
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    path = str(tmp_path / "plt2")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2, ndim=2,
+                             fields={"a": lambda x, y: x - 3 * y})
+    r = PlotfileReader(path)
+    for lev in range(2):
+        nat = r.read_level(lev)
+        ref = [r.read_box(lev, i)
+               for i in range(len(r._index(lev)["boxes"]))]
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(a, b)
