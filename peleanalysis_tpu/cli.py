@@ -7,6 +7,7 @@ tool's ParmParse key surface.
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 
 from .parmparse import parse_argv
@@ -78,7 +79,17 @@ def main(argv=None) -> int:
     mod = importlib.import_module(TOOLS[tool], package=__package__)
     args = parse_argv(argv[1:])
     args.setdefault("_tool", [tool])
-    mod.main(args)
+    # PELE_PROFILE=<dir>: wrap the tool in a jax.profiler trace (the TPU
+    # analog of the reference's BL_PROFILE / TinyProfiler regions, SURVEY §5)
+    prof_dir = os.environ.get("PELE_PROFILE", "")
+    if prof_dir:
+        import jax
+
+        with jax.profiler.trace(prof_dir):
+            mod.main(args)
+        print(f"profile trace written to {prof_dir}")
+    else:
+        mod.main(args)
     return 0
 
 
