@@ -18,6 +18,7 @@ __all__ = [
     "StreamData", "read_stream_data", "write_stream_data",
     # engines
     "extract_isosurface", "extract_isolines", "trace_streamlines",
+    "cg_solve", "cg_solve_composite", "average_down_all",
     "fill_dense_multilevel",
 ]
 
@@ -41,6 +42,11 @@ def __getattr__(name):
                              "extract_isolines"),
         "trace_streamlines": ("peleanalysis_tpu.stream.trace",
                               "trace_streamlines"),
+        "cg_solve": ("peleanalysis_tpu.ops.solve", "cg_solve"),
+        "cg_solve_composite": ("peleanalysis_tpu.ops.solve",
+                               "cg_solve_composite"),
+        "average_down_all": ("peleanalysis_tpu.ops.restrict",
+                             "average_down_all"),
         "fill_dense_multilevel": ("peleanalysis_tpu.ops.dense_fill",
                                   "fill_dense_multilevel"),
     }

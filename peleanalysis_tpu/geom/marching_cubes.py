@@ -200,16 +200,35 @@ def _active_cells(ci_dev, ok_dev, cap):
 @partial(jax.jit, static_argnames=("caps",))
 def _active_all_packed(ci_list, ok_list, caps):
     """Active-cell discovery for ALL levels packed into ONE int32 vector
-    [counts | idx_0..idx_L | cia_0..cia_L] so the host needs a single
-    tunnel roundtrip instead of one per level."""
+    [counts | idx_0..idx_L | cia4_0..cia4_L] so the host needs a single
+    tunnel roundtrip instead of one per level; case values ride 4-per-int32
+    (they are uint8) to shrink the payload."""
     idxs, cias, counts = [], [], []
     for ci, ok, cap in zip(ci_list, ok_list, caps):
         af = (ok & (_EDGE_TABLE_DEV[ci] != 0)).ravel()
         idx = jnp.nonzero(af, size=cap, fill_value=0)[0].astype(jnp.int32)
         idxs.append(idx)
-        cias.append(ci.ravel()[idx].astype(jnp.int32))
+        c = ci.ravel()[idx].astype(jnp.int32)
+        cias.append(c[0::4] | (c[1::4] << 8) | (c[2::4] << 16)
+                    | (c[3::4] << 24))
         counts.append(jnp.sum(af).astype(jnp.int32))
     return jnp.concatenate([jnp.stack(counts)] + idxs + cias)
+
+
+def _unpack_cia4(v: np.ndarray, cap: int) -> np.ndarray:
+    out = np.empty(cap, np.int32)
+    out[0::4] = v & 255
+    out[1::4] = (v >> 8) & 255
+    out[2::4] = (v >> 16) & 255
+    out[3::4] = (v >> 24) & 255
+    return out
+
+
+def _pad_gran(n: int, gran: int = 4096, minimum: int = 4096) -> int:
+    """Tight speculative capacity: next multiple of `gran` with ~10%
+    headroom (pow2 padding wasted up to 2x of every fetch)."""
+    m = int(n * 1.1) + gran - 1
+    return max((m // gran) * gran, minimum)
 
 
 @jax.jit
@@ -750,16 +769,18 @@ def extract_isosurface(
         packed = np.asarray(_active_all_packed(ci_dev, ok_devs, cap_t))
         counts = packed[: meta.n_levels]
         base = meta.n_levels
+        cia_base = meta.n_levels + sum(cap_t)
         active_all = []
         for lev in range(meta.n_levels):
             cap, n = cap_t[lev], int(counts[lev])
             idx = packed[base: base + cap]
-            cia = packed[base + sum(cap_t): base + sum(cap_t) + cap]
+            cia = _unpack_cia4(packed[cia_base: cia_base + cap // 4], cap)
             base += cap
+            cia_base += cap // 4
             if n > cap:  # speculation failed: refetch this level full-size
                 idx, cia, _ = jax.device_get(_active_cells(
-                    ci_dev[lev], ok_devs[lev], _pad_pow2(n)))
-            caps[lev] = max(_pad_pow2(max(n, 1)), 1 << 15)
+                    ci_dev[lev], ok_devs[lev], _pad_gran(n)))
+            caps[lev] = _pad_gran(max(n, 1))
             active_all.append((idx[:n].astype(np.int64), cia[:n]))
     all_keys, all_vals = [], []
     for lev in range(meta.n_levels):
@@ -827,7 +848,7 @@ def extract_isosurface(
                 continue
             local = first[sel] - lev_base[lev]
             rsel = rows.reshape(-1)[local]           # used-edge rows
-            npad = _pad_pow2(len(rsel))
+            npad = _pad_gran(len(rsel), 4096, 256)
             ridx_list.append(jnp.asarray(np.concatenate(
                 [rsel.astype(np.int32),
                  np.zeros(npad - len(rsel), np.int32)])))

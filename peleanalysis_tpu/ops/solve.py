@@ -26,14 +26,17 @@ def cg_solve(apply_A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     def dot(u, v):
         return jnp.sum(u * v * m)
 
+    tiny = jnp.finfo(b.dtype).tiny  # 1e-300 underflows to 0 in float32
+
     def body(carry, _):
         x, r, p, rs = carry
         Ap = apply_A(p) * m
-        alpha = rs / jnp.maximum(dot(p, Ap), 1e-300)
+        den = dot(p, Ap)
+        alpha = jnp.where(jnp.abs(den) > tiny, rs / jnp.where(den == 0, 1., den), 0.0)
         x = x + alpha * p * m
         r = r - alpha * Ap
         rs_new = dot(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-300)
+        beta = jnp.where(rs > tiny, rs_new / jnp.where(rs == 0, 1., rs), 0.0)
         p = (r + beta * p) * m
         return (x, r, p, rs_new), rs_new
 
@@ -59,14 +62,18 @@ def cg_solve_composite(apply_A: Callable, b_list, x0_list, mask_list,
     def mask_mul(us):
         return [u * (m > 0) for u, m in zip(us, mask_list)]
 
+    tiny = jnp.finfo(b_list[0].dtype).tiny  # 1e-300 underflows in float32
+
     def body(carry, _):
         x, r, p, rs = carry
         Ap = mask_mul(apply_A(p))
-        alpha = rs / jnp.maximum(dot(p, Ap), 1e-300)
+        den = dot(p, Ap)
+        alpha = jnp.where(jnp.abs(den) > tiny,
+                          rs / jnp.where(den == 0, 1., den), 0.0)
         x = [xi + alpha * pi * mi for xi, pi, mi in zip(x, p, mask_list)]
         r = [ri - alpha * api for ri, api in zip(r, Ap)]
         rs_new = dot(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-300)
+        beta = jnp.where(rs > tiny, rs_new / jnp.where(rs == 0, 1., rs), 0.0)
         p = [(ri + beta * pi) * mi for ri, pi, mi in zip(r, p, mask_list)]
         return (x, r, p, rs_new), None
 

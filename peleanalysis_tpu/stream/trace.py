@@ -113,7 +113,8 @@ def _trace_level(vec: jnp.ndarray, fields: jnp.ndarray, plo_g: jnp.ndarray,
         v, ok = interp(vec, x)
         # vnrml safe normalize (stream_nd.f90:208-225)
         n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-        return direction * v / jnp.maximum(n, 1e-300), ok
+        # guard must be representable in float32 (1e-300 underflows to 0)
+        return direction * v / jnp.maximum(n, jnp.finfo(v.dtype).tiny), ok
 
     def step(carry, _):
         x, alive = carry
