@@ -82,7 +82,12 @@ def compute_curvature_dense(
     bc = grad_bc([False] * D, sym_dir)
     ic = dstate.comp(progress_name)
     need_vel = do_strain or do_velnormal
-    vel_names = ["x_velocity", "y_velocity", "z_velocity"]
+    # DIM=2 plotfiles carry no z_velocity: planar flow, zero-z promotion
+    vel_names = [n for n in ("x_velocity", "y_velocity", "z_velocity")
+                 if n in dstate.names]
+    if need_vel and len(vel_names) < 2:
+        raise ValueError("do_strain/do_velnormal need velocity components "
+                         f"(x/y/z_velocity); plotfile has {dstate.names}")
     iv = [dstate.comp(n) for n in vel_names] if need_vel else None
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
@@ -190,6 +195,9 @@ def compute_curvature_dense(
         SR, ROST, VN = [], [], []
         if need_vel:
             vel = [jnp.stack([d[k] for k in iv], axis=0) for d in data_list]
+            if len(iv) == 2:  # planar: zero z component
+                vel = [jnp.concatenate([v, jnp.zeros_like(v[:1])], axis=0)
+                       for v in vel]
         if do_strain:
             gU = []
             for i in range(D):
@@ -285,7 +293,9 @@ def main(args: dict) -> None:
     is_per = pp.query_int_list("is_per", [0, 0, 0])
     names = [progress_name]
     if do_strain or do_velnormal:
-        names += ["x_velocity", "y_velocity", "z_velocity"]
+        from ..io.plotfile import PlotfileReader
+        names += [n for n in ("x_velocity", "y_velocity", "z_velocity")
+                  if n in PlotfileReader(infile).var_names]
     state = AmrState.from_plotfile(
         infile, names=names, max_level=pp.query_int("finestLevel", None),
         is_periodic=[bool(p) for p in is_per])

@@ -225,3 +225,21 @@ def test_2d_sub_plt(plt2d, tmp_path, monkeypatch):
     a = np.asarray(ds_f.data[0][ic])[16:48, 16:48, 0]
     b = np.asarray(ds_s.data[0][ds_s.comp("temp")])[..., 0]
     np.testing.assert_allclose(b, a, rtol=1e-6)
+
+
+def test_2d_curvature_strain(plt2d_vel, tmp_path, monkeypatch):
+    """2-D strain: planar velocity with zero-z promotion; solid rotation has
+    exactly zero divergence and zero tangential strain."""
+    monkeypatch.chdir(tmp_path)
+    from peleanalysis_tpu.tools import curvature as ct
+    ct.main({"infile": plt2d_vel, "progressName": "temp", "do_gaussCurv": "0",
+             "do_strain": "1", "getStrainTensor": "1", "outfile": "c2s"})
+    ds = DenseAmrState.from_batched(AmrState.from_plotfile(
+        "c2s", dtype=np.float64))
+    sr_name = [n for n in ds.names if n.startswith("StrainRate")][0]
+    for lev in range(2):
+        sr = np.asarray(ds.data[lev][ds.comp(sr_name)])
+        m = np.asarray(ds.valid_mask(lev))
+        assert np.isfinite(sr).all()
+        assert np.abs(sr[m]).max() < 1e-10
+    assert any("ROST_dUzdx" == n for n in ds.names)  # zero-z promoted tensor
