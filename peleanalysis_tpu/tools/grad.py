@@ -48,7 +48,8 @@ def _grad_level(plan: FillPlan, data: jnp.ndarray, crse, dx) -> jnp.ndarray:
 def compute_grad_dense(dstate, var: str,
                        aux: Sequence[str] = (),
                        sym_dir: Optional[Sequence[int]] = None,
-                       interp: str = "linear"):
+                       interp: str = "linear",
+                       flux_match: bool = False):
     """Dense fast path: ghost fill + gradient as one fused slicing pipeline
     per level (see amr/dense.py for the layout rationale)."""
     import jax
@@ -60,10 +61,23 @@ def compute_grad_dense(dstate, var: str,
     ic = dstate.comp(var)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
+    covered = ([dstate.covered_mask(l) for l in range(meta.n_levels)]
+               if flux_match else None)
+
     def all_levels(data_list, mask_list):
         grown = fill_dense_multilevel(meta, dstate.lmeta, data_list,
                                       mask_list, 1, bc, interp)
         outs = []
+        if flux_match:
+            # MLMG-style: c-f interface faces take the restricted fine flux
+            # (grad.cpp:178-219 composite apply + getFluxes)
+            from ..ops.restrict import flux_matched_gradient
+            gall = flux_matched_gradient(meta, dstate.lmeta, grown, covered)
+            for lev in range(meta.n_levels):
+                gx, gy, gz = gall[lev]
+                outs.append(jnp.concatenate(
+                    [gx, gy, gz, magnitude(gx, gy, gz)], axis=0))
+            return outs
         for lev, g in enumerate(grown):
             gx, gy, gz = centered_gradient(g, meta.geoms[lev].dx, 1)
             outs.append(jnp.concatenate(
@@ -134,6 +148,7 @@ def main(args: dict) -> None:
         is_periodic=[bool(p) for p in is_per])
     dstate = DenseAmrState.from_batched(state)
     out = compute_grad_dense(dstate, var, aux=tuple(aux), sym_dir=sym_dir,
-                             interp=pp.query_str("cf_interp", "quadratic"))
+                             interp=pp.query_str("cf_interp", "quadratic"),
+                             flux_match=pp.query_bool("fluxMatch", False))
     out.to_plotfile(outfile)
     print(f"wrote {outfile}")

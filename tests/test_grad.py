@@ -1,8 +1,10 @@
 import numpy as np
 import pytest
 
+from peleanalysis_tpu.amr.dense import DenseAmrState
 from peleanalysis_tpu.amr.hierarchy import AmrState
 from peleanalysis_tpu.io.plotfile import PlotfileReader
+from peleanalysis_tpu.testing import write_synthetic_plotfile
 from peleanalysis_tpu.tools.grad import compute_grad
 
 
@@ -127,3 +129,74 @@ def test_grad_periodic_domain(tmp_path):
     # uniform h^2 error INCLUDING boundary cells (wrap ghosts)
     tol = k**3 * h**2 / 6 * 1.5
     assert np.abs(got - want).max() < tol
+
+
+def test_flux_matched_gradient(tmp_path):
+    """MLMG-style flux matching (grad.cpp:178-219 analog): the c-f interface
+    face flux is the transverse mean of fine face fluxes; away from the
+    interface the result is the plain centered difference."""
+    import jax.numpy as jnp
+    from peleanalysis_tpu.ops.dense_fill import fill_dense_multilevel
+    from peleanalysis_tpu.ops.restrict import flux_matched_gradient
+    from peleanalysis_tpu.ops.stencil import centered_gradient
+
+    # transverse variation makes restricted fine flux differ from the
+    # coarse difference: u = x * y^2
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2,
+                             fields={"u": lambda x, y, z: x * y * y})
+    ds = DenseAmrState.from_batched(AmrState.from_plotfile(path,
+                                                           dtype=np.float64))
+    meta, lmeta = ds.meta, ds.lmeta
+    data = [d[ds.comp("u")][None] for d in ds.data]
+    masks = [ds.in_level_mask(l) for l in range(2)]
+    covered = [ds.covered_mask(l) for l in range(2)]
+    grown = fill_dense_multilevel(meta, lmeta, data, masks, 1, None,
+                                  "quadratic")
+    gfm = flux_matched_gradient(meta, lmeta, grown, covered)
+    gcd = [centered_gradient(g, meta.geoms[l].dx, 1) for l, g in
+           enumerate(grown)]
+
+    cov = np.asarray(covered[0])
+    # cells NOT adjacent to the covered region: identical to centered diff
+    near = cov.copy()
+    for d in range(3):
+        near |= np.roll(cov, 1, axis=d) | np.roll(cov, -1, axis=d)
+    far = ~near
+    for d in range(3):
+        a, b = np.asarray(gfm[0][d][0]), np.asarray(gcd[0][d][0])
+        np.testing.assert_allclose(a[far], b[far], rtol=1e-12)
+
+    # oracle: x-face flux on the lo-x interface = transverse mean of fine
+    # face fluxes; check one interface-adjacent coarse cell's gx
+    r = meta.ref_ratio[0]
+    gf = np.asarray(grown[1][0])          # fine grown scalar
+    gc = np.asarray(grown[0][0])
+    dxf = meta.geoms[1].dx[0]
+    dxc = meta.geoms[0].dx[0]
+    # find a lo-x boundary face of the covered region
+    covp = np.pad(cov, ((1, 1), (0, 0), (0, 0)))
+    bnd = covp[:-1] ^ covp[1:]            # faces along x, [nx+1, ny, nz]
+    fx, fy, fz = [int(v[0]) for v in np.nonzero(bnd)]
+    # coarse cell on the valid side (left of the face if not covered)
+    ci = fx - 1 if not cov[fx - 1, fy, fz] else fx
+    assert not cov[ci, fy, fz]
+    bbox_f = lmeta[1].bbox
+    # fine face plane for coarse face fx (coarse index space -> fine)
+    fxf = fx * r - bbox_f.lo[0]
+    y0, z0 = fy * r - bbox_f.lo[1], fz * r - bbox_f.lo[2]
+    fine_flux = np.mean([
+        (gf[1 + fxf, 1 + y0 + a, 1 + z0 + b]
+         - gf[fxf, 1 + y0 + a, 1 + z0 + b]) / dxf
+        for a in range(r) for b in range(r)])
+    # the valid cell's NON-interface face: lo face for the left cell,
+    # hi face for the right cell
+    other = fx - 1 if ci == fx - 1 else fx + 1
+    coarse_other = (gc[other + 1, 1 + fy, 1 + fz]
+                    - gc[other, 1 + fy, 1 + fz]) / dxc
+    expect = 0.5 * (fine_flux + coarse_other)
+    got = float(np.asarray(gfm[0][0][0])[ci, fy, fz])
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+    # and it must differ from the plain centered difference (u = x*y^2 has
+    # transverse curvature)
+    assert abs(got - float(np.asarray(gcd[0][0][0])[ci, fy, fz])) > 1e-8
