@@ -79,6 +79,8 @@ def main(argv=None) -> int:
     mod = importlib.import_module(TOOLS[tool], package=__package__)
     args = parse_argv(argv[1:])
     args.setdefault("_tool", [tool])
+    from .parmparse import _ACTIVE
+    _ACTIVE.clear()
     # PELE_PROFILE=<dir>: wrap the tool in a jax.profiler trace (the TPU
     # analog of the reference's BL_PROFILE / TinyProfiler regions, SURVEY §5)
     prof_dir = os.environ.get("PELE_PROFILE", "")
@@ -90,6 +92,14 @@ def main(argv=None) -> int:
         print(f"profile trace written to {prof_dir}")
     else:
         mod.main(args)
+    # the reference silently ignores unknown ParmParse keys; a typo'd key
+    # costs real debugging time, so warn (stderr, non-fatal)
+    touched = set().union(*(pp.touched for pp in _ACTIVE)) if _ACTIVE else set()
+    unused = set(args) - touched - {"_tool"}
+    if unused:
+        print(f"warning: unused input keys (typo?): {' '.join(sorted(unused))}",
+              file=sys.stderr)
+    _ACTIVE.clear()
     return 0
 
 

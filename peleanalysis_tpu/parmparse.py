@@ -50,9 +50,15 @@ def parse_argv(tokens: Sequence[str]) -> Dict[str, Value]:
     return out
 
 
+_ACTIVE: List["ParmParse"] = []   # instances since the CLI cleared it
+
+
 class ParmParse:
     def __init__(self, table: Union[Dict[str, Value], Dict[str, str], None] = None):
         self.table: Dict[str, Value] = {}
+        self.touched: set = set()
+        if len(_ACTIVE) < 1000:  # bounded: only the CLI reads + clears this
+            _ACTIVE.append(self)
         if table:
             for k, v in table.items():
                 if isinstance(v, str):
@@ -69,12 +75,15 @@ class ParmParse:
         return pp
 
     def contains(self, key: str) -> bool:
+        self.touched.add(key)
         return key in self.table
 
     def countval(self, key: str) -> int:
+        self.touched.add(key)
         return len(self.table.get(key, []))
 
     def _raw(self, key: str) -> Value:
+        self.touched.add(key)
         if key not in self.table:
             raise KeyError(f"ParmParse: required key '{key}' not found")
         return self.table[key]
@@ -90,16 +99,16 @@ class ParmParse:
         return float(self._raw(key)[0])
 
     def query_str(self, key: str, default):
-        return self.get_str(key) if key in self.table else default
+        return self.get_str(key) if self.contains(key) else default
 
     def query_int(self, key: str, default):
-        return self.get_int(key) if key in self.table else default
+        return self.get_int(key) if self.contains(key) else default
 
     def query_float(self, key: str, default):
-        return self.get_float(key) if key in self.table else default
+        return self.get_float(key) if self.contains(key) else default
 
     def query_bool(self, key: str, default: bool) -> bool:
-        if key not in self.table:
+        if not self.contains(key):
             return default
         v = self.table[key][0].lower()
         return v not in ("0", "false", "no")
@@ -114,13 +123,13 @@ class ParmParse:
         return [float(x) for x in self._raw(key)]
 
     def query_str_list(self, key: str, default):
-        return self.get_str_list(key) if key in self.table else (
+        return self.get_str_list(key) if self.contains(key) else (
             None if default is None else list(default))
 
     def query_int_list(self, key: str, default):
-        return self.get_int_list(key) if key in self.table else (
+        return self.get_int_list(key) if self.contains(key) else (
             None if default is None else list(default))
 
     def query_float_list(self, key: str, default):
-        return self.get_float_list(key) if key in self.table else (
+        return self.get_float_list(key) if self.contains(key) else (
             None if default is None else list(default))
