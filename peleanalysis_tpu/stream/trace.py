@@ -247,10 +247,15 @@ def trace_streamlines(
                     fields = grown[nv:]
                     plo_v = jnp.asarray(_plo_g)
                 dxj = jnp.asarray(_dx)
-                pos_p, _ = _trace_level(vec, fields, plo_v, dxj, h, sseeds,
-                                        n_half, 1.0)
-                pos_m, _ = _trace_level(vec, fields, plo_v, dxj, h, sseeds,
-                                        n_half, -1.0)
+                # march +/- as ONE scan over doubled seeds (per-seed
+                # direction): halves the sequential gather chain, the
+                # latency bottleneck of the RK4 loop
+                ns = sseeds.shape[0]
+                dirs = jnp.concatenate([jnp.ones(ns), -jnp.ones(ns)])
+                pos2, _ = _trace_level(vec, fields, plo_v, dxj, h,
+                                       jnp.concatenate([sseeds, sseeds]),
+                                       n_half, dirs[:, None])
+                pos_p, pos_m = pos2[:, :ns], pos2[:, ns:]
                 path = jnp.concatenate([pos_m[::-1][:-1], pos_p], axis=0)
                 path = jnp.transpose(path, (1, 0, 2))
                 if nf:
