@@ -11,6 +11,7 @@ import numpy as np
 from ..amr.hierarchy import AmrState
 from ..chem.mechanism import Mechanism, SimpleTransport, parse_chemkin_thermo
 from ..chem.qpd import edge_fluxes, get_edges, parse_reaction
+from ..io.plotfile import PlotfileReader
 from ..parmparse import ParmParse
 
 TEMP_NAME = "Temp"
@@ -127,6 +128,13 @@ def _qpd(args: dict) -> None:
         infile = pp.get_str("infile")
         rate_base = pp.query_str("rateBase", "rate")
         names = [f"{rate_base}_{i}" for i in range(len(reactions))]
+        avail = PlotfileReader(infile).var_names
+        missing = [n for n in names if n not in avail]
+        if missing:
+            raise ValueError(
+                f"plotQPD needs reaction-rate components {names} in the "
+                f"plotfile (missing {missing}); set rateBase= or omit "
+                "infile= to weight edges uniformly")
         st = AmrState.from_plotfile(infile, names=names, dtype=np.float64)
         ds = DenseAmrState.from_batched(st)
         _, _, fields = integrate_along(ds, names, [0, 1, 2])
