@@ -156,3 +156,37 @@ def test_fused_empty_and_repeat(sphere_ds):
     r = np.sqrt(((m2.nodes[:, :3] - 0.5) ** 2).sum(1))
     r_exp = 0.15 * np.sqrt(np.log(3.0))
     assert np.abs(r - r_exp).max() < 4e-3
+
+
+def test_fused_three_level_parity(tmp_path):
+    """Fused extractor on a 3-level hierarchy: cross-level dedup at TWO
+    c-f seams must match the host-dedup path exactly."""
+    from peleanalysis_tpu.geom.marching_cubes import extract_isosurface
+
+    path = str(tmp_path / "plt3")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=3, max_grid_size=16)
+    ds = DenseAmrState.from_batched(AmrState.from_plotfile(
+        path, dtype=np.float64))
+    m1 = extract_isosurface(ds, "temp", 900.0)
+    m2 = extract_isosurface(ds, "temp", 900.0, classify="fused")
+    assert len(m1.nodes) == len(m2.nodes) > 100
+    assert len(m1.elements) == len(m2.elements)
+
+    def canon(m):
+        n = np.round(m.nodes, 9)
+        order = np.lexsort(n.T[::-1])
+        rank = np.empty(len(n), np.int64)
+        rank[order] = np.arange(len(n))
+        tris = np.sort(rank[m.elements], axis=1)
+        return n[order], tris[np.lexsort(tris.T[::-1])]
+
+    n1, t1 = canon(m1)
+    n2, t2 = canon(m2)
+    np.testing.assert_allclose(n1, n2, atol=1e-12)
+    np.testing.assert_array_equal(t1, t2)
+    # watertight across both seams (excluding intentional degenerate tris)
+    e = m2.elements
+    degen = (e[:, 0] == e[:, 1]) | (e[:, 1] == e[:, 2]) | (e[:, 0] == e[:, 2])
+    ed = np.sort(e[~degen][:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1)
+    uniq, cnt = np.unique(ed, axis=0, return_counts=True)
+    assert (cnt == 2).all()
