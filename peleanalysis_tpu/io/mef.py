@@ -122,6 +122,27 @@ def read_mef_tecplot(path: str) -> MEF:
         fields = dict(
             kv.split("=") for kv in zone.replace(",", " ").split() if "=" in kv
         )
+        if "N" not in fields and "I" in fields:
+            # line zones (the stream tool's per-line output): chain each
+            # zone's points into 2-node segments (the reference's datToVTP
+            # rejects these; converting them is strictly more useful)
+            all_nodes, all_segs, off = [], [], 0
+            npts = int(fields["I"])
+            while True:
+                pts = np.loadtxt(f, max_rows=npts).reshape(npts, len(names))
+                all_nodes.append(pts)
+                seg = np.stack([np.arange(npts - 1), np.arange(1, npts)],
+                               axis=1) + off
+                all_segs.append(seg)
+                off += npts
+                zone = f.readline()
+                if not zone.strip():
+                    break
+                fields = dict(kv.split("=") for kv in
+                              zone.replace(",", " ").split() if "=" in kv)
+                npts = int(fields["I"])
+            return MEF("lines", names, np.concatenate(all_nodes),
+                       np.concatenate(all_segs).astype(np.int32))
         n_nodes = int(fields["N"])
         n_elts = int(fields["E"])
         nodes = np.loadtxt(f, max_rows=n_nodes).reshape(n_nodes, len(names))
