@@ -318,3 +318,22 @@ def test_stream_data_v10_roundtrip(tmp_path):
         write_stream_data(str(tmp_path / "bad"), sd, version="1.0")
     with pytest.raises(ValueError):
         write_stream_data(str(tmp_path / "bad"), sd, version="2.0")
+
+
+def test_trace_float32_bf16_default(tmp_path):
+    """float32 states march with the bf16 vector field by default; the path
+    must stay within a small fraction of a cell of the float64 trace."""
+    fields = {"temp": lambda x, y, z: np.exp(
+        -((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) / 0.15 ** 2)}
+    plt = str(tmp_path / "plt")
+    write_synthetic_plotfile(plt, n_cell=32, n_levels=2, fields=fields)
+    seeds = np.array([[0.5, 0.5, 0.25], [0.35, 0.5, 0.5]])
+    paths = {}
+    for dt in (np.float64, np.float32):
+        ds = DenseAmrState.from_batched(AmrState.from_plotfile(plt, dtype=dt))
+        paths[dt] = trace_streamlines(ds, seeds, 20, 0.05,
+                                      trace_field="temp")
+    dxf = 1.0 / 64
+    dev = np.abs(paths[np.float32][..., :3]
+                 - paths[np.float64][..., :3]).max()
+    assert dev < 0.2 * dxf, f"bf16-march path deviates {dev/dxf:.2f} cells"
