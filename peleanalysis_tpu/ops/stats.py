@@ -31,13 +31,23 @@ def _pad_flat(x: jnp.ndarray, fill) -> Tuple[jnp.ndarray, int]:
 def binned_stats(bin_vals: jnp.ndarray, avg_vals: jnp.ndarray,
                  weight: jnp.ndarray, mask: jnp.ndarray,
                  bmin: float, bmax: float, nbins: int,
-                 clamp: bool = False, with_minmax: bool = False):
+                 clamp: bool = False, with_minmax: bool = False,
+                 shift: Optional[jnp.ndarray] = None):
     """1-D conditional binning (conditionalMean semantics).
 
     bin_vals: [*shape]; avg_vals: [ncomp, *shape]; weight: scalar or [*shape];
     mask: bool [*shape].  Out-of-range cells are dropped (clamp=False,
     conditionalMean.cpp:270-275) or clamped to edge bins (jpdf semantics).
     Returns (hits[nbins], sums[nbins,ncomp], sumsq[nbins,ncomp], mins, maxs).
+
+    ``shift`` ([ncomp], optional): per-component offsets subtracted from the
+    values before the sum/sumsq contractions.  The reference accumulates in
+    double (conditionalMean.cpp uses Real=double); TPU compute is float32, so
+    raw sumsq of a field like temp (~2000 K) keeps only ~7 digits and
+    ``sumsq/hits - mean^2`` cancels catastrophically.  With shift ≈ mean the
+    shifted moments are small-magnitude and the variance survives float32;
+    callers reconstruct the raw columns on host in float64 (see
+    ``reconstruct_moments``).  min/max are of the UNshifted values.
     """
     ncomp = avg_vals.shape[0]
     dt = avg_vals.dtype
@@ -57,18 +67,21 @@ def binned_stats(bin_vals: jnp.ndarray, avg_vals: jnp.ndarray,
                      for k in range(ncomp)], axis=-1)   # [nc, C, ncomp]
     ok_c, _ = _pad_flat(ok, False)
     big = jnp.asarray(jnp.inf, dt)
+    sh = (jnp.zeros((ncomp,), dt) if shift is None
+          else jnp.asarray(shift, dt))
 
     bins = jnp.arange(nbins, dtype=jnp.int32)
 
     def body(carry, args):
         hits, sums, sumsq, mins, maxs = carry
         ic, wc, vc, okc = args
+        vs = vc - sh[None, :]
         onehot = (ic[:, None] == bins[None, :]).astype(dt)   # [C, nbins]
         oww = onehot * wc[:, None]
         hits = hits + jnp.sum(oww, axis=0)
-        sums = sums + jnp.einsum("cb,ck->bk", oww, vc,
+        sums = sums + jnp.einsum("cb,ck->bk", oww, vs,
                                  preferred_element_type=dt)
-        sumsq = sumsq + jnp.einsum("cb,ck->bk", oww, vc * vc,
+        sumsq = sumsq + jnp.einsum("cb,ck->bk", oww, vs * vs,
                                    preferred_element_type=dt)
         if with_minmax:
             sel = onehot.astype(bool) & okc[:, None]
@@ -89,27 +102,57 @@ def binned_stats(bin_vals: jnp.ndarray, avg_vals: jnp.ndarray,
     return hits, sums, sumsq, mins, maxs
 
 
+def masked_mean(vals: jnp.ndarray, mask: jnp.ndarray, weight) -> jnp.ndarray:
+    """Weighted masked mean — used as the moment shift (see binned_stats)."""
+    w = jnp.where(mask, jnp.broadcast_to(weight, vals.shape), 0.0)
+    return jnp.sum(w * vals) / jnp.maximum(jnp.sum(w), 1e-300)
+
+
+def reconstruct_moments(hits, sums_s, sumsq_s, shift):
+    """Host-side (numpy float64) reconstruction of raw moments from shifted
+    ones: sum = sum' + c*hits; sumsq = sumsq' + 2c*sum' + c^2*hits.  Done in
+    float64 so the c^2*hits term cancels exactly when a consumer later forms
+    ``var = sumsq/hits - mean^2`` (the reference's double-accumulation
+    semantics, conditionalMean.cpp:260-303, restored without paying emulated
+    f64 on the MXU).  hits: [nbins]; sums_s/sumsq_s: [nbins, ncomp];
+    shift: [ncomp].  Returns float64 (sums, sumsq)."""
+    import numpy as np
+    h = np.asarray(hits, np.float64)
+    s = np.asarray(sums_s, np.float64)
+    q = np.asarray(sumsq_s, np.float64)
+    c = np.asarray(shift, np.float64)
+    sums = s + c[None, :] * h[:, None]
+    sumsq = q + 2.0 * c[None, :] * s + (c * c)[None, :] * h[:, None]
+    return sums, sumsq
+
+
 @partial(jax.jit, static_argnames=("nbins",))
 def joint_pdf(v1: jnp.ndarray, v2: jnp.ndarray, vol: jnp.ndarray,
               mask: jnp.ndarray,
               v1min: float, v1max: float, v2min: float, v2max: float,
-              nbins: int):
+              nbins: int,
+              shift1=None, shift2=None):
     """2-D volume-weighted joint histogram (jpdf semantics: out-of-range
     values clamp into edge bins, jpdf.cpp:489-496) as chunked one-hot
     matmuls: bin += onehot1.T @ (w * onehot2) — pure MXU work.
-    Returns (bin, binX1, binX2) each [nbins, nbins] row-major [v1, v2]."""
+    Returns (bin, binX1, binX2) each [nbins, nbins] row-major [v1, v2].
+    With shift1/shift2 the X1/X2 accumulators hold (v - shift) sums; the
+    caller reconstructs binX = binX' + shift*bin on host (float32-safe
+    accumulation, same rationale as binned_stats)."""
     dt = jnp.result_type(v1.dtype, jnp.float32)
     i1 = jnp.clip(jnp.floor((v1 - v1min) / (v1max - v1min) * nbins)
                   .astype(jnp.int32), 0, nbins - 1)
     i2 = jnp.clip(jnp.floor((v2 - v2min) / (v2max - v2min) * nbins)
                   .astype(jnp.int32), 0, nbins - 1)
     w = jnp.where(mask, jnp.broadcast_to(vol, v1.shape), 0.0).astype(dt)
+    c1 = jnp.asarray(0.0 if shift1 is None else shift1, dt)
+    c2 = jnp.asarray(0.0 if shift2 is None else shift2, dt)
 
     i1c, _ = _pad_flat(i1, 0)
     i2c, _ = _pad_flat(i2, 0)
     wc, _ = _pad_flat(w, 0.0)
-    v1c, _ = _pad_flat(v1.astype(dt), 0.0)
-    v2c, _ = _pad_flat(v2.astype(dt), 0.0)
+    v1c, _ = _pad_flat((v1.astype(dt) - c1), 0.0)
+    v2c, _ = _pad_flat((v2.astype(dt) - c2), 0.0)
     bins = jnp.arange(nbins, dtype=jnp.int32)
 
     def body(carry, args):

@@ -190,9 +190,17 @@ def trace_streamlines(
     meta = dstate.meta
     if march_dtype is None and dstate.data[0].dtype == jnp.float32:
         march_dtype = "bfloat16"
+        print("trace_streamlines: float32 state -> bfloat16 field marching "
+              "(max ~0.01 finest-cell path deviation); pass "
+              "march_dtype='float32' for full precision")
     if march_dtype in ("float32", "float64", "none"):
         march_dtype = None
-    n_half = n_rk_steps // 2
+    # reference convention: nRKh = (nRKsteps-1)/2 (stream.cpp:701-702), so
+    # StreamData written here has the same station count as reference files
+    n_half = (n_rk_steps - 1) // 2
+    if n_rk_steps % 2 == 0:
+        print(f"trace_streamlines: even nRKsteps={n_rk_steps} rounds to "
+              f"{2 * n_half + 1} stations (reference nRKh=(nRKsteps-1)/2)")
     fin = meta.n_levels - 1
     h_phys = h_rk * meta.geoms[fin].dx[0]
     seeds = np.asarray(seeds, dtype=np.float64)
@@ -243,8 +251,10 @@ def trace_streamlines(
         cache = getattr(dstate, "_trace_fn_cache", None)
         if cache is None:
             cache = dstate._trace_fn_cache = {}
+        # bc is closure-captured by the jitted fill: it MUST be in the key
+        # (a second call with different bc would silently reuse the first's)
         key = (lev, ngrow, all_data[0].shape[0], trace_field is not None,
-               n_half, nf, march_dtype)
+               n_half, nf, march_dtype, repr(bc))
 
         def make_fn(_lev, _g, _grad_mode, _plo_g, _dx):
             def fn(dl, ml, sseeds, h):

@@ -27,13 +27,23 @@ import jax
 def _accumulate_all(data_list, mask_list, ib, ia, weights, bin_min, bin_max,
                     nbins, with_minmax):
     import jax.numpy as jnp
+    # Per-component moment shift = global masked mean (all levels), so the
+    # float32 sumsq contraction stays cancellation-free (ops/stats.py docs).
+    num = 0.0
+    den = 0.0
+    for lev in range(len(data_list)):
+        v = data_list[lev][jnp.asarray(ia)]
+        w = jnp.where(mask_list[lev], float(weights[lev]), 0.0)
+        num = num + jnp.sum(w[None] * v, axis=tuple(range(1, v.ndim)))
+        den = den + jnp.sum(w)
+    shift = num / jnp.maximum(den, 1e-300)
     acc = None
     for lev in range(len(data_list)):
         out = binned_stats(data_list[lev][ib],
                            data_list[lev][jnp.asarray(ia)],
                            float(weights[lev]), mask_list[lev],
                            bin_min, bin_max, nbins, clamp=False,
-                           with_minmax=with_minmax)
+                           with_minmax=with_minmax, shift=shift)
         if acc is None:
             acc = list(out)
         else:
@@ -43,7 +53,7 @@ def _accumulate_all(data_list, mask_list, ib, ia, weights, bin_min, bin_max,
             if with_minmax:
                 acc[3] = jnp.minimum(acc[3], out[3])
                 acc[4] = jnp.maximum(acc[4], out[4])
-    return tuple(a for a in acc if a is not None)
+    return tuple(a for a in acc if a is not None) + (shift,)
 
 
 def refinement_weights(ref_ratio: Sequence[int], n_levels: int,
@@ -76,14 +86,17 @@ def accumulate_conditional_mean(
         list(dstate.data), masks, ib, ia, weights,
         float(bin_min), float(bin_max), nbins, with_minmax))
     if with_minmax:
-        hits, sums, sumsq, mins, maxs = out
+        hits, sums_s, sumsq_s, mins, maxs, shift = out
     else:
-        hits, sums, sumsq = out
+        hits, sums_s, sumsq_s, shift = out
         mins = np.full((nbins, len(avg_names)), np.inf)
         maxs = np.full((nbins, len(avg_names)), -np.inf)
-    return (np.asarray(hits, np.float64), np.asarray(sums, np.float64),
-            np.asarray(sumsq, np.float64), np.asarray(mins, np.float64),
-            np.asarray(maxs, np.float64))
+    # Raw columns reconstructed in float64 on host (reference accumulates in
+    # double); the shift terms cancel exactly in the downstream variance.
+    from ..ops.stats import reconstruct_moments
+    sums, sumsq = reconstruct_moments(hits, sums_s, sumsq_s, shift)
+    return (np.asarray(hits, np.float64), sums, sumsq,
+            np.asarray(mins, np.float64), np.asarray(maxs, np.float64))
 
 
 def write_cm_dat(path: str, bin_name: str, avg_names: Sequence[str],

@@ -36,13 +36,20 @@ import jax
 
 @partial(jax.jit, static_argnames=("vols", "bounds", "nbins"))
 def _jpdf_all(f1s, f2s, ms, vols, bounds, nbins):
+    import jax.numpy as jnp
+    from ..ops.stats import masked_mean
     v1min, v1max, v2min, v2max = bounds
+    # Global masked means as moment shifts (float32-safe X1/X2 accumulation;
+    # see ops/stats.py).  Use the level-0 mean — any near-mean shift works.
+    c1 = masked_mean(f1s[0], ms[0], vols[0])
+    c2 = masked_mean(f2s[0], ms[0], vols[0])
     b = bx1 = bx2 = 0.0
     for lev in range(len(f1s)):
         bb, b1, b2 = joint_pdf(f1s[lev], f2s[lev], vols[lev], ms[lev],
-                               v1min, v1max, v2min, v2max, nbins)
+                               v1min, v1max, v2min, v2max, nbins,
+                               shift1=c1, shift2=c2)
         b, bx1, bx2 = b + bb, bx1 + b1, bx2 + b2
-    return b, bx1, bx2
+    return b, bx1, bx2, c1, c2
 
 SMALL = 1.0e-7
 
@@ -88,11 +95,13 @@ def compute_jpdf_pair(dstate: DenseAmrState, f1_levels, f2_levels,
         if cond_levels is not None:
             m = m & cond_levels[lev]
         masks.append(m)
-    b, bx1, bx2 = jax.device_get(_jpdf_all(
+    b, bx1_s, bx2_s, c1, c2 = jax.device_get(_jpdf_all(
         list(f1_levels), list(f2_levels), masks, vols,
         (float(v1min), float(v1max), float(v2min), float(v2max)), nbins))
-    return (np.asarray(b, np.float64), np.asarray(bx1, np.float64),
-            np.asarray(bx2, np.float64))
+    b64 = np.asarray(b, np.float64)
+    bx1 = np.asarray(bx1_s, np.float64) + np.float64(c1) * b64
+    bx2 = np.asarray(bx2_s, np.float64) + np.float64(c2) * b64
+    return b64, bx1, bx2
 
 
 def normalize_pair(b, bx1, bx2, v1min, v1max, v2min, v2max, domain_vol):

@@ -97,7 +97,7 @@ def main(args: dict) -> None:
     names = ["X", "Y", "Z"] + sample
 
     if pp.contains("streamFile"):
-        inside = compute_inside_nodes(st.meta, lines[:, (n_rk // 2), :3])
+        inside = compute_inside_nodes(st.meta, lines[:, (lines.shape[1] // 2), :3])
         sd = StreamData(names, np.asarray(elements, np.int32), inside, lines)
         write_stream_data(pp.get_str("streamFile"), sd, meta=st.meta,
                           version=pp.query_str("sd_version", "0"))

@@ -63,6 +63,30 @@ def test_conditional_mean_vs_numpy(ds):
     np.testing.assert_allclose(sums[:, 0], sums_np, rtol=1e-12)
 
 
+def test_conditional_std_float32_no_cancellation(tmp_path):
+    # ADVICE r1 (medium): with float32 accumulation, sumsq of a ~2000 K field
+    # kept ~7 digits and the std column was rounding noise.  The shifted-
+    # moment accumulation must recover a tiny std on a large-mean field.
+    amp = 0.05
+    fields = {
+        "xcoord": lambda x, y, z: x,
+        "bigtemp": lambda x, y, z: 2000.0 + amp * np.sin(2 * np.pi * y),
+    }
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=1, fields=fields)
+    d32 = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float32))
+    hits, sums, sumsq, _, _ = accumulate_conditional_mean(
+        d32, "xcoord", ["bigtemp"], nbins=4, bin_min=0.0, bin_max=1.0)
+    mean = sums[:, 0] / hits
+    var = sumsq[:, 0] / hits - mean ** 2
+    std = np.sqrt(np.maximum(var, 0.0))
+    # every x-bin sees the full y range: std = amp/sqrt(2) (discrete-sum
+    # correction negligible at 16 samples)
+    np.testing.assert_allclose(mean, 2000.0, rtol=1e-5)
+    np.testing.assert_allclose(std, amp / np.sqrt(2), rtol=2e-2)
+
+
 def test_jpdf_mass_conservation(ds):
     f1 = [ds.data[l][ds.comp("temp")] for l in range(3)]
     f2 = [ds.data[l][ds.comp("progress")] for l in range(3)]

@@ -25,7 +25,7 @@ def test_trace_up_gradient_radial(ds):
     # gradient of progress points radially inward (toward the hot center);
     # tracing +grad from a point moves toward the center along the radius
     seeds = np.array([[0.70, 0.5, 0.5], [0.5, 0.68, 0.5]])
-    lines = trace_streamlines(dss, seeds, n_rk_steps=40, h_rk=0.5,
+    lines = trace_streamlines(dss, seeds, n_rk_steps=41, h_rk=0.5,
                               trace_field="progress",
                               sample_names=("progress",))
     n_half = 20
@@ -52,7 +52,7 @@ def test_trace_velocity_circular(tmp_path):
     dss = DenseAmrState.from_batched(
         AmrState.from_plotfile(path, dtype=np.float64))
     seeds = np.array([[0.65, 0.5, 0.5]])
-    lines = trace_streamlines(dss, seeds, n_rk_steps=60, h_rk=0.5,
+    lines = trace_streamlines(dss, seeds, n_rk_steps=61, h_rk=0.5,
                               trace_field=None)
     xy = lines[0, :, :2] - 0.5
     r = np.linalg.norm(xy, axis=1)
@@ -64,7 +64,7 @@ def test_arclength_step(ds):
     # normalized RK4: successive points are ~h apart in arclength
     seeds = np.array([[0.62, 0.5, 0.5]])
     h_rk = 0.5
-    lines = trace_streamlines(dss, seeds, n_rk_steps=20, h_rk=h_rk,
+    lines = trace_streamlines(dss, seeds, n_rk_steps=21, h_rk=h_rk,
                               trace_field="progress")
     d = np.linalg.norm(np.diff(lines[0, :, :3], axis=0), axis=1)
     h_phys = h_rk * dss.meta.geoms[-1].dx[0]
