@@ -66,6 +66,7 @@ def compute_curvature_dense(
     do_smooth: bool = False,
     smooth_time: float = 1.0e-7,
     smooth_iters: int = 50,
+    smooth_rtol: Optional[float] = 1.0e-10,
     smooth_composite: bool = True,
     do_gauss: bool = True,
     do_strain: bool = False,
@@ -133,7 +134,7 @@ def compute_curvature_dense(
                         for l in range(meta.n_levels)]
 
             smoothed = cg_solve_composite(apply_A, prog, prog, valid, vols,
-                                          smooth_iters)
+                                          smooth_iters, rtol=smooth_rtol)
             smoothed = average_down_all(meta, lmeta, smoothed, covered)
         elif do_smooth:
             smoothed: List[jnp.ndarray] = list(prog)
@@ -148,7 +149,7 @@ def compute_curvature_dense(
 
                 m = mask_list[lev][None]
                 smoothed[lev] = cg_solve(apply_A, prog[lev], prog[lev], m,
-                                         smooth_iters)
+                                         smooth_iters, rtol=smooth_rtol)
         else:
             smoothed = prog
 
@@ -279,6 +280,7 @@ def compute_curvature_dense(
 def main(args: dict) -> None:
     """CLI: curvature infile=<plt> [progressName=temp] [progMin= progMax=]
     [do_smooth=0] [smoothing_time=1e-7] [smooth_composite=1] [smooth_iters=50]
+    [smooth_rtol=1e-10  (0 disables the residual stop: fixed smooth_iters)]
     [do_gaussCurv=1] [do_strain=0]
     [getStrainTensor=0] [do_velnormal=0] [threshold_prog=0] [threshold=0.02]
     [is_per=...] [outfile=...]"""
@@ -308,6 +310,7 @@ def main(args: dict) -> None:
         smooth_time=pp.query_float("smoothing_time", 1.0e-7),
         smooth_composite=pp.query_bool("smooth_composite", True),
         smooth_iters=pp.query_int("smooth_iters", 50),
+        smooth_rtol=(pp.query_float("smooth_rtol", 1.0e-10) or None),
         do_gauss=pp.query_bool("do_gaussCurv", True),
         do_strain=do_strain,
         get_strain_tensor=pp.query_bool("getStrainTensor", False),
