@@ -125,7 +125,7 @@ def main():
     iso_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        mef = extract_isosurface(dstate, "temp", 1000.0)
+        mef = extract_isosurface(dstate, "temp", 1000.0, classify="enum")
         iso_times.append(time.perf_counter() - t0)
     iso_ms = min(iso_times) * 1e3
     tpu_ms = grad_ms + curv_ms + iso_ms

@@ -443,6 +443,456 @@ def _pad_pow2(n: int, minimum: int = 256) -> int:
     return m
 
 
+# ---------------------------------------------------------------------------
+# "enum" engine: sort-free single-dispatch single-fetch extraction.
+#
+# Node identity is CANONICAL instead of deduplicated: every node lies on a
+# unique dual-grid edge (cell c, axis a) — the edge's lower-corner cell in the
+# grown volume plus its direction.  A full-volume crossing mask
+# (inside(c) ^ inside(c+e_a)) enumerates all candidate nodes; "referenced"
+# restricts to edges adjacent to an emitting dual cell (for an active cell
+# every crossed edge is used — a property of the marching-cubes tables); an
+# exclusive cumsum over the referenced flags assigns node ids with NO sort
+# (the device sort dominated the r1 fused engine, NOTES.md).  Cross-level
+# seam identification (the reference's collapsed-ghost dedup,
+# isosurface.cpp:834-873 + 1450-1479) maps ghost-ghost fine edges to their
+# coarse parent edge: the coarse crossing mask sees the identical values (pc
+# fill), so marking the coarse edge referenced reproduces the watertight join
+# exactly.  Periodic level-0 images fold onto their primary slots.
+#
+# Known deviation: at periodic seams the surviving node instance is the
+# primary-image one (coordinates not unwrapped to the ghost side), where the
+# dedup engines keep the first emission's coordinates; the surfaces differ
+# only by ±domain-length in the periodic coordinate of seam nodes.
+# ---------------------------------------------------------------------------
+_E_AXIS = np.array([int(np.argmax(np.abs(CORNER_OFFSETS[b] - CORNER_OFFSETS[a])))
+                    for a, b in np.asarray(CORNER_PAIRS)])
+_E_LOWER = np.minimum(CORNER_OFFSETS[CORNER_PAIRS[:, 0]],
+                      CORNER_OFFSETS[CORNER_PAIRS[:, 1]])      # [12,3]
+
+
+def _corner_index_of(off) -> int:
+    for i, o in enumerate(np.asarray(CORNER_OFFSETS)):
+        if (o == off).all():
+            return i
+    raise AssertionError
+
+
+_E_LO_CORNER = np.array([_corner_index_of(_E_LOWER[e]) for e in range(12)])
+_E_HI_CORNER = np.array([_corner_index_of(
+    _E_LOWER[e] + np.eye(3, dtype=int)[_E_AXIS[e]]) for e in range(12)])
+
+
+def _dilate_active(act: jnp.ndarray, a: int) -> jnp.ndarray:
+    """OR of the <=4 dual cells containing each axis-a edge.  act: [S-1]^3
+    (dual cells); result matches the axis-a edge volume shape (S-1 along a,
+    S along the others)."""
+    pads = [(0, 0) if d == a else (1, 1) for d in range(3)]
+    P = jnp.pad(act, pads)
+    out = None
+    others = [d for d in range(3) if d != a]
+    for ob in (0, 1):
+        for og in (0, 1):
+            sl = [slice(None)] * 3
+            sl[others[0]] = slice(ob, P.shape[others[0]] - 1 + ob)
+            sl[others[1]] = slice(og, P.shape[others[1]] - 1 + og)
+            w = P[tuple(sl)]
+            out = w if out is None else (out | w)
+    return out
+
+
+def _edge_crossed(inside: jnp.ndarray, a: int) -> jnp.ndarray:
+    sl0 = [slice(None)] * 3
+    sl1 = [slice(None)] * 3
+    sl0[a] = slice(0, inside.shape[a] - 1)
+    sl1[a] = slice(1, inside.shape[a])
+    return inside[tuple(sl0)] ^ inside[tuple(sl1)]
+
+
+def _ghost_pair(ghost: jnp.ndarray, a: int) -> jnp.ndarray:
+    sl0 = [slice(None)] * 3
+    sl1 = [slice(None)] * 3
+    sl0[a] = slice(0, ghost.shape[a] - 1)
+    sl1[a] = slice(1, ghost.shape[a])
+    return ghost[tuple(sl0)] & ghost[tuple(sl1)]
+
+
+def _fold_edge_mask(m: jnp.ndarray, a: int, spans) -> jnp.ndarray:
+    """Fold periodic image slots onto their primaries and zero the images.
+    spans[d] = (True, N) when the grown volume wraps the domain along d."""
+    for d in range(3):
+        span, N = spans[d]
+        if not span:
+            continue
+        ext = m.shape[d]
+
+        def sl(i):
+            s = [slice(None)] * 3
+            s[d] = slice(i, i + 1)
+            return tuple(s)
+
+        m = m.at[sl(N)].max(m[sl(0)])
+        m = m.at[sl(0)].set(False)
+        if ext > N + 1:                      # non-edge axis has slot N+1
+            m = m.at[sl(1)].max(m[sl(N + 1)])
+            m = m.at[sl(N + 1)].set(False)
+    return m
+
+
+def _fold_rank_vol(r: jnp.ndarray, a: int, spans) -> jnp.ndarray:
+    """Overwrite image slots of a rank volume with their primary ranks so
+    lookups need no coordinate remap."""
+    for d in range(3):
+        span, N = spans[d]
+        if not span:
+            continue
+        ext = r.shape[d]
+
+        def sl(i):
+            s = [slice(None)] * 3
+            s[d] = slice(i, i + 1)
+            return tuple(s)
+
+        r = r.at[sl(0)].set(r[sl(N)])
+        if ext > N + 1:
+            r = r.at[sl(N + 1)].set(r[sl(1)])
+    return r
+
+
+def _coarsen_edge_mask(m: jnp.ndarray, a: int, r: int, gbox_lo, cshape,
+                       cgbox_lo):
+    """ANY-reduce a fine edge mask onto coarse edge slots (r-block per axis,
+    aligned on global coordinates).  Returns (coarse-shaped array, slices)
+    for OR-insertion, or None when out of range."""
+    out = m
+    starts = []
+    for d in range(3):
+        lo_g = gbox_lo[d]
+        pad_lo = lo_g % r
+        size = out.shape[d]
+        pad_hi = (-(pad_lo + size)) % r
+        pads = [(0, 0)] * 3
+        pads[d] = (pad_lo, pad_hi)
+        out = jnp.pad(out, pads)
+        newshape = list(out.shape)
+        U = newshape[d] // r
+        newshape[d] = U
+        newshape.insert(d + 1, r)
+        out = out.reshape(newshape).any(axis=d + 1)
+        starts.append((lo_g - pad_lo) // r - cgbox_lo[d])
+    slices = []
+    for d in range(3):
+        s0 = starts[d]
+        s1 = s0 + out.shape[d]
+        if s0 < 0 or s1 > cshape[d]:
+            # clip (proper nesting should prevent this; clip keeps us safe)
+            lo_clip = max(0, -s0)
+            hi_clip = max(0, s1 - cshape[d])
+            sl = [slice(None)] * 3
+            sl[d] = slice(lo_clip, out.shape[d] - hi_clip)
+            out = out[tuple(sl)]
+            s0, s1 = s0 + lo_clip, s1 - hi_clip
+        slices.append(slice(s0, s1))
+    return out, tuple(slices)
+
+
+def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
+                   tri_cap, unwraps, spans_all):
+    """Jitted fill->classify->enumerate->emit over the whole hierarchy;
+    returns ONE packed int32 vector [counts | elements | bitcast(nodes)].
+    counts = [n_nodes_tot, n_tri, n_act per level..., n_nodes per level...]"""
+    n_levels = meta.n_levels
+    rr = [meta.ref_ratio[lev - 1] if lev > 0 else 1
+          for lev in range(n_levels)]
+    gbox_los = [tuple(lmeta[lev].bbox.grow(1).lo) for lev in range(n_levels)]
+
+    def fn(data_levels, mask_list, inlev_devs, ok_devs, iso_val):
+        grown = fill_dense_multilevel(meta, lmeta, data_levels, mask_list,
+                                      1, bc, "pc")
+        unwrapped = []
+        for lev, g in enumerate(grown):
+            for (sl, dv) in unwraps[lev]:
+                g = g.at[sl].add(dv)
+            unwrapped.append(g)
+
+        # --- per-level crossing / active / dilation masks -------------------
+        refs = [[None] * 3 for _ in range(n_levels)]
+        acts, cis = [], []
+        for lev in range(n_levels):
+            G = unwrapped[lev]
+            inside = G[iso_comp] < iso_val
+            ci = _classify(G[iso_comp], iso_val)
+            act = ok_devs[lev] & (_EDGE_TABLE_DEV[ci] != 0)
+            acts.append(act)
+            cis.append(ci)
+            ghost = ~inlev_devs[lev]
+            for a in range(3):
+                crossed = _edge_crossed(inside, a)
+                dil = _dilate_active(act, a)
+                ref = crossed & dil
+                if lev > 0:
+                    gp = _ghost_pair(ghost, a)
+                    refs[lev][a] = (ref & ~gp, ref & gp)
+                else:
+                    refs[lev][a] = (ref, None)
+
+        # --- inject class-B (ghost-ghost) seam edges into the coarse level --
+        for lev in range(n_levels - 1, 0, -1):
+            for a in range(3):
+                refA, refB = refs[lev][a]
+                refB = _fold_edge_mask(refB, a, spans_all[lev])
+                cshape = refs[lev - 1][a][0].shape
+                co, slc = _coarsen_edge_mask(refB, a, rr[lev], gbox_los[lev],
+                                             cshape, gbox_los[lev - 1])
+                base, extra = refs[lev - 1][a]
+                base = base.at[slc].max(co)
+                refs[lev - 1][a] = (base, extra)
+                refs[lev][a] = (refA, None)
+
+        # --- fold periodic images, assign global ranks ----------------------
+        ref_final = []
+        for lev in range(n_levels):
+            ref_final.append([
+                _fold_edge_mask(refs[lev][a][0], a, spans_all[lev])
+                for a in range(3)])
+
+        flat_levels = [jnp.concatenate([ref_final[lev][a].ravel()
+                                        for a in range(3)])
+                       for lev in range(n_levels)]
+        n_nodes_lev = [jnp.sum(f).astype(jnp.int32) for f in flat_levels]
+        rank_vols = []
+        offset = jnp.asarray(0, jnp.int32)
+        for lev in range(n_levels):
+            f = flat_levels[lev].astype(jnp.int32)
+            cs = jnp.cumsum(f) - f + offset          # exclusive + offset
+            offset = offset + n_nodes_lev[lev]
+            vols, p = [], 0
+            for a in range(3):
+                sz = int(np.prod(ref_final[lev][a].shape))
+                v = cs[p: p + sz].reshape(ref_final[lev][a].shape)
+                vols.append(_fold_rank_vol(v, a, spans_all[lev]))
+                p += sz
+            rank_vols.append(vols)
+        n_nodes_tot = offset
+
+        # --- node rows: interpolate at referenced crossings ------------------
+        node_rows = []
+        for lev in range(n_levels):
+            G = unwrapped[lev]
+            cap = node_caps[lev]
+            shapes = [ref_final[lev][a].shape for a in range(3)]
+            sz = [int(np.prod(s)) for s in shapes]
+            off = [0, sz[0], sz[0] + sz[1]]
+            nidx = jnp.nonzero(flat_levels[lev], size=cap, fill_value=0)[0]
+            ax = ((nidx >= off[1]).astype(jnp.int32)
+                  + (nidx >= off[2]).astype(jnp.int32))
+            cA = []
+            for d in range(3):
+                vs = []
+                for a in range(3):
+                    loc = jnp.clip(nidx - off[a], 0, sz[a] - 1)
+                    s = shapes[a]
+                    if d == 0:
+                        vs.append(loc // (s[1] * s[2]))
+                    elif d == 1:
+                        vs.append((loc // s[2]) % s[1])
+                    else:
+                        vs.append(loc % s[2])
+                cA.append(jnp.where(ax == 0, vs[0],
+                                    jnp.where(ax == 1, vs[1], vs[2])))
+            cB = [cA[d] + (ax == d) for d in range(3)]
+            A = G[:, cA[0], cA[1], cA[2]]            # [nf, cap]
+            B = G[:, cB[0], cB[1], cB[2]]
+            fa, fb = A[iso_comp], B[iso_comp]
+            denom = fb - fa
+            t = jnp.where(jnp.abs(denom) > 1e-30,
+                          (iso_val - fa) / jnp.where(denom == 0, 1.0, denom),
+                          0.0)
+            t = jnp.clip(t, 0.0, 1.0)
+            row = (A + t[None] * (B - A)).T               # [cap, nf]
+            # the iso component interpolates to iso_val by construction —
+            # don't ship it over the tunnel; the host re-inserts the column
+            node_rows.append(jnp.concatenate(
+                [row[:, :iso_comp], row[:, iso_comp + 1:]], axis=1))
+        nodes = jnp.concatenate(node_rows)
+
+        # --- elements: active cells -> per-edge canonical node ids ----------
+        tri_nid_all, tri_valid_all, ns = [], [], []
+        for lev in range(n_levels):
+            cap = caps[lev]
+            act = acts[lev]
+            shp = act.shape
+            af = act.ravel()
+            n = jnp.sum(af)
+            ns.append(n)
+            idx = jnp.nonzero(af, size=cap, fill_value=0)[0]
+            live = (jnp.arange(cap) < n)
+            ai = idx // (shp[1] * shp[2])
+            aj = (idx // shp[2]) % shp[1]
+            ak = idx % shp[2]
+            cia = cis[lev].ravel()[idx]
+
+            gf = []                                   # in-level corner flags
+            for o in np.asarray(CORNER_OFFSETS):
+                gf.append(inlev_devs[lev][ai + o[0], aj + o[1], ak + o[2]])
+
+            nid12 = []
+            for e in range(12):
+                a = int(_E_AXIS[e])
+                lo = _E_LOWER[e]
+                c = (ai + int(lo[0]), aj + int(lo[1]), ak + int(lo[2]))
+                s = ref_final[lev][a].shape
+                flat_f = (c[0] * s[1] + c[1]) * s[2] + c[2]
+                nid = rank_vols[lev][a].ravel()[flat_f]
+                if lev > 0:
+                    r = rr[lev]
+                    sc = ref_final[lev - 1][a].shape
+                    u = [jnp.floor_divide(c[d] + gbox_los[lev][d], r)
+                         - gbox_los[lev - 1][d] for d in range(3)]
+                    u = [jnp.clip(u[d], 0, sc[d] - 1) for d in range(3)]
+                    flat_c = (u[0] * sc[1] + u[1]) * sc[2] + u[2]
+                    nid_c = rank_vols[lev - 1][a].ravel()[flat_c]
+                    classB = (~gf[int(_E_LO_CORNER[e])]
+                              & ~gf[int(_E_HI_CORNER[e])])
+                    nid = jnp.where(classB, nid_c, nid)
+                nid12.append(nid)
+            nid12 = jnp.stack(nid12, axis=1)          # [cap,12]
+
+            tri_e = _TRI_TABLE_DEV[cia]               # [cap,5,3]
+            tri_valid = ((tri_e[..., 0] >= 0) & live[:, None])
+            e_safe = jnp.maximum(tri_e, 0)
+            tri_nid = nid12[jnp.arange(cap)[:, None, None], e_safe]
+            tri_nid_all.append(tri_nid.reshape(cap * 5, 3))
+            tri_valid_all.append(tri_valid.ravel())
+
+        TN = jnp.concatenate(tri_nid_all)
+        TV = jnp.concatenate(tri_valid_all)
+        n_tri = jnp.sum(TV)
+        tri_idx = jnp.nonzero(TV, size=tri_cap, fill_value=0)[0]
+        elements = TN[tri_idx]
+        # 3 node ids -> 2 int32 words (21 bits each; n_nodes < 2^21 checked
+        # host-side via counts) — the element payload is the largest fetch
+        # chunk on the tunnel, this shaves a third off it
+        e0, e1, e2 = elements[:, 0], elements[:, 1], elements[:, 2]
+        w0 = e0 | ((e1 & 0x7FF) << 21)
+        w1 = (e1 >> 11) | (e2 << 10)
+        epacked = jnp.stack([w0, w1], axis=1)
+
+        counts = jnp.concatenate(
+            [jnp.stack([n_nodes_tot, n_tri]).astype(jnp.int32),
+             jnp.stack(ns).astype(jnp.int32),
+             jnp.stack(n_nodes_lev).astype(jnp.int32)])
+        return _pack_result(nodes, epacked, counts)
+
+    return jax.jit(fn)
+
+
+def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
+                            iso_val: float,
+                            extra_names: Sequence[str] = (),
+                            bc=None, label: Optional[str] = None) -> MEF:
+    """Sort-free single-dispatch single-fetch extraction (enum engine)."""
+    meta = dstate.meta
+    names = [iso_name] + [n for n in extra_names if n != iso_name]
+    comps = [dstate.comp(n) for n in names]
+    if bc is None:
+        bc = default_bc(3)
+    nf = 3 + len(names)
+
+    coord_levels = _coord_levels(dstate)
+    data_levels = [jnp.concatenate(
+        [coord_levels[lev], dstate.data[lev][np.asarray(comps)]], axis=0)
+        for lev in range(meta.n_levels)]
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+    ok_devs = [_ok_mask_dev(dstate, lev)[0] for lev in range(meta.n_levels)]
+    inlev_devs = getattr(dstate, "_mc_inlev_dev", None)
+    if inlev_devs is None:
+        inlev_devs = dstate._mc_inlev_dev = [
+            jnp.asarray(_grown_masks(dstate, lev)[1])
+            for lev in range(meta.n_levels)]
+    consts, unwraps = _fused_consts(dstate)
+    spans_all = []
+    for lev in range(meta.n_levels):
+        geom = meta.geoms[lev]
+        bbox = dstate.lmeta[lev].bbox
+        spans_all.append(tuple(
+            (bool(geom.is_periodic[d])
+             and bbox.shape[d] == geom.domain.shape[d],
+             geom.domain.shape[d]) for d in range(3)))
+    spans_all = tuple(spans_all)
+    dtype = data_levels[0].dtype
+    words = 2 if dtype == jnp.float64 else 1
+
+    caps_d = getattr(dstate, "_mc_enum_caps", None)
+    if caps_d is None:
+        caps_d = dstate._mc_enum_caps = {}
+    ncaps_d = getattr(dstate, "_mc_enum_ncaps", None)
+    if ncaps_d is None:
+        ncaps_d = dstate._mc_enum_ncaps = {}
+    tri_cap = getattr(dstate, "_mc_enum_tricap", 1 << 15)
+    fns = getattr(dstate, "_mc_enum_fns", None)
+    if fns is None:
+        fns = dstate._mc_enum_fns = {}
+
+    nl = meta.n_levels
+    gran = 8192
+    for _attempt in range(4):
+        caps = tuple(caps_d.get(lev, 1 << 14) for lev in range(nl))
+        node_caps = tuple(ncaps_d.get(lev, 1 << 14) for lev in range(nl))
+        key = (len(names), bc, caps, node_caps, tri_cap, str(dtype))
+        if key not in fns:
+            fns[key] = _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
+                                      3, caps, node_caps, tri_cap, unwraps,
+                                      spans_all)
+        packed = np.asarray(fns[key](data_levels, masks, inlev_devs,
+                                     ok_devs, iso_val))
+        n_uniq, n_tri = int(packed[0]), int(packed[1])
+        n_act = [int(v) for v in packed[2: 2 + nl]]
+        n_nod = [int(v) for v in packed[2 + nl: 2 + 2 * nl]]
+        ok = True
+        for lev in range(nl):
+            if n_act[lev] > caps[lev]:
+                ok = False
+            caps_d[lev] = _pad_gran(max(n_act[lev], 1), gran, gran)
+            if n_nod[lev] > node_caps[lev]:
+                ok = False
+            ncaps_d[lev] = _pad_gran(max(n_nod[lev], 1), gran, gran)
+        if n_tri > tri_cap:
+            tri_cap = dstate._mc_enum_tricap = _pad_gran(n_tri, gran, gran)
+            ok = False
+        if n_uniq >= (1 << 21):
+            raise ValueError("enum engine supports < 2^21 nodes per surface; "
+                             "use classify='device' for larger extractions")
+        if ok:
+            break
+    base = 2 + 2 * nl
+    ep = packed[base: base + tri_cap * 2].reshape(tri_cap, 2)[:n_tri]
+    w0, w1 = ep[:, 0], ep[:, 1]
+    elements = np.stack([w0 & 0x1FFFFF,
+                         (w0 >> 21) & 0x7FF | (w1 & 0x3FF) << 11,
+                         (w1 >> 10) & 0x1FFFFF], axis=1)
+    nbits = packed[base + tri_cap * 2:]
+    rows = nbits.view(np.float64 if words == 2
+                      else np.float32).reshape(sum(node_caps), nf - 1)
+    # valid node rows are per-level cap-padded prefixes; global node ids are
+    # dense ranks over the TRUE per-level counts -> slice and concatenate
+    parts, p = [], 0
+    for lev in range(nl):
+        parts.append(rows[p: p + n_nod[lev]])
+        p += node_caps[lev]
+    shipped = np.concatenate(parts) if parts else np.zeros((0, nf - 1))
+    nodes = np.empty((len(shipped), nf), shipped.dtype)
+    nodes[:, :3] = shipped[:, :3]
+    nodes[:, 3] = iso_val                  # iso comp re-inserted (comp 3)
+    nodes[:, 4:] = shipped[:, 3:]
+    if n_uniq == 0:
+        return MEF(label or "0", ["X", "Y", "Z"] + names,
+                   np.zeros((0, nf)), np.zeros((0, 3), np.int32))
+    return MEF(label or "0", ["X", "Y", "Z"] + names,
+               np.asarray(nodes, np.float64),
+               np.asarray(elements, np.int32))
+
+
 def _classify_numpy(field: np.ndarray, iso_val: float) -> np.ndarray:
     inside = (field < iso_val).astype(np.int32)
     ci = 0
@@ -732,6 +1182,9 @@ def extract_isosurface(
     if classify == "fused":
         return extract_isosurface_fused(dstate, iso_name, iso_val,
                                         extra_names, bc, label)
+    if classify == "enum":
+        return extract_isosurface_enum(dstate, iso_name, iso_val,
+                                       extra_names, bc, label)
     meta = dstate.meta
     names = [iso_name] + [n for n in extra_names if n != iso_name]
     comps = [dstate.comp(n) for n in names]

@@ -50,7 +50,7 @@ def main(args: dict) -> None:
             mef = extract_isolines(ds, iso_name, iso_val, extras,
                                    label=f"{st.meta.time:g}")
     else:
-        engine = pp.query_str("engine", "device")  # device|fused|numpy
+        engine = pp.query_str("engine", "enum")  # enum|device|fused|numpy
         with phase("Compute Surface"):
             mef = extract_isosurface(ds, iso_name, iso_val, extras,
                                      label=f"{st.meta.time:g}",

@@ -158,6 +158,74 @@ def test_fused_empty_and_repeat(sphere_ds):
     assert np.abs(r - r_exp).max() < 4e-3
 
 
+def _canon(m, modL=None):
+    n = np.round(m.nodes, 9)
+    if modL is not None:
+        n = n.copy()
+        n[:, :3] = np.round(np.mod(n[:, :3] + 0.5 * modL, modL), 9)
+    order = np.lexsort(n.T[::-1])
+    rank = np.empty(len(n), np.int64)
+    rank[order] = np.arange(len(n))
+    tris = np.sort(rank[m.elements], axis=1)
+    return n[order], tris[np.lexsort(tris.T[::-1])]
+
+
+def test_enum_matches_device_path(sphere_ds):
+    """The sort-free enumeration engine (canonical per-edge node ids from
+    crossing masks + cumsum ranks — no device sort, one fetch) produces the
+    identical node set and topology as the host-dedup path."""
+    m1 = extract_isosurface(sphere_ds, "temp", 1000.0)
+    m2 = extract_isosurface(sphere_ds, "temp", 1000.0, classify="enum")
+    assert len(m1.nodes) == len(m2.nodes) > 100
+    assert len(m1.elements) == len(m2.elements)
+    n1, t1 = _canon(m1)
+    n2, t2 = _canon(m2)
+    np.testing.assert_allclose(n1, n2, atol=1e-12)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_enum_three_level_extras_and_empty(tmp_path):
+    path = str(tmp_path / "plt3")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=3, max_grid_size=16)
+    ds = DenseAmrState.from_batched(AmrState.from_plotfile(
+        path, dtype=np.float64))
+    m1 = extract_isosurface(ds, "temp", 900.0, extra_names=("density",))
+    m2 = extract_isosurface(ds, "temp", 900.0, extra_names=("density",),
+                            classify="enum")
+    assert len(m1.nodes) == len(m2.nodes) > 100
+    n1, t1 = _canon(m1)
+    n2, t2 = _canon(m2)
+    np.testing.assert_allclose(n1, n2, atol=1e-12)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_allclose(m2.field("temp"), 900.0, atol=1e-12)
+    counts = edge_incidence(m2)
+    assert (counts == 2).all()
+    m0 = extract_isosurface(ds, "temp", 1e9, classify="enum")
+    assert len(m0.nodes) == 0 and len(m0.elements) == 0
+
+
+def test_enum_periodic_parity(tmp_path):
+    """Periodic level-0 image folding: enum merges wrap edges onto their
+    primary slots; node sets match the device engine modulo +-L in the
+    periodic coordinate (documented deviation)."""
+    path = str(tmp_path / "pltper")
+    fields = {"blob": lambda x, y, z: np.exp(
+        -(((x + 0.5) % 1.0 - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2)
+        / 0.15 ** 2)}
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2, fields=fields,
+                             is_periodic=(True, True, True))
+    ds = DenseAmrState.from_batched(AmrState.from_plotfile(
+        path, dtype=np.float64))
+    m1 = extract_isosurface(ds, "blob", 0.3)
+    m2 = extract_isosurface(ds, "blob", 0.3, classify="enum")
+    assert len(m1.nodes) == len(m2.nodes) > 100
+    assert len(m1.elements) == len(m2.elements)
+    n1, t1 = _canon(m1, modL=1.0)
+    n2, t2 = _canon(m2, modL=1.0)
+    np.testing.assert_allclose(n1, n2, atol=1e-9)
+    np.testing.assert_array_equal(t1, t2)
+
+
 def test_fused_three_level_parity(tmp_path):
     """Fused extractor on a 3-level hierarchy: cross-level dedup at TWO
     c-f seams must match the host-dedup path exactly."""
