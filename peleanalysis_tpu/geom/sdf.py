@@ -16,15 +16,19 @@ Same algorithmic skeleton, re-implemented vectorized:
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import numpy as np
 
 
 def point_tri_distance(p: np.ndarray, a: np.ndarray, b: np.ndarray,
-                       c: np.ndarray) -> np.ndarray:
+                       c: np.ndarray, xp=np) -> np.ndarray:
     """Exact unsigned distance from points p[...,3] to triangles a/b/c[...,3]
-    (broadcasting).  Standard region-based closest-point computation."""
+    (broadcasting).  Standard region-based closest-point computation.
+    Pass xp=jax.numpy to run the same math on device."""
+    np = xp  # noqa: shadowing on purpose — one source for host and device
     ab = b - a
     ac = c - a
     ap = p - a
@@ -75,50 +79,126 @@ def _cell_centers_1d(lo, n, dx, plo):
     return plo + (np.arange(lo, lo + n) + 0.5) * dx
 
 
+@partial(jax.jit, static_argnames=("span", "shape"))
+def _band_distances_dev(tri: "jnp.ndarray", tlo: "jnp.ndarray",
+                        origin, dx, span: Tuple[int, int, int],
+                        shape: Tuple[int, int, int]):
+    """Device (vmapped) exact-band evaluation: distances from every cell in
+    each triangle's span window to that triangle — the FLOP-heavy part of
+    SDFGen's seeding (makelevelset3.cpp:20-41), one fused kernel over
+    [T, span^3] instead of a host python loop.  Returns (d [T,M], flat [T,M],
+    ok [T,M]); the host min-reduces into the grid."""
+    import jax.numpy as jnp
+    T = tri.shape[0]
+    offs = np.stack(np.meshgrid(*[np.arange(s) for s in span],
+                                indexing="ij"), -1).reshape(-1, 3)
+    offs_j = jnp.asarray(offs, jnp.int32)                  # [M,3]
+    idx = tlo[:, None, :] + offs_j[None, :, :]             # [T,M,3]
+    shp = jnp.asarray(shape, jnp.int32)
+    ok = jnp.all((idx >= 0) & (idx < shp[None, None]), axis=-1)
+    idxc = jnp.clip(idx, 0, shp[None, None] - 1)
+    p = jnp.asarray(origin)[None, None] + (idxc + 0.5) * jnp.asarray(dx)
+    d = point_tri_distance(p, tri[:, None, 0], tri[:, None, 1],
+                           tri[:, None, 2], xp=jnp)
+    flat = (idxc[..., 0] * shape[1] + idxc[..., 1]) * shape[2] + idxc[..., 2]
+    return d, flat, ok
+
+
+def band_seed_device(tri_verts: np.ndarray, origin, dx,
+                     shape: Tuple[int, int, int], dmax: float,
+                     exact_band: int = 1, chunk: int = 16384):
+    """Exact-band seeding with device distance evaluation + host min-reduce.
+    Returns (phi, closest) like the host seeding loop."""
+    import jax.numpy as jnp
+    nx, ny, nz = shape
+    dxa = np.asarray(dx, np.float64)
+    oa = np.asarray(origin, np.float64)
+    phi = np.full(shape, dmax, dtype=np.float64)
+    closest = np.full(shape, -1, dtype=np.int64)
+    if len(tri_verts) == 0:
+        return phi, closest
+    tlo_all = np.floor((tri_verts.min(axis=1) - oa) / dxa - 0.5).astype(int)
+    thi_all = np.floor((tri_verts.max(axis=1) - oa) / dxa - 0.5).astype(int)
+    span = tuple(int(s) for s in
+                 (thi_all - tlo_all).max(axis=0) + 1 + 2 * exact_band)
+    phi_f = phi.reshape(-1)
+    cls_f = closest.reshape(-1)
+    for s in range(0, len(tri_verts), chunk):
+        tri_c = tri_verts[s: s + chunk]
+        tlo_c = tlo_all[s: s + chunk] - exact_band
+        d, flat, ok = _band_distances_dev(
+            jnp.asarray(tri_c, jnp.float32), jnp.asarray(tlo_c, jnp.int32),
+            tuple(oa), tuple(dxa), span, tuple(int(v) for v in shape))
+        d = np.asarray(d, np.float64).ravel()
+        flat = np.asarray(flat).ravel()
+        okv = np.asarray(ok).ravel() & (d < dmax)
+        d, flat = d[okv], flat[okv]
+        tid = np.repeat(np.arange(s, s + len(tri_c)),
+                        int(np.prod(span)))[okv]
+        # min-reduce per cell: first row in (flat, d) order wins
+        order = np.lexsort((d, flat))
+        flat_o, d_o, t_o = flat[order], d[order], tid[order]
+        first = np.concatenate([[True], flat_o[1:] != flat_o[:-1]])
+        flat_u, d_u, t_u = flat_o[first], d_o[first], t_o[first]
+        upd = d_u < phi_f[flat_u]
+        phi_f[flat_u[upd]] = d_u[upd]
+        cls_f[flat_u[upd]] = t_u[upd]
+    return phi, closest
+
+
 def unsigned_distance_grid(tri_verts: np.ndarray, origin, dx,
                            shape: Tuple[int, int, int],
-                           dmax: float, exact_band: int = 1):
+                           dmax: float, exact_band: int = 1,
+                           engine: str = "device"):
     """|phi| on a uniform grid: exact distances in a band around each
-    triangle, then 8 fast sweeps propagating closest-triangle ids."""
+    triangle, then 8 fast sweeps propagating closest-triangle ids.
+    engine="device" evaluates the band distances as one fused jitted kernel
+    over [T, span^3] (band_seed_device); "host" keeps the numpy loop."""
     nx, ny, nz = shape
     dx = np.asarray(dx, dtype=np.float64)
     origin = np.asarray(origin, dtype=np.float64)
     ntri = len(tri_verts)
-    phi = np.full(shape, dmax, dtype=np.float64)
-    closest = np.full(shape, -1, dtype=np.int64)
+    A, B, C = (tri_verts[:, 0], tri_verts[:, 1], tri_verts[:, 2]) \
+        if ntri else (None, None, None)
     if ntri == 0:
-        return phi, closest
+        return (np.full(shape, dmax, dtype=np.float64),
+                np.full(shape, -1, dtype=np.int64))
 
-    # --- exact band seeding, vectorized over (triangle, band offsets) -------
-    A, B, C = tri_verts[:, 0], tri_verts[:, 1], tri_verts[:, 2]
-    tlo = np.floor((tri_verts.min(axis=1) - origin) / dx - 0.5).astype(int)
-    thi = np.floor((tri_verts.max(axis=1) - origin) / dx - 0.5).astype(int)
-    span = (thi - tlo).max(axis=0) + 1 + 2 * exact_band
-    offs = np.stack(np.meshgrid(*[np.arange(s) for s in span],
-                                indexing="ij"), -1).reshape(-1, 3)
-    for o in offs:
-        idx = tlo - exact_band + o[None, :]
-        ok = np.all((idx >= 0) & (idx < np.array(shape)), axis=1) \
-            & np.all(idx <= thi + exact_band, axis=1)
-        if not ok.any():
-            continue
-        ii = idx[ok]
-        p = origin + (ii + 0.5) * dx
-        d = point_tri_distance(p, A[ok], B[ok], C[ok])
-        flat = (ii[:, 0] * ny + ii[:, 1]) * nz + ii[:, 2]
-        cur = phi.reshape(-1)[flat]
-        better = d < cur
-        # resolve duplicates within this batch deterministically
-        order = np.argsort(d)
-        flat_o = flat[order]
-        d_o = d[order]
-        t_o = np.nonzero(ok)[0][order]
-        first = np.unique(flat_o, return_index=True)[1]
-        flat_u, d_u, t_u = flat_o[first], d_o[first], t_o[first]
-        cur = phi.reshape(-1)[flat_u]
-        upd = d_u < cur
-        phi.reshape(-1)[flat_u[upd]] = d_u[upd]
-        closest.reshape(-1)[flat_u[upd]] = t_u[upd]
+    if engine == "device":
+        phi, closest = band_seed_device(tri_verts, origin, dx, shape, dmax,
+                                        exact_band)
+    else:
+        phi = np.full(shape, dmax, dtype=np.float64)
+        closest = np.full(shape, -1, dtype=np.int64)
+        # --- exact band seeding, vectorized over (triangle, band offsets) ---
+        tlo = np.floor((tri_verts.min(axis=1) - origin) / dx
+                       - 0.5).astype(int)
+        thi = np.floor((tri_verts.max(axis=1) - origin) / dx
+                       - 0.5).astype(int)
+        span = (thi - tlo).max(axis=0) + 1 + 2 * exact_band
+        offs = np.stack(np.meshgrid(*[np.arange(s) for s in span],
+                                    indexing="ij"), -1).reshape(-1, 3)
+        for o in offs:
+            idx = tlo - exact_band + o[None, :]
+            ok = np.all((idx >= 0) & (idx < np.array(shape)), axis=1) \
+                & np.all(idx <= thi + exact_band, axis=1)
+            if not ok.any():
+                continue
+            ii = idx[ok]
+            p = origin + (ii + 0.5) * dx
+            d = point_tri_distance(p, A[ok], B[ok], C[ok])
+            flat = (ii[:, 0] * ny + ii[:, 1]) * nz + ii[:, 2]
+            # resolve duplicates within this batch deterministically
+            order = np.argsort(d)
+            flat_o = flat[order]
+            d_o = d[order]
+            t_o = np.nonzero(ok)[0][order]
+            first = np.unique(flat_o, return_index=True)[1]
+            flat_u, d_u, t_u = flat_o[first], d_o[first], t_o[first]
+            cur = phi.reshape(-1)[flat_u]
+            upd = d_u < cur
+            phi.reshape(-1)[flat_u[upd]] = d_u[upd]
+            closest.reshape(-1)[flat_u[upd]] = t_u[upd]
 
     # --- 8 directional sweeps ------------------------------------------------
     centers = [origin[d] + (np.arange(shape[d]) + 0.5) * dx[d]

@@ -71,6 +71,28 @@ def main(args: dict) -> None:
             print(f"wrote {base}.dat")
     if pp.query_bool("computeArea", False):
         print(f"Total area of surface: {surface_area(mef):.10g}")
+    if pp.query_bool("build_distance_function", False):
+        # in-run signed-distance plotfile from the same invocation
+        # (isosurface.cpp:1595-1654 per-box make_level_set3 + :1732-1748
+        # WriteMultiLevelPlotfile); sign overridden by field<isoVal like
+        # isosurface.cpp:1644
+        if st.meta.ndim2:
+            raise ValueError("build_distance_function requires DIM=3")
+        import jax.numpy as jnp
+        from ..geom.sdf import signed_distance_dense
+        fin = st.meta.n_levels - 1
+        dmax = pp.query_float("dmax", 4.0 * st.meta.geoms[fin].dx[0])
+        with phase("Distance"):
+            out_levels = []
+            for lev in range(st.meta.n_levels):
+                phi = signed_distance_dense(ds, mef, lev, dmax,
+                                            sign_field=iso_name,
+                                            iso_val=iso_val)
+                out_levels.append(jnp.asarray(np.asarray(phi)[None]))
+        dist_out = ds.with_data(["distance"], out_levels)
+        dist_file = pp.query_str("dist_outfile", infile + "_dist")
+        dist_out.to_plotfile(dist_file)
+        print(f"wrote {dist_file}")
     if verbose:
         # reference-style phase report (isosurface.cpp:1756-1772 timers)
         report()
