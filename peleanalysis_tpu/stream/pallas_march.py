@@ -1,0 +1,246 @@
+"""Pallas TPU kernel for the RK4 streamline march.
+
+The XLA path (stream/trace.py) is gathered-bytes bound: 4 RK4 stages x
+n_steps sequential 8-corner random gathers cost ~0.5-1 GB/s on TPU
+(NOTES.md r1 measurements).  This kernel removes the per-stage gathers
+entirely:
+
+  * lines are processed in chunks of L; each line DMAs ONE field block from
+    HBM into VMEM that covers every trilinear stencil the line can touch for
+    the next K steps;
+  * Mosaic DMA windows on tiled HBM memrefs must be (8,128)-tile aligned in
+    the last two dims, so the block is [BX=8 (dim0: free), BY=16 (8-aligned),
+    BZL=256 lanes (128-aligned) of the z*C-fused minor dim] — z margins are
+    generous, x/y margins set K = floor(3/h_cells) - 1 steps per fetch;
+  * the march runs K steps on the VPU with separable hat-weight
+    contractions over the resident block — the hat weights
+    max(0, 1-|xc - lane|) reproduce the XLA path's (1-t, t) trilinear
+    weights exactly on interior stencils (stream_nd.f90:153-206 ntrpv);
+  * rounds are chained pallas_calls inside one jit: each round's final
+    positions produce the next round's block bases, which enter the next
+    call as an SMEM block (the canonical scalar-prefetch DMA pattern).
+
+Alive/freeze semantics match _trace_level: a step is rejected (position
+frozen) when any stage's stencil base leaves the grown volume.
+
+Replaces the hot loop of /root/reference/Src/stream_nd.f90:53-151 (vtrace:
+per-seed RK4 + ntrpv) the TPU way.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BX = 8       # x extent of the resident block (dim 0: freely sliceable)
+BY = 16      # y extent (sublane dim: 8-aligned start, 8-multiple size)
+BZL = 256    # z*C lanes (lane dim: 128-aligned start, 128-multiple size)
+
+
+def _block_bases(pos, plo, dx, S, C):
+    """Aligned per-line block bases from positions (same formula in XLA and
+    in-kernel so the chained rounds agree).  pos [N,3] -> [N,3] int32
+    (bx, by, bzl)."""
+    xc = [(pos[:, d] - plo[d]) / dx[d] - 0.5 for d in range(3)]
+    bx = jnp.clip(jnp.floor(xc[0]).astype(jnp.int32) - 3, 0, S[0] - BX)
+    by = jnp.clip((jnp.floor((xc[1] - 4.0) / 8.0) * 8).astype(jnp.int32),
+                  0, S[1] - BY)
+    bzl = jnp.clip((jnp.floor((C * xc[2] - 64.0) / 128.0)
+                    * 128).astype(jnp.int32), 0, C * S[2] - BZL)
+    return jnp.stack([bx, by, bzl], axis=1)
+
+
+def _round_kernel(C: int, L: int, K: int, S: Tuple[int, int, int],
+                  plo, dx, h):
+    """Kernel body for one K-step round."""
+    tiny = float(np.finfo(np.float32).tiny)
+
+    def kernel(bases_smem, field, pos_ref, alive_ref, dirs_ref, basev_ref,
+               traj_ref, npos_ref, nalive_ref, nbase_ref, blocks, sems):
+        # ---- fetch every line's block: L DMAs in flight, then wait all ----
+        def get_dma(l):
+            bx = bases_smem[l, 0]
+            by = pl.multiple_of(bases_smem[l, 1], 8)
+            bz = pl.multiple_of(bases_smem[l, 2], 128)
+            return pltpu.make_async_copy(
+                field.at[pl.ds(bx, BX), pl.ds(by, BY), pl.ds(bz, BZL)],
+                blocks.at[l], sems.at[l])
+
+        def issue(l, _):
+            get_dma(l).start()
+            return _
+
+        def wait(l, _):
+            get_dma(l).wait()
+            return _
+
+        jax.lax.fori_loop(0, L, issue, None)
+        jax.lax.fori_loop(0, L, wait, None)
+
+        base_f = basev_ref[:].astype(jnp.float32)          # [L,3] bx,by,bzl
+        basez = basev_ref[:, 2:3]                          # [L,1] int32
+        dirs = dirs_ref[:]                                 # [L,1]
+        lane_x = jax.lax.broadcasted_iota(
+            jnp.int32, (L, BX), 1).astype(jnp.float32)
+        lane_y = jax.lax.broadcasted_iota(
+            jnp.int32, (L, BY), 1).astype(jnp.float32)
+        lane_zc = jax.lax.broadcasted_iota(jnp.int32, (L, BZL), 1) + basez
+        z_of_lane = (lane_zc // C).astype(jnp.float32)     # [L,BZL]
+        c_of_lane = lane_zc % C
+        c_masks = [(c_of_lane == c).astype(jnp.float32) for c in range(C)]
+
+        def interp(x):
+            """Separable hat-weight trilinear sample of the resident blocks.
+            x: [L,3] -> (v [L,C], ok [L])."""
+            xc = [(x[:, d] - plo[d]) / dx[d] - 0.5 for d in range(3)]
+            b = [jnp.floor(xc[d]) for d in range(3)]
+            ok = ((b[0] >= 0) & (b[0] + 1 <= S[0] - 1)
+                  & (b[1] >= 0) & (b[1] + 1 <= S[1] - 1)
+                  & (b[2] >= 0) & (b[2] + 1 <= S[2] - 1))
+            wx = jnp.maximum(
+                0.0, 1.0 - jnp.abs(xc[0][:, None] - (base_f[:, 0:1]
+                                                     + lane_x)))
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(xc[1][:, None] - (base_f[:, 1:2]
+                                                     + lane_y)))
+            wz = jnp.maximum(0.0, 1.0 - jnp.abs(xc[2][:, None] - z_of_lane))
+
+            # separable contraction (a fully fused 128-term x*y loop ran out
+            # of VMEM at compile; the two-pass form compiles and runs)
+            acc = None                                     # x-contract
+            for i in range(BX):
+                term = blocks[:, i] * wx[:, i][:, None, None]  # [L,BY,BZL]
+                acc = term if acc is None else acc + term
+            acc2 = None                                    # y-contract
+            for j in range(BY):
+                term = acc[:, j] * wy[:, j][:, None]       # [L,BZL]
+                acc2 = term if acc2 is None else acc2 + term
+            t3 = acc2 * wz                                 # [L,BZL]
+            v = jnp.stack([jnp.sum(t3 * m, axis=1) for m in c_masks],
+                          axis=1)                          # [L,C]
+            return v, ok
+
+        def unit(x):
+            v, ok = interp(x)
+            n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+            return dirs * v / jnp.maximum(n, tiny), ok
+
+        pos = pos_ref[:]                                   # [L,3]
+        alive = alive_ref[:, 0] > 0                        # [L]
+        for k in range(K):
+            k1, o1 = unit(pos)
+            k2, o2 = unit(pos + 0.5 * h * k1)
+            k3, o3 = unit(pos + 0.5 * h * k2)
+            k4, o4 = unit(pos + h * k3)
+            xn = pos + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            okk = o1 & o2 & o3 & o4
+            alive = alive & okk
+            pos = jnp.where(alive[:, None], xn, pos)
+            traj_ref[:, k, :] = pos
+
+        npos_ref[:] = pos
+        nalive_ref[:] = alive[:, None].astype(jnp.int32)
+        # next round's block bases from the final positions
+        xc = [(pos[:, d] - plo[d]) / dx[d] - 0.5 for d in range(3)]
+        nbx = jnp.clip(jnp.floor(xc[0]).astype(jnp.int32) - 3, 0, S[0] - BX)
+        nby = jnp.clip((jnp.floor((xc[1] - 4.0) / 8.0)
+                        * 8).astype(jnp.int32), 0, S[1] - BY)
+        nbz = jnp.clip((jnp.floor((C * xc[2] - 64.0) / 128.0)
+                        * 128).astype(jnp.int32), 0, C * S[2] - BZL)
+        nbase_ref[:] = jnp.stack([nbx, nby, nbz], axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("K", "L", "consts", "interpret"))
+def _march_round(field_zc, pos, alive, bases, dirs, K: int, L: int,
+                 consts, interpret: bool = False):
+    """One K-step round over all lines (grid over L-line chunks)."""
+    S, plo, dx, h, C = consts
+    N = pos.shape[0]
+    kernel = _round_kernel(C, L, K, S, plo, dx, h)
+    grid = (N // L,)
+
+    def blockL(*tail):
+        nt = len(tail)
+        return pl.BlockSpec((L,) + tail, lambda i: (i,) + (0,) * nt)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 3), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            blockL(3),
+            blockL(1),
+            blockL(1),
+            blockL(3),
+        ],
+        out_specs=(blockL(K, 3), blockL(3), blockL(1), blockL(3)),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, K, 3), jnp.float32),
+            jax.ShapeDtypeStruct((N, 3), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N, 3), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L, BX, BY, BZL), jnp.float32),
+            pltpu.SemaphoreType.DMA((L,)),
+        ],
+        interpret=interpret,
+    )(bases, field_zc, pos, alive, dirs, bases)
+    return out
+
+
+def march_pallas(vec: jnp.ndarray, plo, dx, h, seeds: jnp.ndarray,
+                 n_steps: int, dirs: jnp.ndarray,
+                 L: int = 32, interpret: bool = False) -> jnp.ndarray:
+    """March seeds n_steps (RK4, normalized vector = arclength steps).
+
+    vec: [C, SX, SY, SZ] traced vector field; seeds [N,3]; dirs [N] (+-1).
+    Returns pos [n_steps+1, N, 3] matching _trace_level's layout.
+    """
+    C, SX, SY, SZ = vec.shape
+    S = (SX, SY, SZ)
+    if SY < BY or C * SZ < BZL or SX < BX:
+        raise ValueError("field too small for the pallas march block; "
+                         "use the XLA path")
+    # comp-minor z-fused layout: one contiguous [BX,BY,BZL] box per DMA
+    field_zc = jnp.transpose(vec, (1, 2, 3, 0)).reshape(
+        SX, SY, SZ * C).astype(jnp.float32)
+    N = seeds.shape[0]
+    pad = (-N) % L
+    if pad:
+        seeds = jnp.concatenate(
+            [seeds, jnp.broadcast_to(seeds[:1], (pad, 3))])
+        dirs = jnp.concatenate([dirs, jnp.zeros((pad,), dirs.dtype)])
+    Np = seeds.shape[0]
+    seeds32 = seeds.astype(jnp.float32)
+    dirs32 = dirs.astype(jnp.float32).reshape(Np, 1)
+
+    h_cells = float(h) / float(min(dx))
+    K = max(int(np.floor(3.0 / h_cells - 1.0 + 1e-9)), 1)
+    consts = (S, tuple(float(v) for v in plo),
+              tuple(float(v) for v in dx), float(h), C)
+
+    bases = _block_bases(seeds32, consts[1], consts[2], S, C)
+    pos = seeds32
+    alive = jnp.ones((Np, 1), jnp.int32)
+
+    trajs = [seeds32[None]]
+    done = 0
+    while done < n_steps:
+        k_this = min(K, n_steps - done)
+        traj, pos, alive, bases = _march_round(
+            field_zc, pos, alive, bases, dirs32, k_this, L, consts,
+            interpret)
+        trajs.append(jnp.transpose(traj, (1, 0, 2)))
+        done += k_this
+    out = jnp.concatenate(trajs, axis=0)                  # [n_steps+1, Np, 3]
+    return out[:, :N]

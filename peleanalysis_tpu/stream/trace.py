@@ -172,6 +172,7 @@ def trace_streamlines(
     sample_names: Sequence[str] = (),
     bc=None,
     march_dtype: Optional[str] = None,
+    march_engine: str = "auto",
 ) -> np.ndarray:
     """Trace ±nRKh RK4 steps from each seed; returns
     [nseed, 2*nRKh+1, 3 + len(sample_names)] with j=nRKh at the seed.
@@ -186,13 +187,15 @@ def trace_streamlines(
     surface) and full precision for float64 states; pass "float32" to
     force full-precision marching. Positions and sampled outputs always
     stay in the input dtype.
+    march_engine: "pallas" = DMA-resident-block kernel (stream/pallas_march,
+    f32 positions, ~3x the XLA path on TPU), "xla" = gather path, "auto" =
+    pallas on TPU for float32 states when the level is big enough.
     """
     meta = dstate.meta
+    bf16_default = False
     if march_dtype is None and dstate.data[0].dtype == jnp.float32:
         march_dtype = "bfloat16"
-        print("trace_streamlines: float32 state -> bfloat16 field marching "
-              "(max ~0.01 finest-cell path deviation); pass "
-              "march_dtype='float32' for full precision")
+        bf16_default = True
     if march_dtype in ("float32", "float64", "none"):
         march_dtype = None
     # reference convention: nRKh = (nRKsteps-1)/2 (stream.cpp:701-702), so
@@ -251,12 +254,25 @@ def trace_streamlines(
         cache = getattr(dstate, "_trace_fn_cache", None)
         if cache is None:
             cache = dstate._trace_fn_cache = {}
+        # pallas engine viability for this level (block geometry limits —
+        # see stream/pallas_march.py; f32-only positions, so auto mode keeps
+        # float64 states on the XLA path)
+        vshape = tuple(s - 2 for s in gbox.shape) if trace_field is not None \
+            else tuple(gbox.shape)
+        dims_ok = (vshape[0] >= 8 and vshape[1] >= 16
+                   and 3 * vshape[2] >= 256 and n_half >= 1)
+        use_pallas = (march_engine == "pallas"
+                      or (march_engine == "auto" and dims_ok
+                          and jax.default_backend() == "tpu"
+                          and dstate.data[0].dtype == jnp.float32))
+
         # bc is closure-captured by the jitted fill: it MUST be in the key
         # (a second call with different bc would silently reuse the first's)
         key = (lev, ngrow, all_data[0].shape[0], trace_field is not None,
-               n_half, nf, march_dtype, repr(bc))
+               n_half, nf, march_dtype, repr(bc),
+               (use_pallas, h_phys) if use_pallas else False)
 
-        def make_fn(_lev, _g, _grad_mode, _plo_g, _dx):
+        def make_fn(_lev, _g, _grad_mode, _plo_g, _dx, _use_pallas):
             def fn(dl, ml, sseeds, h):
                 grown = fill_dense_arrays(meta, dstate.lmeta, dl, ml, _lev,
                                           _g, bc, "linear")
@@ -265,22 +281,31 @@ def trace_streamlines(
                                                    tuple(_dx), 1)
                     vec = jnp.concatenate([gx, gy, gz], axis=0)
                     fields = grown[nv:, 1:-1, 1:-1, 1:-1]
-                    plo_v = jnp.asarray(_plo_g + _dx)
+                    plo_np = _plo_g + _dx
                 else:
                     vec = grown[:3]
                     fields = grown[nv:]
-                    plo_v = jnp.asarray(_plo_g)
-                if march_dtype:
-                    vec = vec.astype(march_dtype)
+                    plo_np = np.asarray(_plo_g)
+                plo_v = jnp.asarray(plo_np)
                 dxj = jnp.asarray(_dx)
                 # march +/- as ONE scan over doubled seeds (per-seed
                 # direction): halves the sequential gather chain, the
                 # latency bottleneck of the RK4 loop
                 ns = sseeds.shape[0]
                 dirs = jnp.concatenate([jnp.ones(ns), -jnp.ones(ns)])
-                pos2, _ = _trace_level(vec, fields, plo_v, dxj, h,
-                                       jnp.concatenate([sseeds, sseeds]),
-                                       n_half, dirs[:, None])
+                if _use_pallas:
+                    from .pallas_march import march_pallas
+                    pos2 = march_pallas(
+                        vec, tuple(float(v) for v in plo_np),
+                        tuple(float(v) for v in _dx), h_phys,
+                        jnp.concatenate([sseeds, sseeds]), n_half, dirs)
+                    pos2 = pos2.astype(grown.dtype)
+                else:
+                    if march_dtype:
+                        vec = vec.astype(march_dtype)
+                    pos2, _ = _trace_level(vec, fields, plo_v, dxj, h,
+                                           jnp.concatenate([sseeds, sseeds]),
+                                           n_half, dirs[:, None])
                 pos_p, pos_m = pos2[:, :ns], pos2[:, ns:]
                 path = jnp.concatenate([pos_m[::-1][:-1], pos_p], axis=0)
                 path = jnp.transpose(path, (1, 0, 2))
@@ -291,8 +316,12 @@ def trace_streamlines(
             return jax.jit(fn)
 
         if key not in cache:
+            if bf16_default and not use_pallas:
+                print("trace_streamlines: float32 state -> bfloat16 field "
+                      "marching (max ~0.01 finest-cell path deviation); "
+                      "pass march_dtype='float32' for full precision")
             cache[key] = make_fn(lev, ngrow, trace_field is not None,
-                                 plo_g, dx)
+                                 plo_g, dx, use_pallas)
         out[sel] = np.asarray(cache[key](all_data, masks,
                                          jnp.asarray(seeds[sel]), h_phys))
     return out

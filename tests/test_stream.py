@@ -337,3 +337,37 @@ def test_trace_float32_bf16_default(tmp_path):
     dev = np.abs(paths[np.float32][..., :3]
                  - paths[np.float64][..., :3]).max()
     assert dev < 0.2 * dxf, f"bf16-march path deviates {dev/dxf:.2f} cells"
+
+
+def test_pallas_march_matches_xla(tmp_path):
+    """The Pallas DMA-resident-block march (stream/pallas_march.py) must
+    reproduce the XLA gather path (interpret mode on CPU; the real-TPU
+    3x-speedup parity is exercised by bench runs)."""
+    import jax.numpy as jnp
+    from peleanalysis_tpu.stream.pallas_march import march_pallas
+    from peleanalysis_tpu.stream.trace import _trace_level
+
+    rng = np.random.default_rng(1)
+    S = (24, 20, 90)   # SZ*C = 270 >= 256 lane minimum
+    xs = [np.linspace(0, 1, s) for s in S]
+    X, Y, Z = np.meshgrid(*xs, indexing="ij")
+    vec = jnp.asarray(np.stack([
+        -(Y - 0.5) + 0.05 * np.sin(6 * Z),
+        (X - 0.5) + 0.05 * np.cos(5 * Z),
+        0.1 * np.sin(4 * X)]), jnp.float32)
+    plo = np.zeros(3)
+    dx = np.array([1 / 23, 1 / 19, 1 / 89])
+    h = float(0.5 * dx.min())
+    n = 8
+    seeds = np.stack([0.35 + 0.3 * rng.random(n) for _ in range(3)], 1)
+    dirs = np.where(rng.random(n) > 0.5, 1.0, -1.0)
+    n_steps = 7    # spans two rounds (K = floor(3/h_cells) - 1)
+
+    pos_ref, _ = _trace_level(vec, vec, jnp.asarray(plo, jnp.float32),
+                              jnp.asarray(dx, jnp.float32),
+                              h, jnp.asarray(seeds, jnp.float32), n_steps,
+                              jnp.asarray(dirs, jnp.float32)[:, None])
+    pos_pal = march_pallas(vec, plo, dx, h, jnp.asarray(seeds), n_steps,
+                           jnp.asarray(dirs), L=8, interpret=True)
+    d = np.abs(np.asarray(pos_ref) - np.asarray(pos_pal))
+    assert d.max() < 1e-5, d.max()
