@@ -121,13 +121,74 @@ def main():
     grad_ms = timed_chain(grad_chain, data_t, 60)
     curv_ms = timed_chain(curv_chain, data_p, 20)
 
-    # isosurface: end-to-end tool wall-clock (device classify + host phases)
+    # ---- roofline accounting (v5e: HBM ~819 GB/s, MXU f32 ~98.5 TFLOP/s —
+    # half the 197 TFLOP/s bf16 rate; VPU ~1.9 T lane-op/s) -----------------
+    HBM_PEAK = 819e9
+    MXU_F32_PEAK = 98.5e12
+    cells = [int(np.prod(meta.geoms[l].domain.shape))
+             for l in range(n_lev)]   # level-0 domain refined per level
+    cells = [int(np.prod(dstate.lmeta[l].bbox.shape)) for l in range(n_lev)]
+    tot_cells = sum(cells)
+    # traffic models (f32): grad chain touches ~9 arrays/cell (fill read,
+    # 3 flux writes+reads, magnitude, normalize r/w); curvature ~45 (13-field
+    # pipeline: grad, N, 3x gN, 3x gG, Hessian/adjugate combines)
+    grad_bytes = tot_cells * 4 * 9
+    curv_bytes = tot_cells * 4 * 45
+    roofline = {
+        "grad": {"model_gb": round(grad_bytes / 1e9, 3),
+                 "gb_s": round(grad_bytes / (grad_ms * 1e-3) / 1e9, 1),
+                 "pct_hbm_peak": round(100 * grad_bytes
+                                       / (grad_ms * 1e-3) / HBM_PEAK, 1)},
+        "curvature": {"model_gb": round(curv_bytes / 1e9, 3),
+                      "gb_s": round(curv_bytes / (curv_ms * 1e-3) / 1e9, 1),
+                      "pct_hbm_peak": round(100 * curv_bytes
+                                            / (curv_ms * 1e-3) / HBM_PEAK,
+                                            1)},
+    }
+    # tunnel characterization: every end-to-end tool number below includes
+    # host<->device transfers through this container's tunnel
+    probe = jnp.arange(1 << 20, dtype=jnp.int32) + 1
+    probe.block_until_ready()
+    t0 = time.perf_counter()
+    _ = np.asarray(probe)
+    dt = time.perf_counter() - t0
+    tiny = jnp.zeros((8,), jnp.int32) + 1
+    t0 = time.perf_counter()
+    _ = np.asarray(tiny)
+    lat = time.perf_counter() - t0
+    roofline["tunnel"] = {
+        "latency_ms": round(lat * 1e3, 1),
+        "mb_s": round(probe.nbytes / max(dt - lat, 1e-9) / 1e6, 1)}
+
+    # isosurface: end-to-end tool wall-clock (device enum engine + fetch)
     iso_times = []
     for _ in range(3):
         t0 = time.perf_counter()
         mef = extract_isosurface(dstate, "temp", 1000.0, classify="enum")
         iso_times.append(time.perf_counter() - t0)
     iso_ms = min(iso_times) * 1e3
+    # device-vs-transfer split: re-run the cached enum fn with a scalar
+    # reduction (device chain + latency only, no payload)
+    iso_dev_ms = None
+    try:
+        from peleanalysis_tpu.geom import marching_cubes as _mc
+        fn = dstate._mc_enum_fns[list(dstate._mc_enum_fns.keys())[-1]]
+        coord = _mc._coord_levels(dstate)
+        dls = [jnp.concatenate([coord[l],
+                                dstate.data[l][np.asarray([ic])]], axis=0)
+               for l in range(n_lev)]
+        okd = [_mc._ok_mask_dev(dstate, l)[0] for l in range(n_lev)]
+        red = jax.jit(lambda *a: jnp.sum(fn(*a)[:8]))
+        _ = float(red(dls, masks, dstate._mc_inlev_dev, okd, 1000.0))
+        t0 = time.perf_counter()
+        _ = float(red(dls, masks, dstate._mc_inlev_dev, okd, 1000.0))
+        iso_dev_ms = (time.perf_counter() - t0) * 1e3
+        roofline["isosurface"] = {
+            "device_plus_latency_ms": round(iso_dev_ms, 1),
+            "fetch_ms": round(iso_ms - iso_dev_ms, 1),
+            "nodes": int(mef.n_nodes), "tris": int(mef.n_elts)}
+    except Exception:
+        pass
     tpu_ms = grad_ms + curv_ms + iso_ms
 
     # ---- CPU baseline: same numerics in numpy float64 ----------------------
@@ -157,6 +218,9 @@ def main():
     t0 = time.perf_counter()
     numpy_curvature(plans, np_p, dxs)
     cpu_curv = time.perf_counter() - t0
+    # warm once so the device->host transfer of the filled arrays (cached on
+    # the state) doesn't count against the CPU engine's compute time
+    extract_isosurface(dstate, "temp", 1000.0, classify="numpy")
     t0 = time.perf_counter()
     extract_isosurface(dstate, "temp", 1000.0, classify="numpy")
     cpu_iso = time.perf_counter() - t0
@@ -171,6 +235,39 @@ def main():
     t0 = time.perf_counter()
     lines = trace_streamlines(dstate, seeds, 51, 0.5, trace_field=None)
     stream_ms = (time.perf_counter() - t0) * 1e3
+    # march-only device time (scalar fetch) + DMA traffic of the pallas
+    # engine: 8192 doubled lines x ceil(25/K) rounds x [8,16,256]-f32 blocks
+    try:
+        from peleanalysis_tpu.stream.pallas_march import march_pallas
+        fin_l = n_lev - 1
+        geom_f = meta.geoms[fin_l]
+        vel32 = dstate.data[fin_l][np.asarray(
+            [state.comp(n) for n in ("x_velocity", "y_velocity",
+                                     "z_velocity")])].astype(jnp.float32)
+        bboxf = dstate.lmeta[fin_l].bbox
+        plo_f = tuple(float(geom_f.prob_lo[d])
+                      + (bboxf.lo[d] - geom_f.domain.lo[d]) * geom_f.dx[d]
+                      for d in range(3))
+        h_m = float(0.5 * geom_f.dx[0])
+        sd = jnp.asarray(np.concatenate([seeds, seeds]), jnp.float32)
+        dd = jnp.concatenate([jnp.ones(4096), -jnp.ones(4096)])
+        _ = float(jnp.sum(march_pallas(vel32, plo_f, geom_f.dx, h_m, sd,
+                                       25, dd)))
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(march_pallas(vel32, plo_f, geom_f.dx, h_m, sd,
+                                       25, dd)))
+        march_ms = (time.perf_counter() - t0) * 1e3
+        h_cells = 0.5
+        K = max(int(np.floor(3.0 / h_cells - 1.0 + 1e-9)), 1)
+        rounds = int(np.ceil(25 / K))
+        dma_gb = 8192 * rounds * 8 * 16 * 256 * 4 / 1e9
+        roofline["stream_march"] = {
+            "device_ms": round(march_ms, 1),
+            "dma_gb": round(dma_gb, 2),
+            "dma_gb_s": round(dma_gb / (march_ms * 1e-3), 1),
+            "fetch_ms": round(stream_ms - march_ms, 1)}
+    except Exception:
+        pass
 
     def numpy_trace(field, plo, dxs, seeds, n_half, h):
         pos = seeds.copy()
@@ -239,6 +336,16 @@ def main():
                                 1801.0)
     compute_jpdf_pair(dstate, f1, f2, 300.0, 1801.0, -0.1, 1.1, 64)
     stats_ms = (time.perf_counter() - t0) * 1e3
+    # MXU accounting for the one-hot contractions: condMean does 2 einsums
+    # (sums, sumsq) + 1 hit-sum; jpdf 3 einsums of [C,64]x[C,64] per chunk.
+    # FLOPs ~ 2*cells*nbins per einsum (+ onehot build, not counted).
+    stats_gflop = (2 * tot_cells * 64 * (1 + 2) + 2 * tot_cells * 64 * 3) \
+        / 1e9
+    roofline["stats_matmul"] = {
+        "gflop": round(stats_gflop, 1),
+        "gflop_s": round(stats_gflop / (stats_ms * 1e-3), 1),
+        "pct_mxu_f32_peak": round(100 * stats_gflop * 1e9
+                                  / (stats_ms * 1e-3) / MXU_F32_PEAK, 2)}
     t0 = time.perf_counter()
     w = refweights = [64, 8, 1]
     for lev in range(n_lev):
@@ -270,6 +377,7 @@ def main():
             "cpu_isosurface_ms": round(cpu_iso * 1e3, 1),
             "cpu_stream_ms": round(cpu_stream_ms, 1),
             "cpu_condmean_jpdf_ms": round(cpu_stats_ms, 1),
+            "roofline": roofline,
         },
     }))
 

@@ -1254,7 +1254,16 @@ def extract_isosurface(
                 sl[d] = slice(grown.shape[1 + d] - 1, grown.shape[1 + d])
                 grown = grown.at[(d,) + tuple(sl)].add(L)
         if classify != "device":
-            grown = np.asarray(grown, dtype=np.float64)
+            # host engines: cache the fetched grown arrays on the state (the
+            # fill is iso-value independent; refetching 100s of MB through
+            # the device link per iso value would dominate the host path)
+            npc = getattr(dstate, "_mc_np_grown", None)
+            if npc is None:
+                npc = dstate._mc_np_grown = {}
+            gk = (lev, len(names), bc)
+            if gk not in npc:
+                npc[gk] = np.asarray(grown, dtype=np.float64)
+            grown = npc[gk]
         cov, inlev_p = _grown_masks(dstate, lev)
         tk, tv = extract_level(dstate, lev, 3, iso_val, grown, cov,
                                inlev_p, classify=classify,
