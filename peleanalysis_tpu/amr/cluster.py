@@ -1,0 +1,92 @@
+"""Box clustering for sparse-refinement memory scaling.
+
+The dense canonical model (amr/dense.py) materializes each level's union
+BOUNDING BOX.  On a production plotfile whose finest level covers a few
+percent of the domain in scattered regions, that is orders of magnitude more
+HBM than the valid cells (the r1 verdict's top gap).  Tools that support it
+split such a level into CLUSTERS — connected components of the BoxArray
+(boxes within an interaction distance of 2 cells, the ghost-fill + dual-cell
+influence radius) greedily merged while the cluster bounding box stays
+reasonably full — and process one dense patch per cluster.
+
+The reference has no analog (each MPI rank holds only its own boxes —
+memory scales with valid cells by construction); this restores that scaling
+property for the dense TPU layout.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .box import Box, BoxArray
+
+
+def _adjacent(a: Box, b: Box, dist: int) -> bool:
+    return not a.grow(dist).intersect(b).is_empty()
+
+
+def connected_components(ba: BoxArray, dist: int = 2) -> List[List[int]]:
+    """Union-find over boxes closer than `dist` cells (any overlap of
+    grow(a, dist) with b).  dist=2 covers the 1-ghost fill plus the 1-cell
+    dual-grid reach, so separate components never see each other's data."""
+    n = len(ba)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    boxes = list(ba)
+    for i in range(n):
+        gi = boxes[i].grow(dist)
+        for j in range(i + 1, n):
+            if not gi.intersect(boxes[j]).is_empty():
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+    comps = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    return list(comps.values())
+
+
+def cluster_boxes(ba: BoxArray, waste_factor: float = 4.0,
+                  dist: int = 2) -> List[List[int]]:
+    """Connected components, then greedy merging of components while the
+    merged bounding box wastes less than `waste_factor` x the contained
+    cells.  Returns lists of box indices (each a dense patch)."""
+    comps = connected_components(ba, dist)
+    boxes = list(ba)
+
+    def bbox_of(idxs):
+        lo = np.min([boxes[i].lo for i in idxs], axis=0)
+        hi = np.max([boxes[i].hi for i in idxs], axis=0)
+        return Box(tuple(lo), tuple(hi))
+
+    def cells_of(idxs):
+        return sum(boxes[i].size for i in idxs)
+
+    # sort components by bbox lo corner for deterministic greedy merging
+    comps.sort(key=lambda c: bbox_of(c).lo)
+    merged: List[List[int]] = []
+    for comp in comps:
+        if merged:
+            cand = merged[-1] + comp
+            bb = bbox_of(cand)
+            if bb.size <= waste_factor * cells_of(cand):
+                merged[-1] = cand
+                continue
+        merged.append(list(comp))
+    return merged
+
+
+def needs_clustering(ba: BoxArray, waste_factor: float = 4.0,
+                     min_cells: int = 1 << 21) -> bool:
+    """True when the union bbox wastes more than waste_factor x the valid
+    cells AND the bbox is big enough for the waste to matter."""
+    bbox = ba.minimal_box()
+    return (bbox.size > waste_factor * ba.total_cells()
+            and bbox.size > min_cells)

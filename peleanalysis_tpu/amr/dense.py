@@ -72,6 +72,23 @@ class DenseAmrState:
         return cls(meta, state.names, data, lmeta)
 
     @classmethod
+    def from_batched_coarse_only(cls, state: AmrState) -> "DenseAmrState":
+        """Dense arrays for all levels EXCEPT the finest (data[finest] is
+        None; metadata present).  Used by the sparse-refinement cluster path
+        (geom/marching_cubes.extract_isosurface_sparse), where the finest
+        level's union bbox would not fit and is assembled per cluster."""
+        meta = state.meta
+        data, lmeta = [], []
+        for lev in range(meta.n_levels):
+            ba = meta.bas[lev]
+            bbox = ba.minimal_box()
+            lmeta.append(DenseLevelMeta(
+                bbox, meta.geoms[lev], ba.total_cells() / bbox.size))
+            data.append(_assemble_dense(state.data[lev], ba, bbox)
+                        if lev < meta.n_levels - 1 else None)
+        return cls(meta, state.names, data, lmeta)
+
+    @classmethod
     def from_plotfile(cls, path: str, names=None, max_level=None,
                       is_periodic=None, dtype=None) -> "DenseAmrState":
         return cls.from_batched(AmrState.from_plotfile(

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..amr.box import Box
+from ..amr.box import Box, BoxArray
 from ..amr.dense import DenseAmrState
 from ..io.mef import MEF
 from ..ops.dense_fill import fill_dense_arrays, fill_dense_multilevel
@@ -597,11 +597,20 @@ def _coarsen_edge_mask(m: jnp.ndarray, a: int, r: int, gbox_lo, cshape,
 
 
 def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
-                   tri_cap, unwraps, spans_all):
+                   tri_cap, unwraps, spans_all, emit_levels=None,
+                   want_eids=False):
     """Jitted fill->classify->enumerate->emit over the whole hierarchy;
-    returns ONE packed int32 vector [counts | elements | bitcast(nodes)].
-    counts = [n_nodes_tot, n_tri, n_act per level..., n_nodes per level...]"""
+    returns ONE packed int32 vector
+    [counts | elements | (eids) | bitcast(nodes)].
+    counts = [n_nodes_tot, n_tri, n_act per emit level...,
+              n_nodes per level..., n_tri per emit level...].
+    emit_levels restricts TRIANGLE emission (nodes always enumerate on every
+    level — the sparse per-cluster path emits fine triangles per run but
+    needs the shared coarse node identities); want_eids ships each node's
+    canonical (level-local flat) edge id for exact cross-run merging."""
     n_levels = meta.n_levels
+    if emit_levels is None:
+        emit_levels = tuple(range(n_levels))
     rr = [meta.ref_ratio[lev - 1] if lev > 0 else 1
           for lev in range(n_levels)]
     gbox_los = [tuple(lmeta[lev].bbox.grow(1).lo) for lev in range(n_levels)]
@@ -677,6 +686,7 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
 
         # --- node rows: interpolate at referenced crossings ------------------
         node_rows = []
+        node_eids = []
         for lev in range(n_levels):
             G = unwrapped[lev]
             cap = node_caps[lev]
@@ -684,6 +694,7 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
             sz = [int(np.prod(s)) for s in shapes]
             off = [0, sz[0], sz[0] + sz[1]]
             nidx = jnp.nonzero(flat_levels[lev], size=cap, fill_value=0)[0]
+            node_eids.append(nidx.astype(jnp.int32))
             ax = ((nidx >= off[1]).astype(jnp.int32)
                   + (nidx >= off[2]).astype(jnp.int32))
             cA = []
@@ -717,8 +728,8 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
         nodes = jnp.concatenate(node_rows)
 
         # --- elements: active cells -> per-edge canonical node ids ----------
-        tri_nid_all, tri_valid_all, ns = [], [], []
-        for lev in range(n_levels):
+        tri_nid_all, tri_valid_all, ns, tri_ns = [], [], [], []
+        for lev in emit_levels:
             cap = caps[lev]
             act = acts[lev]
             shp = act.shape
@@ -764,6 +775,7 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
             tri_nid = nid12[jnp.arange(cap)[:, None, None], e_safe]
             tri_nid_all.append(tri_nid.reshape(cap * 5, 3))
             tri_valid_all.append(tri_valid.ravel())
+            tri_ns.append(jnp.sum(tri_valid).astype(jnp.int32))
 
         TN = jnp.concatenate(tri_nid_all)
         TV = jnp.concatenate(tri_valid_all)
@@ -781,8 +793,14 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
         counts = jnp.concatenate(
             [jnp.stack([n_nodes_tot, n_tri]).astype(jnp.int32),
              jnp.stack(ns).astype(jnp.int32),
-             jnp.stack(n_nodes_lev).astype(jnp.int32)])
-        return _pack_result(nodes, epacked, counts)
+             jnp.stack(n_nodes_lev).astype(jnp.int32),
+             jnp.stack(tri_ns).astype(jnp.int32)])
+        nb = jax.lax.bitcast_convert_type(nodes, jnp.int32)
+        parts = [counts, epacked.astype(jnp.int32).ravel()]
+        if want_eids:
+            parts.append(jnp.concatenate(node_eids))
+        parts.append(nb.ravel())
+        return jnp.concatenate(parts)
 
     return jax.jit(fn)
 
@@ -790,8 +808,11 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
 def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
                             iso_val: float,
                             extra_names: Sequence[str] = (),
-                            bc=None, label: Optional[str] = None) -> MEF:
-    """Sort-free single-dispatch single-fetch extraction (enum engine)."""
+                            bc=None, label: Optional[str] = None,
+                            emit_levels=None, want_eids: bool = False):
+    """Sort-free single-dispatch single-fetch extraction (enum engine).
+    With want_eids, returns (MEF, node_lev [n], node_eid [n],
+    tri_lev_counts) for the sparse per-cluster merge."""
     meta = dstate.meta
     names = [iso_name] + [n for n in extra_names if n != iso_name]
     comps = [dstate.comp(n) for n in names]
@@ -835,25 +856,30 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
         fns = dstate._mc_enum_fns = {}
 
     nl = meta.n_levels
+    emit = tuple(range(nl)) if emit_levels is None else tuple(emit_levels)
+    ne = len(emit)
     gran = 8192
     for _attempt in range(4):
         caps = tuple(caps_d.get(lev, 1 << 14) for lev in range(nl))
         node_caps = tuple(ncaps_d.get(lev, 1 << 14) for lev in range(nl))
-        key = (len(names), bc, caps, node_caps, tri_cap, str(dtype))
+        key = (len(names), bc, caps, node_caps, tri_cap, str(dtype),
+               emit, want_eids)
         if key not in fns:
             fns[key] = _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
                                       3, caps, node_caps, tri_cap, unwraps,
-                                      spans_all)
+                                      spans_all, emit, want_eids)
         packed = np.asarray(fns[key](data_levels, masks, inlev_devs,
                                      ok_devs, iso_val))
         n_uniq, n_tri = int(packed[0]), int(packed[1])
-        n_act = [int(v) for v in packed[2: 2 + nl]]
-        n_nod = [int(v) for v in packed[2 + nl: 2 + 2 * nl]]
+        n_act = [int(v) for v in packed[2: 2 + ne]]
+        n_nod = [int(v) for v in packed[2 + ne: 2 + ne + nl]]
+        tri_ns = [int(v) for v in packed[2 + ne + nl: 2 + ne + nl + ne]]
         ok = True
-        for lev in range(nl):
-            if n_act[lev] > caps[lev]:
+        for k, lev in enumerate(emit):
+            if n_act[k] > caps[lev]:
                 ok = False
-            caps_d[lev] = _pad_gran(max(n_act[lev], 1), gran, gran)
+            caps_d[lev] = _pad_gran(max(n_act[k], 1), gran, gran)
+        for lev in range(nl):
             if n_nod[lev] > node_caps[lev]:
                 ok = False
             ncaps_d[lev] = _pad_gran(max(n_nod[lev], 1), gran, gran)
@@ -865,13 +891,49 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
                              "use classify='device' for larger extractions")
         if ok:
             break
-    base = 2 + 2 * nl
+    base = 2 + ne + nl + ne
     ep = packed[base: base + tri_cap * 2].reshape(tri_cap, 2)[:n_tri]
     w0, w1 = ep[:, 0], ep[:, 1]
     elements = np.stack([w0 & 0x1FFFFF,
                          (w0 >> 21) & 0x7FF | (w1 & 0x3FF) << 11,
                          (w1 >> 10) & 0x1FFFFF], axis=1)
-    nbits = packed[base + tri_cap * 2:]
+    base += tri_cap * 2
+    node_lev = node_eid = None
+    if want_eids:
+        # decode the level-local flat edge ids into GLOBAL packed keys
+        # (lev, axis, global cell): local volume coords are cluster-relative
+        # in the sparse path, so the merge key must be global
+        eid_rows = packed[base: base + sum(node_caps)]
+        base += sum(node_caps)
+        eparts, lparts, p = [], [], 0
+        for lev in range(nl):
+            loc = eid_rows[p: p + n_nod[lev]].astype(np.int64)
+            p += node_caps[lev]
+            gbox = dstate.lmeta[lev].bbox.grow(1)
+            gs = gbox.shape
+            shapes = [tuple(gs[d] - (1 if d == a else 0) for d in range(3))
+                      for a in range(3)]
+            sz = [int(np.prod(s)) for s in shapes]
+            ax = ((loc >= sz[0]).astype(np.int64)
+                  + (loc >= sz[0] + sz[1]).astype(np.int64))
+            off = np.asarray([0, sz[0], sz[0] + sz[1]])[ax]
+            rel = loc - off
+            key = np.zeros(len(loc), np.int64)
+            for a in range(3):
+                s = shapes[a]
+                i = rel // (s[1] * s[2]) + gbox.lo[0] + 1
+                j = (rel // s[2]) % s[1] + gbox.lo[1] + 1
+                k = rel % s[2] + gbox.lo[2] + 1
+                ka = (np.int64(lev) << 59 | np.int64(a) << 57
+                      | i << 38 | j << 19 | k)
+                key = np.where(ax == a, ka, key)
+            eparts.append(key)
+            lparts.append(np.full(n_nod[lev], lev, np.int32))
+        node_eid = (np.concatenate(eparts) if eparts
+                    else np.zeros(0, np.int64))
+        node_lev = (np.concatenate(lparts) if lparts
+                    else np.zeros(0, np.int32))
+    nbits = packed[base:]
     rows = nbits.view(np.float64 if words == 2
                       else np.float32).reshape(sum(node_caps), nf - 1)
     # valid node rows are per-level cap-padded prefixes; global node ids are
@@ -886,11 +948,14 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
     nodes[:, 3] = iso_val                  # iso comp re-inserted (comp 3)
     nodes[:, 4:] = shipped[:, 3:]
     if n_uniq == 0:
-        return MEF(label or "0", ["X", "Y", "Z"] + names,
-                   np.zeros((0, nf)), np.zeros((0, 3), np.int32))
-    return MEF(label or "0", ["X", "Y", "Z"] + names,
-               np.asarray(nodes, np.float64),
-               np.asarray(elements, np.int32))
+        nodes = np.zeros((0, nf))
+        elements = np.zeros((0, 3), np.int32)
+    mef = MEF(label or "0", ["X", "Y", "Z"] + names,
+              np.asarray(nodes, np.float64),
+              np.asarray(elements, np.int32))
+    if want_eids:
+        return mef, node_lev, node_eid, tri_ns
+    return mef
 
 
 def _classify_numpy(field: np.ndarray, iso_val: float) -> np.ndarray:
@@ -1167,6 +1232,91 @@ def extract_isosurface_fused(dstate: DenseAmrState, iso_name: str,
     return MEF(label or "0", ["X", "Y", "Z"] + names,
                np.asarray(nodes, np.float64),
                np.asarray(elements, np.int32))
+
+
+def _cluster_substates(state, waste_factor: float = 4.0):
+    """Split the finest level's BoxArray into dense clusters; returns a list
+    of DenseAmrStates sharing the coarse dense arrays (zero copies) with the
+    finest level assembled per cluster (memory ~ cluster bbox, not union
+    bbox).  Coarse-level covered masks are the GLOBAL ones so every run sees
+    the same coarse activity."""
+    import dataclasses as _dc
+
+    from ..amr.cluster import cluster_boxes
+    from ..amr.dense import (DenseAmrState, DenseLevelMeta, _assemble_dense,
+                             _union_mask_np)
+    from ..amr.hierarchy import AmrMeta
+
+    meta = state.meta
+    fin = meta.n_levels - 1
+    groups = cluster_boxes(meta.bas[fin], waste_factor)
+    base = DenseAmrState.from_batched_coarse_only(state)
+    subs = []
+    for g in groups:
+        ba_g = BoxArray([list(meta.bas[fin])[i] for i in g])
+        meta_g = AmrMeta(meta.geoms, meta.bas[:fin] + [ba_g],
+                         meta.ref_ratio, meta.time, meta.level_steps,
+                         meta.ndim2)
+        bbox_g = ba_g.minimal_box()
+        lmeta_g = base.lmeta[:fin] + [DenseLevelMeta(
+            bbox_g, meta.geoms[fin], ba_g.total_cells() / bbox_g.size)]
+        data_g = list(base.data[:fin]) + [_assemble_dense(
+            state.data[fin][np.asarray(g)], ba_g, bbox_g)]
+        sub = DenseAmrState(meta_g, state.names, data_g, lmeta_g)
+        # share coarse masks + the GLOBAL covered masks (computed from the
+        # full fine BoxArray on the base state) — a sub-run must see the
+        # same coarse activity as the global extraction or it would emit
+        # coarse triangles under OTHER clusters' fine regions
+        sub._mc_masks = {}
+        sub._mc_okdev = {}
+        for lev in range(fin):
+            sub._in_level[lev] = base.in_level_mask(lev)
+            sub._covered[lev] = base.covered_mask(lev)
+            sub._mc_masks[lev] = _grown_masks(base, lev)
+            sub._mc_okdev[lev] = _ok_mask_dev(base, lev)
+        subs.append(sub)
+    return subs, base
+
+
+def extract_isosurface_sparse(state, iso_name: str, iso_val: float,
+                              extra_names: Sequence[str] = (),
+                              bc=None, label: Optional[str] = None,
+                              waste_factor: float = 4.0) -> MEF:
+    """Sparse-refinement extraction: the finest level is processed as dense
+    CLUSTERS (amr/cluster.py) so HBM scales with valid cells instead of the
+    union bounding box (the reference gets this for free from per-rank box
+    ownership; isosurface.cpp:1531 MFIter).  Run 0 emits all levels'
+    triangles for its cluster; runs k>0 emit only their fine cluster's.
+    Node identity is the canonical (level, edge-id) pair, so the cross-run
+    merge is EXACT integer dedup, not positional."""
+    subs, base = _cluster_substates(state, waste_factor)
+    all_nodes, all_eid, all_tris = [], [], []
+    names = None
+    fin = state.meta.n_levels - 1
+    for k, sub in enumerate(subs):
+        emit = None if k == 0 else (fin,)
+        mef, nlev, neid, _ = extract_isosurface_enum(
+            sub, iso_name, iso_val, extra_names, bc, label,
+            emit_levels=emit, want_eids=True)
+        names = mef.names
+        all_nodes.append(mef.nodes)
+        all_eid.append(neid)        # global (lev, axis, cell) packed keys
+        all_tris.append((k, mef.elements))
+    # exact merge: unique (lev, eid) keys; remap each run's elements
+    cat_keys = np.concatenate(all_eid)
+    uniq, inv = np.unique(cat_keys, return_inverse=True)
+    nodes = np.zeros((len(uniq), all_nodes[0].shape[1]))
+    off = 0
+    elements = []
+    for (k, el), nd, kid in zip(all_tris, all_nodes, all_eid):
+        gid = inv[off: off + len(kid)]
+        nodes[gid] = nd
+        elements.append(gid[el])
+        off += len(kid)
+    elements = (np.concatenate(elements).astype(np.int32)
+                if elements else np.zeros((0, 3), np.int32))
+    return MEF(label or "0", names or ["X", "Y", "Z", iso_name],
+               nodes, elements)
 
 
 def extract_isosurface(

@@ -141,14 +141,28 @@ def main(args: dict) -> None:
     outfile = pp.query_str("outfile", infile + "_gt")
     finest = pp.query_int("finestLevel", None)
 
+    from ..amr.cluster import needs_clustering
     from ..amr.dense import DenseAmrState
 
     state = AmrState.from_plotfile(
         infile, names=[var] + list(aux), max_level=finest,
         is_periodic=[bool(p) for p in is_per])
-    dstate = DenseAmrState.from_batched(state)
-    out = compute_grad_dense(dstate, var, aux=tuple(aux), sym_dir=sym_dir,
-                             interp=pp.query_str("cf_interp", "quadratic"),
-                             flux_match=pp.query_bool("fluxMatch", False))
+    sparse = any(needs_clustering(state.meta.bas[l])
+                 for l in range(state.meta.n_levels))
+    if pp.query_bool("force_dense", False):
+        sparse = False
+    if sparse:
+        # sparse refinement: the dense union-bbox would waste >4x the valid
+        # cells — route through the batched-box model (footprint ~ boxes,
+        # like the reference's per-rank ownership, grad.cpp:160-163)
+        print("grad: sparse refinement detected -> batched-box path")
+        out = compute_grad(state, var, aux=tuple(aux), sym_dir=sym_dir,
+                           interp=pp.query_str("cf_interp", "quadratic"))
+    else:
+        dstate = DenseAmrState.from_batched(state)
+        out = compute_grad_dense(
+            dstate, var, aux=tuple(aux), sym_dir=sym_dir,
+            interp=pp.query_str("cf_interp", "quadratic"),
+            flux_match=pp.query_bool("fluxMatch", False))
     out.to_plotfile(outfile)
     print(f"wrote {outfile}")

@@ -42,13 +42,26 @@ def main(args: dict) -> None:
         st = AmrState.from_plotfile(infile, names=load, max_level=finest,
                                     is_periodic=[bool(p) for p in is_per],
                                     dtype=np.float64)
-        ds = DenseAmrState.from_batched(st)
+        from ..amr.cluster import needs_clustering
+        fin = st.meta.n_levels - 1
+        sparse = (not st.meta.ndim2 and st.meta.n_levels > 1
+                  and needs_clustering(st.meta.bas[fin])
+                  and not pp.query_bool("force_dense", False))
+        ds = None if sparse else DenseAmrState.from_batched(st)
     if st.meta.ndim2:
         # DIM=2 plotfile: marching squares -> polyline contour MEF
         from ..geom.marching_squares import extract_isolines
         with phase("Compute Surface"):
             mef = extract_isolines(ds, iso_name, iso_val, extras,
                                    label=f"{st.meta.time:g}")
+    elif sparse:
+        # sparse refinement: process the finest level as dense clusters so
+        # HBM scales with valid cells, not the union bbox (amr/cluster.py)
+        from ..geom.marching_cubes import extract_isosurface_sparse
+        print("isosurface: sparse refinement detected -> clustered path")
+        with phase("Compute Surface"):
+            mef = extract_isosurface_sparse(st, iso_name, iso_val, extras,
+                                            label=f"{st.meta.time:g}")
     else:
         engine = pp.query_str("engine", "enum")  # enum|device|fused|numpy
         with phase("Compute Surface"):
@@ -78,6 +91,11 @@ def main(args: dict) -> None:
         # isosurface.cpp:1644
         if st.meta.ndim2:
             raise ValueError("build_distance_function requires DIM=3")
+        if sparse:
+            raise ValueError(
+                "build_distance_function is not supported on the sparse "
+                "clustered path yet; pass force_dense=1 to accept the "
+                "union-bbox footprint")
         import jax.numpy as jnp
         from ..geom.sdf import signed_distance_dense
         fin = st.meta.n_levels - 1

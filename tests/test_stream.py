@@ -119,6 +119,18 @@ def test_stream_cli_and_downstream(ds, tmp_path, monkeypatch):
     assert sd2.lines[:, :, 3].min() > 0.1
     assert sd2.lines[:, :, 3].max() < 1.01
 
+    # memory-limited component groups (nCompsPerPass,
+    # Src/sampleStreamlines.cpp:16-48 + docs): identical output per-pass
+    out3 = str(tmp_path / "sd3")
+    rc = main(["sampleStreamlines", f"plotfile={plt}", f"pathFile={sfile}",
+               "comps=density temp progress", "nCompsPerPass=1",
+               f"streamSampleFile={out3}"])
+    assert rc == 0
+    sd3 = read_stream_data(out3)
+    assert sd3.names == ["X", "Y", "Z", "density", "temp", "progress"]
+    np.testing.assert_allclose(sd3.lines[:, :, 3], sd2.lines[:, :, 3],
+                               rtol=1e-12)
+
     # stream2plt
     rc = main(["stream2plt", f"infile={sfile}", "outfile=lines.fab",
                "no_filter=1"])
