@@ -302,6 +302,11 @@ def main(args: dict) -> None:
         infile, names=names, max_level=pp.query_int("finestLevel", None),
         is_periodic=[bool(p) for p in is_per])
     dstate = DenseAmrState.from_batched(state)
+    ndev = pp.query_int("ndevices", 1)
+    if ndev > 1:
+        from ..parallel.dense_shard import (make_spatial_mesh,
+                                            shard_dense_state)
+        dstate = shard_dense_state(dstate, make_spatial_mesh(ndev))
     out = compute_curvature_dense(
         dstate, progress_name,
         prog_min=pp.query_float("progMin", None),

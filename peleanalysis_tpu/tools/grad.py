@@ -160,6 +160,13 @@ def main(args: dict) -> None:
                            interp=pp.query_str("cf_interp", "quadratic"))
     else:
         dstate = DenseAmrState.from_batched(state)
+        ndev = pp.query_int("ndevices", 1)
+        if ndev > 1:
+            # spatial SPMD over a device mesh (DistributionMapping analog,
+            # grad.cpp:160-163); non-divisible levels are padded
+            from ..parallel.dense_shard import (make_spatial_mesh,
+                                                shard_dense_state)
+            dstate = shard_dense_state(dstate, make_spatial_mesh(ndev))
         out = compute_grad_dense(
             dstate, var, aux=tuple(aux), sym_dir=sym_dir,
             interp=pp.query_str("cf_interp", "quadratic"),

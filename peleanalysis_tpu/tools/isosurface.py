@@ -48,6 +48,11 @@ def main(args: dict) -> None:
                   and needs_clustering(st.meta.bas[fin])
                   and not pp.query_bool("force_dense", False))
         ds = None if sparse else DenseAmrState.from_batched(st)
+        ndev = pp.query_int("ndevices", 1)
+        if ds is not None and ndev > 1:
+            from ..parallel.dense_shard import (make_spatial_mesh,
+                                                shard_dense_state)
+            ds = shard_dense_state(ds, make_spatial_mesh(ndev))
     if st.meta.ndim2:
         # DIM=2 plotfile: marching squares -> polyline contour MEF
         from ..geom.marching_squares import extract_isolines
