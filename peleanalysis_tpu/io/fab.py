@@ -17,7 +17,9 @@ from ..amr.box import Box
 
 # Native-format descriptors AMReX writes for IEEE doubles / floats.
 _FAB_HEADER_F64 = "FAB ((8, (64 11 52 0 1 12 0 1023)),(8, (8 7 6 5 4 3 2 1)))"
-_FAB_HEADER_F32 = "FAB ((8, (32 8 23 0 1 9 0 127)),(4, (4 3 2 1)))"
+# (byte count 4 — AMReX FPC::Native32RealDescriptor; writing 8 here would
+# make the reference's own reader mis-stride the payload)
+_FAB_HEADER_F32 = "FAB ((4, (32 8 23 0 1 9 0 127)),(4, (4 3 2 1)))"
 
 _BOX_RE = re.compile(r"\(\(([-\d,]+)\)\s*\(([-\d,]+)\)\s*\(([-\d,]+)\)\)\s*(\d+)\s*$")
 

@@ -126,6 +126,15 @@ def test_strain_bug_parity(sphere_state):
     b = np.asarray(out_bug.data[0][out_bug.comp("StrainRate_progress")])
     # bug mode = divu only; fixed mode adds -NN:gradU, so they differ
     assert not np.allclose(a, b)
+    # PIN the bug semantics (curvature.cpp:745: the second assignment
+    # overwrites the first): bug-mode output == div(u) exactly, computed
+    # from the strain-tensor components
+    out_t = compute_curvature_dense(sphere_state, "progress",
+                                    do_gauss=False, do_strain=True,
+                                    get_strain_tensor=True)
+    divu = sum(np.asarray(out_t.data[0][out_t.comp(f"ROST_dU{d}d{d}")])
+               for d in ("x", "y", "z"))
+    np.testing.assert_allclose(b, divu, rtol=1e-12, atol=1e-12)
 
 
 def test_composite_smoothing(tmp_path):

@@ -188,3 +188,74 @@ def test_native_fab_loader_2d(tmp_path):
                for i in range(len(r._index(lev)["boxes"]))]
         for a, b in zip(nat, ref):
             np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Golden byte-layout fixtures: files hand-assembled following the REFERENCE
+# writer code paths (tests/fixtures/make_fixtures.py) — the readers must
+# parse reference-written layouts exactly, not just round-trip our writers.
+# ---------------------------------------------------------------------------
+
+def _fixture(name):
+    import os
+    return os.path.join(os.path.dirname(__file__), "fixtures", name)
+
+
+def test_golden_mef_fixture():
+    """isosurface.cpp:2122-2130 MEF layout parses bit-exactly."""
+    from peleanalysis_tpu.io.mef import read_mef
+    m = read_mef(_fixture("golden.mef"))
+    assert m.label.strip() == "0.0025"
+    assert m.names == ["X", "Y", "Z", "temp"]
+    assert m.n_nodes == 4 and m.n_elts == 2
+    np.testing.assert_array_equal(
+        m.nodes, np.array([[0, 0, 0, 300], [1, 0, 0, 400],
+                           [0, 1, 0, 500], [1, 1, .5, 600.]]))
+    # connectivity 0-based in memory, 1-based on disk
+    np.testing.assert_array_equal(m.elements, [[0, 1, 2], [1, 3, 2]])
+
+
+def test_golden_stream_data_fixture():
+    """stream.cpp:2107-2224 StreamData-1.0 (Header + ELEMENT_DATA_ASCII
+    Elements + Level_0/Str VisMF) parses exactly, including the j=-2..2
+    station layout and inside_nodes distribution."""
+    from peleanalysis_tpu.io.stream_data import read_stream_data
+    sd = read_stream_data(_fixture("golden_stream"))
+    assert sd.names == ["X", "Y", "Z", "temp"]
+    lines = np.asarray(sd.lines)
+    assert lines.shape == (2, 5, 4)
+    # X of line l station j: 0.25 + 0.5 l + 0.01 (j-2)
+    for l in range(2):
+        np.testing.assert_allclose(
+            lines[l, :, 0], 0.25 + 0.5 * l + 0.01 * (np.arange(5) - 2))
+        np.testing.assert_allclose(lines[l, :, 3],
+                                   1000.0 + 100 * l + np.arange(5))
+    np.testing.assert_array_equal(np.asarray(sd.elements), [[0, 1]])
+    assert np.array_equal(np.asarray(sd.inside_nodes[0][0]), [1, 2])
+
+
+def test_golden_vismf_fab_header():
+    """The raw FAB record inside the VisMF (AMReX FArrayBox::writeOn) reads
+    back with the right box/ncomp/dtype and Fortran data order."""
+    from peleanalysis_tpu.io.fab import read_fab
+    with open(_fixture("golden_stream/Level_0/Str_D_00000"), "rb") as f:
+        box, data = read_fab(f)
+    assert box.lo == (0, -2, 0) and box.hi == (1, 2, 0)
+    assert data.shape == (4, 2, 5, 1)
+    np.testing.assert_allclose(data[3, 1, :, 0], 1100.0 + np.arange(5))
+
+
+def test_f32_fab_descriptor_interop(tmp_path):
+    """Our float32 FAB header must carry AMReX's Native32RealDescriptor
+    (byte count 4) so reference tools parse our files."""
+    from peleanalysis_tpu.io.fab import fab_header_str, read_fab, write_fab
+    from peleanalysis_tpu.amr.box import Box
+    hdr = fab_header_str(Box((0, 0, 0), (1, 1, 1)), 2, np.float32)
+    assert b"((4, (32 8 23 0 1 9 0 127)),(4, (4 3 2 1)))" in hdr
+    d = np.arange(16, dtype=np.float32).reshape(2, 2, 2, 2)
+    p = tmp_path / "t.fab"
+    with open(p, "wb") as f:
+        write_fab(f, Box((0, 0, 0), (1, 1, 1)), d, dtype=np.float32)
+    with open(p, "rb") as f:
+        box, back = read_fab(f)
+    np.testing.assert_array_equal(back, d)

@@ -232,3 +232,26 @@ def test_jpdf_conditioning_and_stoich(tmp_path, monkeypatch):
     assert 0.3 < total < 0.7
     import os
     assert os.path.exists(plt + "/Pdf_X(H2)_Stoichiometry.gpd")
+
+
+def test_jpdf_minmax_uncovered_only_deviation(tmp_path):
+    """Documented deviation (docs/design.md, NOTES.md #10): the jpdf /
+    conditionalMean auto min/max scan uses UNCOVERED cells only, where the
+    reference scans the whole domain including fine-covered coarse cells
+    (jpdf.cpp:296-326).  Pin it: a spike planted in a covered coarse cell
+    must not widen the scan."""
+    import jax.numpy as jnp
+    from peleanalysis_tpu.tools.jpdf import valid_minmax
+
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=2)
+    ds = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float64))
+    ic = ds.comp("temp")
+    cov = np.asarray(ds.covered_mask(0))
+    i, j, k = [int(v[0]) for v in np.nonzero(cov)]
+    spiked = ds.data[0].at[ic, i, j, k].set(1.0e9)
+    ds.data[0] = spiked
+    lo, hi = valid_minmax(ds, ic)
+    assert hi < 1.0e6, "covered-cell spike leaked into the min/max scan"
+    assert 300.0 <= lo < hi <= 1801.0
