@@ -33,6 +33,10 @@ TOOLS = {
     "amrToFE": ".tools.amr_to_fe",
     "template": ".tools.template",
     "turbulenceSpectra": ".tools.turbulence_spectra",
+    "turbulenceTseries": ".tools.turbulence_post",
+    "turbulenceSlice": ".tools.turbulence_post",
+    "augmentPlotfile": ".tools.turbulence_post",
+    "varfieldAverage": ".tools.turbulence_post",
     # MEF toolbox
     "isoMEF": ".tools.mef_tools",
     "combineMEF": ".tools.mef_tools",
