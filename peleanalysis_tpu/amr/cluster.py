@@ -83,6 +83,49 @@ def cluster_boxes(ba: BoxArray, waste_factor: float = 4.0,
     return merged
 
 
+def sparse_stats_parts(state, waste_factor: float = 4.0):
+    """Decompose a sparse-refinement hierarchy for statistics tools
+    (conditionalMean / jpdf / integral-style accumulations): returns
+    (coarse_dstate, cluster_dstates, fine_ratio) where
+
+      coarse_dstate   levels 0..fin-1 densified, with the GLOBAL
+                      fine-covered mask on its finest level (so covered
+                      coarse cells are excluded exactly as in the full run)
+      cluster_dstates single-level dense states, one per finest-level
+                      cluster (footprint ~ cluster bbox)
+      fine_ratio      ref ratio fin-1 -> fin (weight rescale for tools
+                      whose per-cell weights count finest-equivalent cells)
+
+    Accumulating a masked/weighted statistic over coarse_dstate +
+    every cluster_dstate visits exactly the valid cells of the full
+    hierarchy, once each."""
+    from .dense import DenseAmrState
+    from .hierarchy import AmrMeta, AmrState
+
+    meta = state.meta
+    fin = meta.n_levels - 1
+    meta_c = AmrMeta(meta.geoms[:fin], meta.bas[:fin],
+                     meta.ref_ratio[:fin - 1], meta.time,
+                     meta.level_steps[:fin] if meta.level_steps else None,
+                     meta.ndim2)
+    st_c = AmrState(meta_c, state.names, list(state.data[:fin]))
+    ds_c = DenseAmrState.from_batched(st_c)
+    # global covered mask on the new finest (computed from the FULL meta)
+    ds_full = DenseAmrState.from_batched_coarse_only(state)
+    ds_c._covered[fin - 1] = ds_full.covered_mask(fin - 1)
+
+    groups = cluster_boxes(meta.bas[fin], waste_factor)
+    boxes = list(meta.bas[fin])
+    clusters = []
+    for g in groups:
+        ba_g = BoxArray([boxes[i] for i in g])
+        meta_g = AmrMeta([meta.geoms[fin]], [ba_g], [], meta.time,
+                         None, meta.ndim2)
+        st_g = AmrState(meta_g, state.names, [state.data[fin][np.asarray(g)]])
+        clusters.append(DenseAmrState.from_batched(st_g))
+    return ds_c, clusters, meta.ref_ratio[fin - 1]
+
+
 def needs_clustering(ba: BoxArray, waste_factor: float = 4.0,
                      min_cells: int = 1 << 21) -> bool:
     """True when the union bbox wastes more than waste_factor x the valid

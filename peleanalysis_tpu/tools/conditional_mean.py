@@ -164,17 +164,32 @@ def main(args: dict) -> None:
     sumsq = np.zeros((nbins, nb))
     mins = np.full((nbins, nb), np.inf)
     maxs = np.full((nbins, nb), -np.inf)
+    from ..amr.cluster import needs_clustering, sparse_stats_parts
     for plt in infiles:
         st = AmrState.from_plotfile(plt, names=[bin_name] + avg_names,
                                     max_level=finest)
-        ds = DenseAmrState.from_batched(st)
-        h, s, s2, mn, mx = accumulate_conditional_mean(
-            ds, bin_name, avg_names, nbins, bin_min, bin_max, with_minmax)
-        hits += h
-        sums += s
-        sumsq += s2
-        mins = np.minimum(mins, mn)
-        maxs = np.maximum(maxs, mx)
+        if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
+                and not pp.query_bool("force_dense", False)):
+            # sparse refinement: accumulate coarse levels once (global
+            # covered mask) + the finest level per dense cluster; weights
+            # count finest-equivalent cells, so the trimmed coarse part
+            # rescales by ratio^ndim (amr/cluster.sparse_stats_parts)
+            print("conditionalMean: sparse refinement -> clustered path")
+            ndim = 2 if st.meta.ndim2 else 3
+            ds_c, clusters, r = sparse_stats_parts(st)
+            parts = [(ds_c, float(r ** ndim))] \
+                + [(c, 1.0) for c in clusters]
+        else:
+            parts = [(DenseAmrState.from_batched(st), 1.0)]
+        for ds, scale in parts:
+            h, s, s2, mn, mx = accumulate_conditional_mean(
+                ds, bin_name, avg_names, nbins, bin_min, bin_max,
+                with_minmax)
+            hits += scale * h
+            sums += scale * s
+            sumsq += scale * s2
+            mins = np.minimum(mins, mn)
+            maxs = np.maximum(maxs, mx)
 
     out = (infiles[0] + f"/CM_{bin_name}.dat" if aja
            else f"CM_{bin_name}.dat")

@@ -228,38 +228,53 @@ def main(args: dict) -> None:
     npairs = nvars * (nvars - 1) // 2
     avg = [None] * npairs
 
+    from ..amr.cluster import needs_clustering, sparse_stats_parts
     for plt in infiles:
         st = AmrState.from_plotfile(plt, names=names, max_level=finest)
-        ds = DenseAmrState.from_batched(st)
-        fields = {n: [ds.data[lev][ds.comp(n)]
-                      for lev in range(ds.meta.n_levels)] for n in names}
-        if do_stoich:
-            fields["Stoichiometry"] = stoichiometry_field(ds, names, h_list,
-                                                          o_list)
+        if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
+                and not pp.query_bool("force_dense", False)):
+            # sparse refinement: coarse levels once (global covered mask) +
+            # fine clusters; jpdf weights are physical cell volumes, so no
+            # rescale is needed across parts
+            print("jpdf: sparse refinement -> clustered path")
+            ds_c, clusters, _r = sparse_stats_parts(st)
+            part_states = [ds_c] + clusters
+        else:
+            part_states = [DenseAmrState.from_batched(st)]
+        parts = []
+        for ds in part_states:
+            fields = {n: [ds.data[lev][ds.comp(n)]
+                          for lev in range(ds.meta.n_levels)] for n in names}
+            if do_stoich:
+                fields["Stoichiometry"] = stoichiometry_field(
+                    ds, names, h_list, o_list)
+            cond_levels = None
+            if do_cond:
+                cname = names_all[cvar]
+                cond_levels = []
+                for lev in range(ds.meta.n_levels):
+                    cval = fields[cname][lev]
+                    if norm_c:
+                        cval = (cval - cnmin) / (cnmax - cnmin)
+                    if do_cond == 2:
+                        cval = cval * (1.0 - cval)
+                    cond_levels.append((cval >= cmin) & (cval <= cmax))
+            parts.append((ds, fields, cond_levels))
+
         vmin, vmax = {}, {}
         for i, n in enumerate(names_all):
             if n == "Stoichiometry":
                 vmin[n], vmax[n] = 0.0, 2.0
             else:
-                vmin[n], vmax[n] = valid_minmax(ds, ds.comp(n))
+                vmin[n] = min(valid_minmax(ds, ds.comp(n))[0]
+                              for ds, _, _ in parts)
+                vmax[n] = max(valid_minmax(ds, ds.comp(n))[1]
+                              for ds, _, _ in parts)
             mm = pp.query_float_list(f"useminmax{i+1}", None)
             if mm:
                 vmin[n], vmax[n] = mm[0], mm[1]
 
-        cond_levels = None
-        if do_cond:
-            import jax.numpy as jnp
-            cname = names_all[cvar]
-            cond_levels = []
-            for lev in range(ds.meta.n_levels):
-                cval = fields[cname][lev]
-                if norm_c:
-                    cval = (cval - cnmin) / (cnmax - cnmin)
-                if do_cond == 2:
-                    cval = cval * (1.0 - cval)
-                cond_levels.append((cval >= cmin) & (cval <= cmax))
-
-        g = ds.meta.geoms[0]
+        g = st.meta.geoms[0]
         domain_vol = float(np.prod([h - l for l, h in
                                     zip(g.prob_lo, g.prob_hi)]))
         base = plt + out_suffix
@@ -273,10 +288,13 @@ def main(args: dict) -> None:
         for a in range(nvars):
             for bvar in range(a + 1, nvars):
                 n1, n2 = names_all[a], names_all[bvar]
-                b, bx1, bx2 = compute_jpdf_pair(
-                    ds, fields[n1], fields[n2],
-                    vmin[n1], vmax[n1], vmin[n2], vmax[n2], nbins,
-                    cond_levels)
+                b = bx1 = bx2 = 0.0
+                for ds, fields, cond_levels in parts:
+                    bb, b1, b2 = compute_jpdf_pair(
+                        ds, fields[n1], fields[n2],
+                        vmin[n1], vmax[n1], vmin[n2], vmax[n2], nbins,
+                        cond_levels)
+                    b, bx1, bx2 = b + bb, bx1 + b1, bx2 + b2
                 if do_avg:
                     if avg[ipair] is None:
                         avg[ipair] = [np.zeros_like(b) for _ in range(3)]

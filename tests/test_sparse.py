@@ -41,7 +41,9 @@ def sparse_state():
     ba1 = BoxArray([_box_at(96, (.25,) * 3, .12), _box_at(96, (.75,) * 3, .12)])
     ba2 = BoxArray([_box_at(192, (.25,) * 3, .08), _box_at(192, (.75,) * 3, .08)])
     meta = AmrMeta(geoms, [ba0, ba1, ba2], [2, 2])
-    names, data = make_level_data(geoms, [ba0, ba1, ba2], {"blob": _blob})
+    names, data = make_level_data(geoms, [ba0, ba1, ba2],
+                              {"blob": _blob,
+                               "xc": lambda x, y, z: x})
     return AmrState.from_arrays(meta, names, data, dtype=np.float64)
 
 
@@ -132,3 +134,32 @@ def test_sparse_cli_grad_iso(sparse_state, tmp_path, monkeypatch):
     r1 = np.linalg.norm(pos - 0.25, axis=1)
     r2 = np.linalg.norm(pos - 0.75, axis=1)
     assert (r1 < 0.08).any() and (r2 < 0.08).any()
+
+
+def test_sparse_stats_parity(sparse_state, tmp_path, monkeypatch):
+    """conditionalMean / jpdf on the clustered path must reproduce the
+    dense-path numbers exactly (coarse part once with the global covered
+    mask + per-cluster fine parts; weight rescale ratio^ndim)."""
+    from peleanalysis_tpu.cli import main
+
+    plt = str(tmp_path / "plt_sp")
+    sparse_state.to_plotfile(plt)
+    monkeypatch.chdir(tmp_path)
+    for mode, outf in (([], "cm_sparse.dat"),
+                       (["force_dense=1"], "cm_dense.dat")):
+        rc = main(["conditionalMean", f"infile={plt}", "binComp=blob",
+                   "avgComps=blob", "nBins=8", "binMin=0", "binMax=1",
+                   f"outfile={outf}"] + mode)
+        assert rc == 0
+    a = np.loadtxt("cm_sparse.dat", skiprows=2)
+    b = np.loadtxt("cm_dense.dat", skiprows=2)
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+    for mode, suf in (([], "_sp"), (["force_dense=1"], "_dn")):
+        rc = main(["jpdf", f"infile={plt}", "vars=blob xc", "nBins=8",
+                   "output_gnuplot=1", "output_plotfile=0",
+                   f"outSuffix={suf}"] + mode)
+        assert rc == 0
+    ga = np.loadtxt(plt + "_sp/Pdf_blob_xc.gpd")
+    gb = np.loadtxt(plt + "_dn/Pdf_blob_xc.gpd")
+    np.testing.assert_allclose(ga, gb, rtol=1e-10, atol=1e-14)
