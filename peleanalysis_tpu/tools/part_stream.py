@@ -67,8 +67,20 @@ def main(args: dict) -> None:
     else:
         raise ValueError("specify a seed source")
 
-    lines = trace_streamlines(ds, seeds, n_steps, h_rk, trace_field=None,
-                              sample_names=())
+    if pp.query_int("ndevices", 0) > 1:
+        # multi-chip Redistribute path (StreamPC.cpp:86-141): grown fields
+        # staged to per-device X slabs, per-step ppermute migration
+        import jax
+        from jax.sharding import Mesh
+        from ..parallel.particles import trace_streamlines_migrating
+        ndev = pp.query_int("ndevices", 0)
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("parts",))
+        lines = trace_streamlines_migrating(
+            ds, seeds, n_steps, h_rk,
+            mesh, capacity=pp.query_int("capacity", None))
+    else:
+        lines = trace_streamlines(ds, seeds, n_steps, h_rk, trace_field=None,
+                                  sample_names=())
     names = ["X", "Y", "Z"]
     out = pp.query_str("outFile", infile + "_stream.dat")
     write_tecplot_lines(out, names, lines)
