@@ -81,6 +81,21 @@ def main(argv=None) -> int:
         print(f"unknown tool '{tool}'. tools: {' '.join(sorted(TOOLS))}")
         return 2
     mod = importlib.import_module(TOOLS[tool], package=__package__)
+    # persistent XLA compile cache: the big extraction graphs take minutes
+    # to compile on TPU; cache across CLI invocations (the reference's
+    # ahead-of-time C++ build has no per-run compile cost to match).
+    # PELE_JAX_CACHE=<dir> overrides; PELE_JAX_CACHE=0 disables.
+    cache = os.environ.get("PELE_JAX_CACHE",
+                           os.path.expanduser("~/.cache/peleanalysis_tpu"))
+    if cache and cache != "0":
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
     args = parse_argv(argv[1:])
     args.setdefault("_tool", [tool])
     from .parmparse import _ACTIVE

@@ -258,3 +258,20 @@ def test_fused_three_level_parity(tmp_path):
     ed = np.sort(e[~degen][:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1)
     uniq, cnt = np.unique(ed, axis=0, return_counts=True)
     assert (cnt == 2).all()
+
+
+def test_compact_indices_matches_nonzero():
+    """The searchsorted compaction must be bit-identical to
+    jnp.nonzero(size=, fill_value=0) on empty, sparse, and full masks."""
+    import jax.numpy as jnp
+
+    from peleanalysis_tpu.geom.marching_cubes import _compact_indices
+
+    rng = np.random.default_rng(3)
+    for frac in (0.0, 0.001, 0.3, 1.0):
+        m = rng.random(10007) < frac
+        for size in (16, 256, 12000):
+            want = np.asarray(
+                jnp.nonzero(jnp.asarray(m), size=size, fill_value=0)[0])
+            got = np.asarray(_compact_indices(jnp.asarray(m), size))
+            np.testing.assert_array_equal(got, want, err_msg=f"{frac} {size}")
