@@ -55,6 +55,22 @@ def _pack_key(lev: np.ndarray, gx, gy, gz) -> np.ndarray:
             | gz.astype(np.int64))
 
 
+def _data_levels_cached(dstate: DenseAmrState, comps):
+    """[coords | selected comps] per level, concatenated on device ONCE per
+    (state, comps): the eager per-call concats cost ~10 ms of tunnel
+    dispatches per extraction."""
+    cache = getattr(dstate, "_mc_datalevels", None)
+    if cache is None:
+        cache = dstate._mc_datalevels = {}
+    key = tuple(comps)
+    if key not in cache:
+        coord_levels = _coord_levels(dstate)
+        cache[key] = [jnp.concatenate(
+            [coord_levels[lev], dstate.data[lev][np.asarray(comps)]], axis=0)
+            for lev in range(dstate.meta.n_levels)]
+    return cache[key]
+
+
 def _coord_levels(dstate: DenseAmrState):
     """Per-level [3, *bbox] cell-center coordinate fields (cached on the
     state — rebuilt host meshgrids showed up in the isosurface profile)."""
@@ -138,13 +154,16 @@ def _corner_keys_at(dstate: DenseAmrState, lev: int, inlev_p: np.ndarray,
 def _classify(field_grown: jnp.ndarray, iso_val) -> jnp.ndarray:
     """cubeindex [S0-1,S1-1,S2-1] from the 8 corner signs (<isoVal => bit,
     isosurface.cpp:747-755)."""
-    inside = (field_grown < iso_val).astype(jnp.int32)
-    ci = 0
+    # uint8 arithmetic: the 8 shifted reads move 1/4 the bytes of int32
+    # (this stage is HBM-bound; ci fits a byte by construction)
+    inside = (field_grown < iso_val).astype(jnp.uint8)
+    ci = None
     for b, (oi, oj, ok) in enumerate(np.asarray(CORNER_OFFSETS)):
         view = inside[oi: inside.shape[0] - 1 + oi,
                       oj: inside.shape[1] - 1 + oj,
                       ok: inside.shape[2] - 1 + ok]
-        ci = ci + view * (1 << b)
+        term = view * np.uint8(1 << b)
+        ci = term if ci is None else ci + term
     return ci
 
 
@@ -844,10 +863,7 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
         bc = default_bc(3)
     nf = 3 + len(names)
 
-    coord_levels = _coord_levels(dstate)
-    data_levels = [jnp.concatenate(
-        [coord_levels[lev], dstate.data[lev][np.asarray(comps)]], axis=0)
-        for lev in range(meta.n_levels)]
+    data_levels = _data_levels_cached(dstate, comps)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
     ok_devs = [_ok_mask_dev(dstate, lev)[0] for lev in range(meta.n_levels)]
     inlev_devs = getattr(dstate, "_mc_inlev_dev", None)
@@ -1194,10 +1210,7 @@ def extract_isosurface_fused(dstate: DenseAmrState, iso_name: str,
         bc = default_bc(3)
     nf = 3 + len(names)
 
-    coord_levels = _coord_levels(dstate)
-    data_levels = [jnp.concatenate(
-        [coord_levels[lev], dstate.data[lev][np.asarray(comps)]], axis=0)
-        for lev in range(meta.n_levels)]
+    data_levels = _data_levels_cached(dstate, comps)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
     ok_devs = [_ok_mask_dev(dstate, lev)[0] for lev in range(meta.n_levels)]
     inlev_devs = getattr(dstate, "_mc_inlev_dev", None)
@@ -1365,10 +1378,7 @@ def extract_isosurface(
     if bc is None:
         bc = default_bc(3)
 
-    coord_levels = _coord_levels(dstate)
-    data_levels = [jnp.concatenate(
-        [coord_levels[lev], dstate.data[lev][np.asarray(comps)]], axis=0)
-        for lev in range(meta.n_levels)]
+    data_levels = _data_levels_cached(dstate, comps)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
     cache = getattr(dstate, "_mc_fill_cache", None)
