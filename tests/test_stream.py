@@ -383,3 +383,36 @@ def test_pallas_march_matches_xla(tmp_path):
                            jnp.asarray(dirs), L=8, interpret=True)
     d = np.abs(np.asarray(pos_ref) - np.asarray(pos_pal))
     assert d.max() < 1e-5, d.max()
+
+
+def test_pallas_march_boundary_parity():
+    """Lines marching to (and dying at) the volume edges must match the XLA
+    path — exercises the padded-field windows where block bases used to
+    clip (pallas_march.PADX/Y/Z)."""
+    import jax.numpy as jnp
+    from peleanalysis_tpu.stream.pallas_march import march_pallas
+    from peleanalysis_tpu.stream.trace import _trace_level
+
+    S = (16, 18, 88)
+    xs = [np.linspace(0, 1, s) for s in S]
+    X, Y, Z = np.meshgrid(*xs, indexing="ij")
+    # strong outward drift: lines exit through every face
+    vec = jnp.asarray(np.stack([X - 0.45, Y - 0.55, Z - 0.5]), jnp.float32)
+    plo = np.zeros(3)
+    dx = np.array([1 / 15, 1 / 17, 1 / 87])
+    h = float(0.5 * dx.min())
+    corners = [0.03, 0.5, 0.97]
+    seeds = np.array([[a, b, c] for a in corners for b in corners
+                      for c in corners][:24])
+    dirs = np.where(np.arange(24) % 2 == 0, 1.0, -1.0)
+    n_steps = 60   # long enough that most lines hit the boundary and freeze
+
+    pos_ref, _ = _trace_level(vec, vec, jnp.asarray(plo, jnp.float32),
+                              jnp.asarray(dx, jnp.float32), h,
+                              jnp.asarray(seeds, jnp.float32), n_steps,
+                              jnp.asarray(dirs, jnp.float32)[:, None])
+    pos_pal = march_pallas(vec, plo, dx, h, jnp.asarray(seeds), n_steps,
+                           jnp.asarray(dirs), L=8, interpret=True)
+    d = np.abs(np.asarray(pos_ref) - np.asarray(pos_pal))
+    assert np.isfinite(np.asarray(pos_pal)).all()
+    assert d.max() < 1e-5, d.max()
