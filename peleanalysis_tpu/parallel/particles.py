@@ -319,6 +319,9 @@ def trace_streamlines_migrating(
     owner = assign_seeds_to_levels(dstate, seeds)
 
     vec_names = ["x_velocity", "y_velocity", "z_velocity"]
+    if "z_velocity" not in dstate.names:
+        raise ValueError("the migrating march is 3-D only (2-D plotfiles "
+                         "fit one chip; use the resident engine)")
     comps = [dstate.comp(n) for n in vec_names]
     scomps = [dstate.comp(n) for n in sample_names]
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]

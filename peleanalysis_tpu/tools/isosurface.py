@@ -36,6 +36,16 @@ def main(args: dict) -> None:
     var_names = PlotfileReader(infile).var_names
     extras = pp.query_str_list("comps", [])
     extras = [var_names[int(c)] if c.isdigit() else c for c in extras]
+    if pp.contains("sComp") or pp.contains("nComp"):
+        # reference-style comp-range selection (isosurface.cpp sComp/nComp)
+        s = pp.query_int("sComp", 0)
+        n = pp.query_int("nComp", 1)
+        extras = extras + [v for v in var_names[s: s + n]
+                           if v not in extras]
+    if not pp.query_bool("rm_external_elements", True):
+        print("isosurface: rm_external_elements=0 ignored — the canonical "
+              "per-edge engine never emits duplicate/overlap elements "
+              "(the reference's per-box g1box filter has no analog here)")
 
     load = [iso_name] + [n for n in extras if n != iso_name]
     with phase("isosurface I/O"):
@@ -44,8 +54,13 @@ def main(args: dict) -> None:
                                     dtype=np.float64)
         from ..amr.cluster import needs_clustering
         fin = st.meta.n_levels - 1
+        # surface_is_large=1 is the reference's disk-staged memory valve
+        # (isosurface.cpp:1919-1998): here the clustered path IS the valve —
+        # peak HBM scales with one cluster + the merged host surface, so
+        # forcing it honors the same intent without a tmpFile
+        force_sparse = pp.query_bool("surface_is_large", False)
         sparse = (not st.meta.ndim2 and st.meta.n_levels > 1
-                  and needs_clustering(st.meta.bas[fin])
+                  and (force_sparse or needs_clustering(st.meta.bas[fin]))
                   and not pp.query_bool("force_dense", False))
         ds = None if sparse else DenseAmrState.from_batched(st)
         ndev = pp.query_int("ndevices", 1)
