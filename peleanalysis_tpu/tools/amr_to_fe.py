@@ -158,7 +158,14 @@ def main(args: dict) -> None:
     infile = pp.get_str("infile")
     st = AmrState.from_plotfile(infile,
                                 max_level=pp.query_int("finestLevel", None))
-    names = pp.query_str_list("vars", st.names)
+    names = pp.query_str_list(
+        "comps", None) or pp.query_str_list("vars", st.names)
+    if pp.contains("sComp") or pp.contains("nComp"):
+        s = pp.query_int("sComp", 0)        # comp range (amrToFE.cpp:365-367)
+        names = st.names[s: s + pp.query_int("nComp", 1)]
+    if pp.query_bool("doBin", False):
+        print("amrToFE: doBin=1 (binary Tecplot, USE_TEC_BIN_IO build "
+              "option) is not supported — writing ASCII")
     ds = DenseAmrState.from_batched(st)
     sub = None
     if pp.contains("box"):

@@ -105,11 +105,12 @@ def main(args: dict) -> None:
     """CLI: avgPlotfiles infile=<plt>... [vars=all] [interp_type=1|2]
     [output_max_level=] [output_max_grid_size=32] outfile="""
     pp = ParmParse(args)
-    infiles = pp.get_str_list("infile")
+    infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     itype = pp.query_int("interp_type", 2)
     interp = "pc" if itype == 1 else "linear"
     states = [AmrState.from_plotfile(f, dtype=np.float64) for f in infiles]
-    names = pp.query_str_list("vars", None)
+    names = (pp.query_str_list("variables", None)
+             or pp.query_str_list("vars", None))
     if names is None:
         # cross-check shared variables (avgPlotfiles.cpp:77-115)
         names = [n for n in states[0].names

@@ -74,14 +74,40 @@ def accumulate_conditional_mean(
     bin_min: float,
     bin_max: float,
     with_minmax: bool = False,
+    bounds=None,
 ):
-    """All levels accumulated inside one jitted call (one host fetch)."""
+    """All levels accumulated inside one jitted call (one host fetch).
+    bounds: optional ((lox,loy,loz),(hix,hiy,hiz)) physical sub-box — cells
+    outside are excluded (conditionalMean.cpp:180-192 bounds key, coarse
+    indices rounded with the reference's ±1e-4*dx nudges)."""
     meta = dstate.meta
     ndim = 2 if getattr(meta, "ndim2", False) else 3
     weights = tuple(refinement_weights(meta.ref_ratio, meta.n_levels, ndim))
     ib = dstate.comp(bin_name)
     ia = tuple(dstate.comp(n) for n in avg_names)
     masks = [dstate.valid_mask(lev) for lev in range(meta.n_levels)]
+    if bounds is not None:
+        import jax.numpy as jnp
+        g0 = meta.geoms[0]
+        lo0 = [max(g0.domain.lo[d],
+                   int((bounds[0][d] - g0.prob_lo[d] + 1e-4 * g0.dx[d])
+                       / g0.dx[d])) for d in range(3)]
+        hi0 = [min(g0.domain.hi[d],
+                   int((bounds[1][d] - g0.prob_lo[d] - 1e-4 * g0.dx[d])
+                       / g0.dx[d])) for d in range(3)]
+        rat = 1
+        for lev in range(meta.n_levels):
+            if lev > 0:
+                rat *= meta.ref_ratio[lev - 1]
+            bbox = dstate.lmeta[lev].bbox
+            sel = []
+            for d in range(3):
+                idx = np.arange(bbox.lo[d], bbox.hi[d] + 1)
+                sel.append((idx >= lo0[d] * rat)
+                           & (idx <= (hi0[d] + 1) * rat - 1))
+            box_m = (sel[0][:, None, None] & sel[1][None, :, None]
+                     & sel[2][None, None, :])
+            masks[lev] = masks[lev] & jnp.asarray(box_m)
     out = jax.device_get(_accumulate_all(
         list(dstate.data), masks, ib, ia, weights,
         float(bin_min), float(bin_max), nbins, with_minmax))
@@ -146,13 +172,20 @@ def main(args: dict) -> None:
     from ..io.plotfile import PlotfileReader
 
     pp = ParmParse(args)
-    infiles = pp.get_str_list("infile")
+    infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     nbins = pp.query_int("nBins", 64)
     bin_min = pp.get_float("binMin")
     bin_max = pp.get_float("binMax")
     with_minmax = pp.query_bool("writeBinMinMax", False)
     finest = pp.query_int("finestLevel", None)
     aja = pp.query_bool("aja", False)
+    out_suffix = pp.query_str("outSuffix", "")
+    bounds = None
+    if pp.contains("bounds"):
+        barr = pp.get_float_list("bounds")
+        if len(barr) != 6:
+            raise ValueError("bounds expects 6 reals: lox loy loz hix hiy hiz")
+        bounds = (tuple(barr[:3]), tuple(barr[3:]))
 
     var_names = PlotfileReader(infiles[0]).var_names
     bin_name = _resolve(pp.get_str("binComp"), var_names)
@@ -184,15 +217,15 @@ def main(args: dict) -> None:
         for ds, scale in parts:
             h, s, s2, mn, mx = accumulate_conditional_mean(
                 ds, bin_name, avg_names, nbins, bin_min, bin_max,
-                with_minmax)
+                with_minmax, bounds=bounds)
             hits += scale * h
             sums += scale * s
             sumsq += scale * s2
             mins = np.minimum(mins, mn)
             maxs = np.maximum(maxs, mx)
 
-    out = (infiles[0] + f"/CM_{bin_name}.dat" if aja
-           else f"CM_{bin_name}.dat")
+    out = (infiles[0] + f"/CM_{bin_name}{out_suffix}.dat" if aja
+           else f"CM_{bin_name}{out_suffix}.dat")
     out = pp.query_str("outfile", out)
     write_cm_dat(out, bin_name, avg_names, nbins, bin_min, bin_max,
                  hits, sums, sumsq, mins, maxs, with_minmax)

@@ -298,6 +298,18 @@ def main(args: dict) -> None:
         from ..io.plotfile import PlotfileReader
         names += [n for n in ("x_velocity", "y_velocity", "z_velocity")
                   if n in PlotfileReader(infile).var_names]
+    # Aux_Variables: extra plotfile comps copied through to the output
+    # (curvature.cpp:103-106,182-190)
+    aux_names = [n for n in pp.query_str_list("Aux_Variables", [])
+                 if n not in names]
+    names += aux_names
+    # floorIt only gates the reference's min/max printout (curvature.cpp:139,
+    # no flooring is ever applied); useFileMinMax=0 means "trust progMin/
+    # progMax as given" — the default file scan happens when they are absent
+    pp.query_int("floorIt", 0)
+    if not pp.query_bool("useFileMinMax", True):
+        if not (pp.contains("progMin") and pp.contains("progMax")):
+            raise ValueError("useFileMinMax=0 requires progMin= and progMax=")
     state = AmrState.from_plotfile(
         infile, names=names, max_level=pp.query_int("finestLevel", None),
         is_periodic=[bool(p) for p in is_per])
@@ -321,11 +333,20 @@ def main(args: dict) -> None:
         get_strain_tensor=pp.query_bool("getStrainTensor", False),
         do_velnormal=do_velnormal,
         do_threshold=pp.query_bool("threshold_prog", False),
-        threshold=pp.query_float("threshold", 0.02),
+        threshold=pp.query_float(
+            "threshold_value", pp.query_float("threshold", 0.02)),
         replicate_strain_bug=pp.query_bool("replicate_strain_bug", False),
         sym_dir=pp.query_int_list("sym_dir", [0, 0, 0]),
         interp=pp.query_str("cf_interp", "quadratic"),
     )
+    if aux_names:
+        import jax.numpy as jnp
+        data = [jnp.concatenate(
+            [out.data[lev],
+             dstate.data[lev][np.asarray([dstate.comp(n)
+                                          for n in aux_names])]], axis=0)
+            for lev in range(out.meta.n_levels)]
+        out = out.with_data(out.names + aux_names, data)
     outfile = pp.query_str("outfile", infile + "_K")
     out.to_plotfile(outfile)
     print(f"wrote {outfile}")

@@ -51,14 +51,22 @@ def main(args: dict) -> None:
     [same_fgr_all_levels=1] [vars=all]"""
     pp = ParmParse(args)
     infile = pp.get_str("infile")
-    st = AmrState.from_plotfile(infile)
+    st = AmrState.from_plotfile(
+        infile, max_level=pp.query_int("max_filter_level", None))
     ds = DenseAmrState.from_batched(st)
-    names = pp.query_str_list("vars", st.names)
+    names = pp.query_str_list(
+        "variables", None) or pp.query_str_list("vars", st.names)
+    # filter_type: PelePhysics integer codes (filterPlt.cpp:80; Filter.H
+    # box=1, gaussian=2) or the spelled-out name
+    kind = pp.query_str("filter_type", "box")
+    kind = {"1": "box", "2": "gaussian"}.get(kind, kind)
     out = filter_state(
         ds,
-        kind=pp.query_str("filter_type", "box"),
-        fgr=pp.query_int("fgr", 2),
-        same_fgr_all_levels=pp.query_bool("same_fgr_all_levels", True),
+        kind=kind,
+        fgr=pp.query_int("base_fgr", pp.query_int("fgr", 2)),
+        # reference default: fgr is per-level relative to each grid
+        # (same_fgr_all_levels=false, filterPlt.cpp:75)
+        same_fgr_all_levels=pp.query_bool("same_fgr_all_levels", False),
         names=names)
     outfile = pp.query_str("outfile", infile + "_filt")
     out.to_plotfile(outfile)

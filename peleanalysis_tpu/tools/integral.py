@@ -110,15 +110,69 @@ def write_dat_2d(path: str, arr) -> None:
             f.write(" ".join(f"{v:e}" for v in row) + "\n")
 
 
+def _pele_ppm_rgb(c: np.ndarray, go_past_max: bool) -> np.ndarray:
+    """The reference's exact writePPM colormap (integral.cpp:247-295):
+    c = clamp((v-vmin)/(vmax-vmin), 0, 1.5); over-max values render as the
+    magenta->white ramp when go_past_max, else dark red."""
+    r = np.zeros_like(c)
+    g = np.zeros_like(c)
+    b = np.zeros_like(c)
+
+    def seg(m, rr, gg, bb):
+        r[m], g[m], b[m] = (np.broadcast_to(v, c[m].shape)
+                            for v in (rr, gg, bb))
+
+    m = c < 0.125
+    seg(m, 0.0, 0.0, (c[m] + 0.125) * 4.0)
+    m = (c >= 0.125) & (c < 0.375)
+    seg(m, 0.0, (c[m] - 0.125) * 4.0, 1.0)
+    m = (c >= 0.375) & (c < 0.625)
+    seg(m, (c[m] - 0.375) * 4.0, 1.0, (0.625 - c[m]) * 4.0)
+    m = (c >= 0.625) & (c < 0.875)
+    seg(m, 1.0, (0.875 - c[m]) * 4.0, 0.0)
+    m = (c >= 0.875) & (c < 1.0)
+    seg(m, (1.125 - c[m]) * 4.0, 0.0, 0.0)
+    if go_past_max:
+        m = (c >= 1.0) & (c < 1.125)
+        seg(m, (c[m] - 0.875) * 4.0, 0.0, (c[m] - 1.0) * 4.0)
+        m = (c >= 1.125) & (c < 1.25)
+        seg(m, 1.0, 0.0, (c[m] - 1.0) * 4.0)
+        m = (c >= 1.25) & (c < 1.5)
+        seg(m, 1.0, (c[m] - 1.25) * 4.0, 1.0)
+        m = c >= 1.5
+        seg(m, 1.0, 1.0, 1.0)
+    else:
+        m = c >= 1.0
+        seg(m, 128.0 / 255.0, 0.0, 0.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 1)
+
+
 def write_ppm(path: str, arr, vmin=None, vmax=None,
-              palette: str = "rainbow") -> None:
+              palette="rainbow", go_past_max: bool = False) -> None:
     """P6 PPM render (integral.cpp:300 / slicePlot's palette rendering).
     palette: "rainbow" (blue->cyan->green->yellow->red, the amrvis-style
-    default) or "gray"."""
+    default), "pele" (the reference's exact writePPM map, with goPastMax),
+    "gray", or an [N,3] uint8 LUT (an amrvis .pal, the reference's
+    loadPalette at slicePlot.cpp:73-80)."""
     a = np.asarray(arr, dtype=np.float64)
     vmin = a.min() if vmin is None else vmin
     vmax = a.max() if vmax is None else vmax
+    if isinstance(palette, str) and palette == "pele":
+        c = np.clip((a - vmin) / max(vmax - vmin, 1e-300), 0, 1.5)
+        img = (_pele_ppm_rgb(c, go_past_max) * 255).astype(np.uint8)
+        with open(path, "wb") as f:
+            f.write(f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+            img.tofile(f)
+        return
     x = np.clip((a - vmin) / max(vmax - vmin, 1e-300), 0, 1)
+    if isinstance(palette, np.ndarray):
+        lut = palette
+        img = lut[np.clip((x * (len(lut) - 1)).astype(np.int64),
+                          0, len(lut) - 1)].astype(np.uint8)
+        with open(path, "wb") as f:
+            f.write(f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+            img.tofile(f)
+        return
     if palette == "gray":
         rgb = np.stack([x, x, x], axis=-1)
     else:
@@ -183,7 +237,10 @@ def main(args: dict) -> None:
         write_dat_1d(base + "_y.dat", coords[1])
         for n, v in zip(var_names, fields):
             if fmt == "ppm":
-                write_ppm(f"{base}_{n}.ppm", v)
+                write_ppm(f"{base}_{n}.ppm", v, palette="pele",
+                          vmin=pp.query_float("vMin", None),
+                          vmax=pp.query_float("vMax", None),
+                          go_past_max=pp.query_int("goPastMax", 0) == 1)
             else:
                 write_dat_2d(f"{base}_{n}.dat", v)
     print(f"wrote {base}*")

@@ -197,7 +197,7 @@ def main(args: dict) -> None:
     [do_stoichiometry=0 Hlist=... Olist=...] [do_average=0]
     [output_gnuplot/matlab/tecplot/fab/scatter/plotfile=..] [outSuffix=]"""
     pp = ParmParse(args)
-    infiles = pp.get_str_list("infile")
+    infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     nbins = pp.query_int("nBins", 64)
     var_in = pp.get_str_list("vars")
     do_stoich = pp.query_bool("do_stoichiometry", False)

@@ -86,6 +86,13 @@ def main(args: dict) -> None:
         out = G.trim_mef(a, comps, signs, vals, rxy,
                          pp.query_str("sign_RXY", "+"),
                          _resolve(a, pp.query_str_list("remComps", [])))
+        if pp.query_bool("do_area_stats", False) and len(out.elements):
+            p = out.positions()                 # trimMEFgen.cpp:499-521
+            e = out.elements
+            ar = 0.5 * np.linalg.norm(
+                np.cross(p[e[:, 1]] - p[e[:, 0]], p[e[:, 2]] - p[e[:, 0]]),
+                axis=1)
+            print(f"  Triangle area min, max: {ar.min()} , {ar.max()}")
         write_mef(pp.query_str("outfile", "trimmed.mef"), out)
 
     elif tool == "binMEF":
@@ -94,7 +101,17 @@ def main(args: dict) -> None:
         bmin = pp.get_float_list("binMin")
         bmax = pp.get_float_list("binMax")
         nb = pp.get_int_list("nBins")
-        cond = pp.query_str("condComp", None)
+        # condApply gates conditioning in the reference (binMEF.cpp:465-469);
+        # here giving condComp= is the gate, condApply=0 disables explicitly
+        cond = (pp.query_str("condComp", None)
+                if pp.query_bool("condApply", True) else None)
+        if pp.query_bool("dumpBins", False):    # binMEF.cpp:482-500
+            for j, c in enumerate(comps):
+                db = (bmax[j] - bmin[j]) / nb[j]
+                print(f"bin: {c} bounds: ")
+                for i in range(nb[j]):
+                    hi = bmax[j] if i == nb[j] - 1 else bmin[j] + (i + 1) * db
+                    print(f"         bin: [{bmin[j] + i * db},{hi}]")
         out = G.bin_mef(a, comps, bmin, bmax, nb,
                         cond_comp=cond,
                         cond_val=pp.query_float("condVal", 0.0),

@@ -39,7 +39,7 @@ def rms_velocity(ds: DenseAmrState) -> float:
 def main(args: dict) -> None:
     """CLI: rmsVel infile=<plt>... [finestLevel=] [outfile=RmsVel.dat]"""
     pp = ParmParse(args)
-    infiles = pp.get_str_list("infile")
+    infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     finest = pp.query_int("finestLevel", None)
     out = pp.query_str("outfile", "RmsVel.dat")
     rows = []

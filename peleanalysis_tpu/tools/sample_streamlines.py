@@ -90,15 +90,20 @@ def main(args: dict) -> None:
         st = AmrState.from_plotfile(plotfile, names=grp,
                                     max_level=pp.query_int("finestLevel",
                                                            None),
+                                    is_periodic=[bool(p) for p in
+                                                 pp.query_int_list(
+                                                     "is_per", [0, 0, 0])],
                                     dtype=np.float64)
         ds = DenseAmrState.from_batched(st)
         sampled.append(sample_onto_lines(ds, sd.lines, grp))
     new_lines = np.concatenate([sd.lines[:, :, :3]] + sampled, axis=2)
     new_names = ["X", "Y", "Z"] + names
     out_sd = StreamData(new_names, sd.elements, sd.inside_nodes, new_lines)
-    if pp.contains("streamSampleFile"):
-        write_stream_data(pp.get_str("streamSampleFile"), out_sd)
-        print(f"wrote {pp.get_str('streamSampleFile')}")
+    if pp.contains("streamSampleFile") or pp.contains("outfile"):
+        dst = pp.query_str("streamSampleFile", None) \
+            or pp.get_str("outfile")   # reference key (sampleStreamlines.cpp:130)
+        write_stream_data(dst, out_sd)
+        print(f"wrote {dst}")
     elif pp.contains("outFile"):
         write_tecplot_lines(pp.get_str("outFile"), new_names, new_lines)
         print(f"wrote {pp.get_str('outFile')}")

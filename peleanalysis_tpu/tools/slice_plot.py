@@ -18,36 +18,63 @@ from .flatten_amr import flatten_to_level
 from .integral import write_ppm
 
 
-def slice_field(st: AmrState, var: str, direction: int, loc: float
+def slice_field(st: AmrState, var: str, direction: int, idx: int
                 ) -> np.ndarray:
-    """2-D slice at physical coordinate ``loc`` along ``direction``."""
+    """2-D slice at finest-level cell index ``idx`` along ``direction``."""
     lev = st.meta.n_levels - 1
     geom = st.meta.geoms[lev]
     dense = np.asarray(flatten_to_level(st, lev))
     ic = st.comp(var)
-    i = int((loc - geom.prob_lo[direction]) / geom.dx[direction])
-    i = int(np.clip(i, 0, geom.domain.shape[direction] - 1))
+    i = int(np.clip(idx, 0, geom.domain.shape[direction] - 1))
     sl = [slice(None)] * 3
     sl[direction] = i
     return dense[(ic,) + tuple(sl)]
 
 
+def read_amrvis_palette(path: str) -> np.ndarray:
+    """amrvis .pal file: 256 (or fewer) R,G,B byte triples (the format the
+    reference loads at slicePlot.cpp:76 via loadPalette)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    n = len(raw) // 3
+    return raw[: 3 * n].reshape(n, 3)
+
+
 def main(args: dict) -> None:
-    """CLI: slicePlot infile= var=temp dir=2 [loc=<center>]
-    [format=ppm|pgm|fab] [outfile=]"""
+    """CLI (reference keys, slicePlot.cpp:28-90): slicePlot file= varname=
+    slicedir= sliceloc=<finest cell index> [finestLevel=] [outtype=image|
+    gray|fab] [min=] [max=] [palette=<amrvis .pal>] [outfile=]
+    Aliases kept from earlier revisions: infile= var= dir= loc=<physical>.
+    """
     pp = ParmParse(args)
-    infile = pp.get_str("infile")
-    var = pp.query_str("var", "temp")
-    direction = pp.query_int("dir", 2)
-    st = AmrState.from_plotfile(infile, names=[var])
-    geom = st.meta.geoms[0]
-    loc = pp.query_float(
-        "loc", 0.5 * (geom.prob_lo[direction] + geom.prob_hi[direction]))
-    fmt = pp.query_str("format", "ppm")
-    img = slice_field(st, var, direction, loc)
-    outfile = pp.query_str("outfile", f"{infile}_{var}_d{direction}.{fmt}")
-    if fmt in ("ppm", "pgm"):
-        write_ppm(outfile, img)
+    infile = pp.query_str("file", None) or pp.get_str("infile")
+    var = pp.query_str("varname", None) or pp.query_str("var", "temp")
+    direction = pp.query_int("slicedir", pp.query_int("dir", 2))
+    finest = pp.query_int("finestLevel", None)
+    st = AmrState.from_plotfile(infile, names=[var], max_level=finest)
+    lev = st.meta.n_levels - 1
+    geom = st.meta.geoms[lev]
+    if pp.contains("sliceloc"):
+        idx = pp.get_int("sliceloc")
+    else:
+        loc = pp.query_float(
+            "loc", 0.5 * (geom.prob_lo[direction] + geom.prob_hi[direction]))
+        idx = int((loc - geom.prob_lo[direction]) / geom.dx[direction])
+
+    out_type = pp.query_str("outtype", None)
+    if out_type is None:
+        fmt = pp.query_str("format", "ppm")
+        out_type = {"ppm": "image", "pgm": "gray"}.get(fmt, fmt)
+    img = slice_field(st, var, direction, idx)
+    ext = {"image": "ppm", "gray": "pgm"}.get(out_type, "fab")
+    outfile = pp.query_str(
+        "outfile", f"{infile}_{var}_d{direction}_{idx}.{ext}")
+    if out_type in ("image", "gray"):
+        vmin = pp.query_float("min", None)
+        vmax = pp.query_float("max", None)
+        pal = "gray" if out_type == "gray" else "rainbow"
+        if pp.contains("palette"):
+            pal = read_amrvis_palette(pp.get_str("palette"))
+        write_ppm(outfile, img, vmin=vmin, vmax=vmax, palette=pal)
     else:
         with open(outfile, "wb") as f:
             write_fab(f, Box((0, 0, 0),

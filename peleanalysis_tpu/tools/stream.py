@@ -66,6 +66,11 @@ def main(args: dict) -> None:
 
     from ..io.plotfile import PlotfileReader
     avail = PlotfileReader(plotfile).var_names
+    if pp.contains("aux_sComp") or pp.contains("aux_nComp"):
+        # reference-style aux comp range (stream.cpp:645-653)
+        s = pp.query_int("aux_sComp", 0)
+        aux = aux + [v for v in avail[s: s + pp.query_int("aux_nComp", 0)]
+                     if v not in aux]
     vel = [v for v in ("x_velocity", "y_velocity", "z_velocity")
            if v in avail]
     load = ([progress_name] if not trace_along_v else list(vel))
@@ -86,6 +91,20 @@ def main(args: dict) -> None:
                                 dtype=np.float64)
     ds = DenseAmrState.from_batched(st)
     seeds, elements = get_seeds(pp)
+    if pp.contains("bounds"):
+        # limit seed points to a physical sub-box, dropping elements that
+        # lose a node (trim_surface, stream.cpp:217-291 + 543-560)
+        barr = pp.get_float_list("bounds")
+        keep = np.all((seeds >= np.asarray(barr[:3]))
+                      & (seeds <= np.asarray(barr[3:6])), axis=1)
+        renum = np.cumsum(keep) - 1
+        if len(elements):
+            elements = np.asarray(elements)
+            e_keep = keep[elements].all(axis=1)
+            elements = renum[elements[e_keep]]
+        seeds = seeds[keep]
+        if verbose:
+            print(f"bounds trim: {keep.sum()}/{len(keep)} seeds kept")
 
     with phase("stream integrate"):
         lines = trace_streamlines(
@@ -138,6 +157,12 @@ def main(args: dict) -> None:
                 nodes[:, : len(names)], names, dt)
         mef = MEF(f"{st.meta.time:g}", out_names, nodes,
                   np.asarray(elements, np.int32))
-        alt_file = pp.query_str("altSurfFile", plotfile + "_altSurf.mef")
+        # advectColdIso names the intent (stream.cpp:979-1001): the alt
+        # surface is the cold iso, advected by u*dt — which is exactly the
+        # dt!=0 path above (velocity comps ride in `sample` when build_alt)
+        pp.query_bool("advectColdIso", False)
+        alt_file = pp.query_str(
+            "altIsoFile", pp.query_str("altSurfFile",
+                                       plotfile + "_altSurf.mef"))
         write_mef(alt_file, mef)
         print(f"wrote {alt_file}")

@@ -120,6 +120,15 @@ def main(args: dict) -> None:
     if len(elements) == 0:
         raise ValueError("streamTubeStats requires element connectivity")
     mid = (lines.shape[1] - 1) // 2
+    if pp.contains("jlo"):
+        # restrict stations to j in [jlo, -jlo] around the seed
+        # (streamTubeStats.cpp:566-567: nPts = -2*jlo + 1)
+        jlo = pp.get_int("jlo")
+        if jlo > 0:
+            jlo = -jlo
+        if -jlo < mid:
+            lines = lines[:, mid + jlo: mid - jlo + 1]
+            mid = (lines.shape[1] - 1) // 2
 
     def resolve(toks):
         return [names[int(t)] if t.isdigit() else t for t in toks]

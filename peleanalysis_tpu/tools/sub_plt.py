@@ -58,13 +58,17 @@ def main(args: dict) -> None:
     pp = ParmParse(args)
     infile = pp.get_str("infile")
     b = pp.get_int_list("box")
-    st = AmrState.from_plotfile(infile, dtype=np.float64)
+    st = AmrState.from_plotfile(infile, dtype=np.float64,
+                                max_level=pp.query_int("finestLevel", None))
     if getattr(st.meta, "ndim2", False) and len(b) == 4:
         # 2-D plotfile: box=lox loy hix hiy (z promoted to the unit cell)
         sub = Box((b[0], b[1], 0), (b[2], b[3], 0))
     else:
         sub = Box(tuple(b[:3]), tuple(b[3:6]))
     names = pp.query_str_list("comps", st.names)
+    if pp.contains("sComp") or pp.contains("nComp"):
+        s = pp.query_int("sComp", 0)          # comp range (subPlt.cpp:82-84)
+        names = st.names[s: s + pp.query_int("nComp", 1)]
     geoms, bas, ratios, names, data = sub_plotfile(st, sub, names)
     outfile = pp.query_str("outfile", infile + "_sub")
     write_plotfile(outfile, names, st.meta.time, geoms, ratios, bas, data,

@@ -65,7 +65,7 @@ def turbulence_stats(u, v, w=None):
 def main(args: dict) -> None:
     """CLI: turbulenceSpectra infile=<plt>... [level=finest] [outfile_base=]"""
     pp = ParmParse(args)
-    infiles = pp.get_str_list("infile")
+    infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     base = pp.query_str("outfile_base", "turb")
     rows = []
     for plt in infiles:
