@@ -48,12 +48,25 @@ def _interp_at(lines: np.ndarray, jlo: np.ndarray, frac: np.ndarray
 
 
 def build_surface_at_isoval(lines: np.ndarray, names, comp_name: str,
-                            iso_val: float):
+                            iso_val: float, with_distance: bool = False):
     """Point on each line where comp crosses iso_val (the alt-surface nodes,
-    stream.cpp:1840-2074).  Returns (points [nl, nvars], found [nl])."""
+    stream.cpp:1840-2074).  Returns (points [nl, nvars], found [nl]) — or
+    (points, found, distance [nl]) with with_distance: the arclength from
+    the seed station (j=0) to the crossing, the reference's
+    ``distance_iso_to_alt`` surface variable (stream.cpp:1008,1636-1650)."""
     c = names.index(comp_name)
     jlo, frac, found = _crossings_from_mid(lines[:, :, c], iso_val)
-    return _interp_at(lines, jlo, frac), found
+    pts = _interp_at(lines, jlo, frac)
+    if not with_distance:
+        return pts, found
+    s = arc_length(lines)
+    nl = lines.shape[0]
+    mid = (lines.shape[1] - 1) // 2
+    s_cross = (s[np.arange(nl), jlo]
+               + frac * (s[np.arange(nl), jlo + 1]
+                         - s[np.arange(nl), jlo]))
+    dist = np.where(found, np.abs(s_cross - s[:, mid]), 0.0)
+    return pts, found, dist
 
 
 def arc_length(lines: np.ndarray) -> np.ndarray:

@@ -130,10 +130,10 @@ def main(args: dict) -> None:
     if build_alt:
         alt_val = pp.get_float("altVal")
         dt = pp.query_float("dt", 0.0)
-        pts, found = surf.build_surface_at_isoval(lines, names,
-                                                  progress_name, alt_val)
-        out_names = list(names)
-        cols = [pts]
+        pts, found, dist = surf.build_surface_at_isoval(
+            lines, names, progress_name, alt_val, with_distance=True)
+        out_names = list(names) + ["distance_iso_to_alt"]
+        cols = [pts, dist[:, None]]
         if pp.query_str("thickCompName", ""):
             th = surf.thermal_thickness(lines, names,
                                         pp.get_str("thickCompName"),
