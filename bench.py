@@ -125,8 +125,6 @@ def main():
     # half the 197 TFLOP/s bf16 rate; VPU ~1.9 T lane-op/s) -----------------
     HBM_PEAK = 819e9
     MXU_F32_PEAK = 98.5e12
-    cells = [int(np.prod(meta.geoms[l].domain.shape))
-             for l in range(n_lev)]   # level-0 domain refined per level
     cells = [int(np.prod(dstate.lmeta[l].bbox.shape)) for l in range(n_lev)]
     tot_cells = sum(cells)
     # traffic models (f32): grad chain touches ~9 arrays/cell (fill read,

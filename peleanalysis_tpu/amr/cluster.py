@@ -110,9 +110,11 @@ def sparse_stats_parts(state, waste_factor: float = 4.0):
                      meta.ndim2)
     st_c = AmrState(meta_c, state.names, list(state.data[:fin]))
     ds_c = DenseAmrState.from_batched(st_c)
-    # global covered mask on the new finest (computed from the FULL meta)
-    ds_full = DenseAmrState.from_batched_coarse_only(state)
-    ds_c._covered[fin - 1] = ds_full.covered_mask(fin - 1)
+    # global covered mask on the new finest (computed from the FULL meta);
+    # metadata-only — assembling the coarse levels a second time just for
+    # this mask doubled the staging cost of every sparse stats run
+    ds_c._covered[fin - 1] = DenseAmrState.meta_only(state).covered_mask(
+        fin - 1)
 
     groups = cluster_boxes(meta.bas[fin], waste_factor)
     boxes = list(meta.bas[fin])

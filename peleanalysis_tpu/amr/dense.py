@@ -89,6 +89,20 @@ class DenseAmrState:
         return cls(meta, state.names, data, lmeta)
 
     @classmethod
+    def meta_only(cls, state: AmrState) -> "DenseAmrState":
+        """Metadata-only view (data[lev] is None for every level): valid for
+        the mask accessors (covered_mask/in_level_mask), which are computed
+        purely from BoxArray metadata — no dense assembly."""
+        meta = state.meta
+        lmeta = []
+        for lev in range(meta.n_levels):
+            ba = meta.bas[lev]
+            bbox = ba.minimal_box()
+            lmeta.append(DenseLevelMeta(
+                bbox, meta.geoms[lev], ba.total_cells() / bbox.size))
+        return cls(meta, state.names, [None] * meta.n_levels, lmeta)
+
+    @classmethod
     def from_plotfile(cls, path: str, names=None, max_level=None,
                       is_periodic=None, dtype=None) -> "DenseAmrState":
         return cls.from_batched(AmrState.from_plotfile(

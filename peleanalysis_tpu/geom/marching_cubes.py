@@ -1444,7 +1444,7 @@ def extract_isosurface(
             npc = getattr(dstate, "_mc_np_grown", None)
             if npc is None:
                 npc = dstate._mc_np_grown = {}
-            gk = (lev, len(names), bc)
+            gk = (lev, tuple(names), bc)
             if gk not in npc:
                 npc[gk] = np.asarray(grown, dtype=np.float64)
             grown = npc[gk]

@@ -275,6 +275,10 @@ def march_pallas(vec: jnp.ndarray, plo, dx, h, seeds: jnp.ndarray,
     dirs32 = dirs.astype(jnp.float32).reshape(Np, 1)
 
     h_cells = float(h) / float(min(dx))
+    if h_cells > 3.0:
+        raise ValueError(
+            f"march step {h_cells:.2f} cells exceeds the resident-block "
+            "margin (3 cells/round); use the XLA engine for this step size")
     K = max(int(np.floor(3.0 / h_cells - 1.0 + 1e-9)), 1)
     consts = (S, tuple(float(v) for v in plo),
               tuple(float(v) for v in dx), float(h), C)

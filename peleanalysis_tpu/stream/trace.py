@@ -260,7 +260,11 @@ def trace_streamlines(
         vshape = tuple(s - 2 for s in gbox.shape) if trace_field is not None \
             else tuple(gbox.shape)
         dims_ok = (vshape[0] >= 8 and vshape[1] >= 16
-                   and 3 * vshape[2] >= 256 and n_half >= 1)
+                   and 3 * vshape[2] >= 256 and n_half >= 1
+                   # resident blocks tolerate <=3 cells of motion per round
+                   # (pallas_march block margins); larger steps or strongly
+                   # anisotropic dx must take the XLA gather path
+                   and h_phys / dx.min() <= 3.0)
         use_pallas = (march_engine == "pallas"
                       or (march_engine == "auto" and dims_ok
                           and jax.default_backend() == "tpu"

@@ -183,9 +183,28 @@ def main(args: dict) -> None:
     bounds = None
     if pp.contains("bounds"):
         barr = pp.get_float_list("bounds")
+        if len(barr) == 4:        # DIM=2 plotfile: promote z to the unit cell
+            barr = barr[:2] + [-1.0e30] + barr[2:] + [1.0e30]
         if len(barr) != 6:
-            raise ValueError("bounds expects 6 reals: lox loy loz hix hiy hiz")
+            raise ValueError("bounds expects 2*DIM reals: lo... hi...")
         bounds = (tuple(barr[:3]), tuple(barr[3:]))
+        # snap to TRUE level-0 cell faces up front: the sparse clustered
+        # path sees sub-states whose own "level 0" is finer, and rounding
+        # there would select different cells than the dense path
+        from ..io.plotfile import PlotfileReader
+        meta0 = PlotfileReader(infiles[0]).meta
+        g = meta0.geometry(0)
+        nd = meta0.ndim
+        lo0 = [max(g.domain.lo[d],
+                   int((bounds[0][d] - g.prob_lo[d] + 1e-4 * g.dx[d])
+                       / g.dx[d])) for d in range(nd)]
+        hi0 = [min(g.domain.hi[d],
+                   int((bounds[1][d] - g.prob_lo[d] - 1e-4 * g.dx[d])
+                       / g.dx[d])) for d in range(nd)]
+        bounds = (tuple(g.prob_lo[d] + lo0[d] * g.dx[d]
+                        for d in range(nd)) + bounds[0][nd:],
+                  tuple(g.prob_lo[d] + (hi0[d] + 1) * g.dx[d]
+                        for d in range(nd)) + bounds[1][nd:])
 
     var_names = PlotfileReader(infiles[0]).var_names
     bin_name = _resolve(pp.get_str("binComp"), var_names)

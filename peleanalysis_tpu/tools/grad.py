@@ -151,6 +151,13 @@ def main(args: dict) -> None:
                  for l in range(state.meta.n_levels))
     if pp.query_bool("force_dense", False):
         sparse = False
+    if sparse and (pp.query_bool("fluxMatch", False)
+                   or pp.query_int("ndevices", 1) > 1):
+        # the batched-box path implements neither key: fall back to dense
+        # (more HBM) rather than silently dropping the request
+        print("grad: fluxMatch/ndevices force the dense path on this "
+              "sparse-refinement plotfile (higher HBM footprint)")
+        sparse = False
     if sparse:
         # sparse refinement: the dense union-bbox would waste >4x the valid
         # cells — route through the batched-box model (footprint ~ boxes,

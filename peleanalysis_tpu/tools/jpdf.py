@@ -266,10 +266,9 @@ def main(args: dict) -> None:
             if n == "Stoichiometry":
                 vmin[n], vmax[n] = 0.0, 2.0
             else:
-                vmin[n] = min(valid_minmax(ds, ds.comp(n))[0]
-                              for ds, _, _ in parts)
-                vmax[n] = max(valid_minmax(ds, ds.comp(n))[1]
-                              for ds, _, _ in parts)
+                mms = [valid_minmax(ds, ds.comp(n)) for ds, _, _ in parts]
+                vmin[n] = min(lo for lo, _ in mms)
+                vmax[n] = max(hi for _, hi in mms)
             mm = pp.query_float_list(f"useminmax{i+1}", None)
             if mm:
                 vmin[n], vmax[n] = mm[0], mm[1]

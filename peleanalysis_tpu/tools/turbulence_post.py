@@ -109,10 +109,11 @@ def _wavg(ds, per_level_vals, weight_levels=None) -> float:
 
 
 def augment_plotfile(infile: str, outfile: str, add_vorticity: bool = True,
-                     add_divergence: bool = True) -> None:
+                     add_divergence: bool = True,
+                     is_periodic=(True, True, True)) -> None:
     """AugmentPlotfile analog: append x/y/z_vorticity, magvort and divu
     components computed from the velocity field."""
-    ds = _dense(infile, None)
+    ds = _dense(infile, None, is_periodic=is_periodic)
     vd = _vort_divu(ds)
     names = list(ds.names)
     new_names = []
@@ -265,7 +266,10 @@ def main(args: dict) -> None:
         infile = pp.get_str("infile")
         augment_plotfile(infile, pp.query_str("outfile", infile + "_aug"),
                          pp.query_bool("add_vorticity", True),
-                         pp.query_bool("add_divergence", True))
+                         pp.query_bool("add_divergence", True),
+                         is_periodic=tuple(
+                             bool(p) for p in
+                             pp.query_int_list("is_per", [1, 1, 1])))
         print(f"wrote {pp.query_str('outfile', infile + '_aug')}")
     elif tool == "turbulenceTseries":
         out = scrape_tseries(pp.get_str("root_dir"),
