@@ -249,11 +249,14 @@ def main():
         h_m = float(0.5 * geom_f.dx[0])
         sd = jnp.asarray(np.concatenate([seeds, seeds]), jnp.float32)
         dd = jnp.concatenate([jnp.ones(4096), -jnp.ones(4096)])
-        _ = float(jnp.sum(march_pallas(vel32, plo_f, geom_f.dx, h_m, sd,
-                                       25, dd)))
+        # jit the whole march (incl. field layout prep): eager per-call
+        # transposes/pads cost extra tunnel dispatches and overstate
+        # march time vs the in-tool (fully jitted) path
+        mfn = jax.jit(lambda v, s, d: jnp.sum(march_pallas(
+            v, plo_f, geom_f.dx, h_m, s, 25, d)))
+        _ = float(mfn(vel32, sd, dd))
         t0 = time.perf_counter()
-        _ = float(jnp.sum(march_pallas(vel32, plo_f, geom_f.dx, h_m, sd,
-                                       25, dd)))
+        _ = float(mfn(vel32, sd, dd))
         march_ms = (time.perf_counter() - t0) * 1e3
         h_cells = 0.5
         K = max(int(np.floor(3.0 / h_cells - 1.0 + 1e-9)), 1)

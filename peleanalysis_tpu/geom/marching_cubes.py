@@ -898,7 +898,10 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
     nl = meta.n_levels
     emit = tuple(range(nl)) if emit_levels is None else tuple(emit_levels)
     ne = len(emit)
-    gran = 8192
+    # cap padding granularity: smaller gran = smaller packed fetch (the
+    # payload is the tunnel-bound part of the tool), bigger gran = fewer
+    # recompiles across surfaces; 2048 rows is ~24 KB of payload per step
+    gran = 2048
     for _attempt in range(4):
         caps = tuple(caps_d.get(lev, 1 << 14) for lev in range(nl))
         node_caps = tuple(ncaps_d.get(lev, 1 << 14) for lev in range(nl))
