@@ -275,3 +275,26 @@ def test_compact_indices_matches_nonzero():
                 jnp.nonzero(jnp.asarray(m), size=size, fill_value=0)[0])
             got = np.asarray(_compact_indices(jnp.asarray(m), size))
             np.testing.assert_array_equal(got, want, err_msg=f"{frac} {size}")
+
+
+def test_isosurface_cli_sharded_matches(tmp_path, monkeypatch):
+    """isosurface ndevices=8: GSPMD-sharded fill+enum over the virtual mesh
+    produces the identical surface (grad.cpp:160-163 DistributionMapping
+    analog at the tool level)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from peleanalysis_tpu.cli import main as cli
+    from peleanalysis_tpu.io.mef import read_mef
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    monkeypatch.chdir(tmp_path)
+    write_synthetic_plotfile("plt", n_cell=32, n_levels=2)
+    assert cli(["isosurface", "infile=plt", "isoCompName=temp",
+                "isoVal=1000", "outfile_base=a"]) == 0
+    assert cli(["isosurface", "infile=plt", "isoCompName=temp",
+                "isoVal=1000", "outfile_base=b", "ndevices=8"]) == 0
+    a, b = read_mef("a.mef"), read_mef("b.mef")
+    np.testing.assert_allclose(a.nodes, b.nodes, atol=0)
+    np.testing.assert_array_equal(a.elements, b.elements)
