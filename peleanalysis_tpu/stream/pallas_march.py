@@ -287,14 +287,21 @@ def march_pallas(vec: jnp.ndarray, plo, dx, h, seeds: jnp.ndarray,
     pos = seeds32
     alive = jnp.ones((Np, 1), jnp.int32)
 
-    trajs = [seeds32[None]]
-    done = 0
-    while done < n_steps:
-        k_this = min(K, n_steps - done)
-        traj, pos, alive, bases = _march_round(
-            field_zc, pos, alive, bases, dirs32, k_this, L, consts,
-            interpret)
-        trajs.append(jnp.transpose(traj, (1, 0, 2)))
-        done += k_this
-    out = jnp.concatenate(trajs, axis=0)                  # [n_steps+1, Np, 3]
+    # rounds as ONE lax.scan over a single pallas_call instance: a Python
+    # round-loop inlined `rounds` copies of the kernel into the graph and
+    # multiplied Mosaic compile time; the trailing partial round is padded
+    # to K steps and sliced off (extra stations are computed then dropped —
+    # kept stations are bit-identical, steps are sequential)
+    rounds = -(-n_steps // K)
+
+    def body(carry, _):
+        p, a, b = carry
+        traj, p, a, b = _march_round(field_zc, p, a, b, dirs32, K, L,
+                                     consts, interpret)
+        return (p, a, b), traj                            # [Np, K, 3]
+
+    _, trajs = jax.lax.scan(body, (pos, alive, bases), None, length=rounds)
+    stations = jnp.transpose(trajs, (0, 2, 1, 3)).reshape(
+        rounds * K, Np, 3)
+    out = jnp.concatenate([seeds32[None], stations[:n_steps]], axis=0)
     return out[:, :N]
