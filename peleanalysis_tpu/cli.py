@@ -67,6 +67,9 @@ TOOLS = {
     "plotQPD": ".tools.chem_tools",
     "sCO2": ".tools.sco2",
     "buildPMF": ".tools.build_pmf",
+    # AMReX plotfile-tool analogs every Pele workflow leans on
+    "fcompare": ".tools.compare_plts",
+    "fextrema": ".tools.compare_plts",
 }
 
 

@@ -213,3 +213,35 @@ def test_avg_to_plane(plt, tmp_path, monkeypatch):
     assert plane.ndim == 2 and np.isfinite(plane).all()
     # z-average of the flame ball: hot near the plane center
     assert plane.max() > plane[0, 0] + 1.0
+
+
+def test_fcompare_fextrema(plt, tmp_path, capsys):
+    from peleanalysis_tpu.cli import main
+    import numpy as np
+    from peleanalysis_tpu.amr.hierarchy import AmrState
+
+    # identical files agree
+    assert main(["fcompare", f"infile1={plt}", f"infile2={plt}"]) == 0
+    out = capsys.readouterr().out
+    assert "PLOTFILES AGREE" in out
+
+    # perturbed copy: known linf
+    st = AmrState.from_plotfile(plt, dtype=np.float64)
+    import jax.numpy as jnp
+    data = [d for d in st.data]
+    data[0] = data[0].at[0, st.comp("temp")].add(2.5)  # one box of temp
+    p2 = str(tmp_path / "plt_pert")
+    st.with_data(st.names, data).to_plotfile(p2)
+    assert main(["fcompare", f"infile1={plt}", f"infile2={p2}",
+                 "vars=temp"]) == 0
+    out = capsys.readouterr().out
+    assert "2.5" in out.replace("2.50000000e+00", "2.5")
+    with pytest.raises(SystemExit):
+        main(["fcompare", f"infile1={plt}", f"infile2={p2}", "vars=temp",
+              "atol=1.0"])
+    capsys.readouterr()
+
+    assert main(["fextrema", f"infile={plt}", "vars=temp"]) == 0
+    out = capsys.readouterr().out
+    ds_min = float(out.split()[-2])
+    assert 250 < ds_min < 400   # synthetic temp floor ~300
