@@ -282,7 +282,8 @@ def migrate_march(vec: np.ndarray, plo_g, dx, h_phys: float,
         put(slabs), put(plo_loc),
         put(pos0), put(pdir0), put(pid0), put(used0),
         jnp.asarray(np.asarray(plo_g, dtype)), jnp.asarray(dx),
-        jnp.asarray(vec.shape[1:]), jnp.asarray(h_phys, dtype),
+        jnp.asarray(np.asarray(vec.shape[1:], np.int32)),
+        jnp.asarray(np.asarray(h_phys, dtype)),
         n_steps, core, halo, cap, scap, hm)
     if bool(np.asarray(over).any()):
         raise RuntimeError(
