@@ -1373,8 +1373,17 @@ def extract_isosurface(
         return extract_isosurface_fused(dstate, iso_name, iso_val,
                                         extra_names, bc, label)
     if classify == "enum":
-        return extract_isosurface_enum(dstate, iso_name, iso_val,
-                                       extra_names, bc, label)
+        try:
+            return extract_isosurface_enum(dstate, iso_name, iso_val,
+                                           extra_names, bc, label)
+        except ValueError as e:
+            if "2^21" not in str(e):
+                raise
+            # giant surface: the enum id packing tops out; the two-fetch
+            # device engine has no node-count ceiling
+            print("isosurface: surface exceeds the enum engine's 2^21-node "
+                  "packing — falling back to the device engine")
+            classify = "device"
     meta = dstate.meta
     names = [iso_name] + [n for n in extra_names if n != iso_name]
     comps = [dstate.comp(n) for n in names]

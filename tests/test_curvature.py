@@ -181,3 +181,33 @@ def test_average_down(tmp_path):
     out = average_down_all(ds.meta, ds.lmeta, x, covered)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]),
                                rtol=1e-12)
+
+
+def test_curvature_cli_sharded_matches(tmp_path, monkeypatch):
+    """curvature ndevices=8 over the virtual mesh == unsharded (the second
+    major tool pinned multi-chip, after grad in dryrun and isosurface in
+    test_isosurface)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from peleanalysis_tpu.amr.hierarchy import AmrState
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    monkeypatch.chdir(tmp_path)
+    write_synthetic_plotfile("plt", n_cell=32, n_levels=2)
+    assert main(["curvature", "infile=plt", "progressName=temp",
+                 "do_gaussCurv=1", "outfile=K1"]) == 0
+    assert main(["curvature", "infile=plt", "progressName=temp",
+                 "do_gaussCurv=1", "ndevices=8", "outfile=K8"]) == 0
+    a = AmrState.from_plotfile("K1", dtype=np.float64)
+    b = AmrState.from_plotfile("K8", dtype=np.float64)
+    assert a.names == b.names
+    for lev in range(a.meta.n_levels):
+        da, db = np.asarray(a.data[lev]), np.asarray(b.data[lev])
+        # hole/covered cells carry NaN in both outputs — patterns must match
+        np.testing.assert_array_equal(np.isnan(da), np.isnan(db))
+        m = ~np.isnan(da)
+        denom = max(np.abs(da[m]).max(), 1e-30)
+        assert np.abs(da[m] - db[m]).max() / denom < 1e-12
