@@ -213,6 +213,14 @@ def test_avg_to_plane(plt, tmp_path, monkeypatch):
     assert plane.ndim == 2 and np.isfinite(plane).all()
     # z-average of the flame ball: hot near the plane center
     assert plane.max() > plane[0, 0] + 1.0
+    # pin against the numpy oracle: mean over z of the finest-flattened field
+    from peleanalysis_tpu.tools.flatten_amr import flatten_to_level
+    st = AmrState.from_plotfile(plt, names=["temp"], dtype=np.float64)
+    dense = np.asarray(flatten_to_level(st, st.meta.n_levels - 1,
+                                    interp="pc"))[0]
+    want = dense.mean(axis=2)
+    assert plane.shape == want.shape
+    np.testing.assert_allclose(plane, want, rtol=2e-4)
 
 
 def test_fcompare_fextrema(plt, tmp_path, capsys):
