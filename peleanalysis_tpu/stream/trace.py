@@ -173,6 +173,7 @@ def trace_streamlines(
     bc=None,
     march_dtype: Optional[str] = None,
     march_engine: str = "auto",
+    ngrow: Optional[int] = None,
 ) -> np.ndarray:
     """Trace ±nRKh RK4 steps from each seed; returns
     [nseed, 2*nRKh+1, 3 + len(sample_names)] with j=nRKh at the seed.
@@ -242,8 +243,12 @@ def trace_streamlines(
             continue
         geom = meta.geoms[lev]
         dx = np.array(geom.dx)
-        ngrow = int(np.ceil(h_phys * n_half / dx.min())) + 2
-        gbox = dstate.lmeta[lev].bbox.grow(ngrow)
+        # nGrow default guarantees paths stay sampled (stream.cpp:705);
+        # an explicit override trades memory for early-frozen lines, like
+        # the reference's nGrow= key
+        lev_ngrow = (ngrow if ngrow is not None
+                     else int(np.ceil(h_phys * n_half / dx.min())) + 2)
+        gbox = dstate.lmeta[lev].bbox.grow(lev_ngrow)
         plo_g = (np.array(geom.prob_lo)
                  + (np.array(gbox.lo) - np.array(geom.domain.lo)) * dx)
         nv = len(vec_src)
@@ -272,7 +277,7 @@ def trace_streamlines(
 
         # bc is closure-captured by the jitted fill: it MUST be in the key
         # (a second call with different bc would silently reuse the first's)
-        key = (lev, ngrow, all_data[0].shape[0], trace_field is not None,
+        key = (lev, lev_ngrow, all_data[0].shape[0], trace_field is not None,
                n_half, nf, march_dtype, repr(bc),
                (use_pallas, h_phys) if use_pallas else False)
 
@@ -324,7 +329,7 @@ def trace_streamlines(
                 print("trace_streamlines: float32 state -> bfloat16 field "
                       "marching (max ~0.01 finest-cell path deviation); "
                       "pass march_dtype='float32' for full precision")
-            cache[key] = make_fn(lev, ngrow, trace_field is not None,
+            cache[key] = make_fn(lev, lev_ngrow, trace_field is not None,
                                  plo_g, dx, use_pallas)
         out[sel] = np.asarray(cache[key](all_data, masks,
                                          jnp.asarray(seeds[sel]), h_phys))

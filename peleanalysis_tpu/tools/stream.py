@@ -110,7 +110,8 @@ def main(args: dict) -> None:
         lines = trace_streamlines(
             ds, seeds, n_rk, h_rk,
             trace_field=None if trace_along_v else progress_name,
-            sample_names=sample)
+            sample_names=sample,
+            ngrow=pp.query_int("nGrow", None))
     if verbose:
         report()
     names = ["X", "Y", "Z"] + sample
