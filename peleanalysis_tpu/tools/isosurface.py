@@ -128,7 +128,10 @@ def main(args: dict) -> None:
                                             iso_val=iso_val)
                 out_levels.append(jnp.asarray(np.asarray(phi)[None]))
         dist_out = ds.with_data(["distance"], out_levels)
-        dist_file = pp.query_str("dist_outfile", infile + "_dist")
+        # the reference names the distance plotfile with `outfile`
+        # (isosurface.cpp:1734); dist_outfile kept as the explicit alias
+        dist_file = pp.query_str(
+            "dist_outfile", pp.query_str("outfile", infile + "_dist"))
         dist_out.to_plotfile(dist_file)
         print(f"wrote {dist_file}")
     if verbose:
