@@ -111,6 +111,7 @@ def main(args: dict) -> None:
             ds, seeds, n_rk, h_rk,
             trace_field=None if trace_along_v else progress_name,
             sample_names=sample,
+            march_engine=pp.query_str("marchEngine", "auto"),
             ngrow=pp.query_int("nGrow", None))
     if verbose:
         report()
