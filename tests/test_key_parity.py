@@ -120,3 +120,19 @@ def test_streamtubestats_jlo_window(plt, tmp_path):
     iv = a.names.index("volume")
     # the jlo window integrates over fewer stations -> smaller tube volume
     assert b.nodes[:, iv].sum() < a.nodes[:, iv].sum()
+
+
+def test_unknown_variable_errors_name_the_variable(plt):
+    """Failure detection (SURVEY §5): a bad variable name fails fast with
+    the name in the message, across the major tools (the reference mostly
+    Aborts with a generic message)."""
+    from peleanalysis_tpu.cli import main as cli
+    for argv in (
+        ["grad", f"infile={plt}", "gradVar=nosuch"],
+        ["isosurface", f"infile={plt}", "isoCompName=nosuch"],
+        ["conditionalMean", f"infile={plt}", "binComp=nosuch",
+         "avgComps=temp", "binMin=0", "binMax=1"],
+        ["curvature", f"infile={plt}", "progressName=nosuch"],
+    ):
+        with pytest.raises(Exception, match="nosuch"):
+            cli(argv)
