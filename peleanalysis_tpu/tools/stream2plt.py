@@ -91,6 +91,17 @@ def main(args: dict) -> None:
         names = sd.names[s : s + n]
     ci = [sd.names.index(n) for n in names]
     lines = sd.lines
+    if pp.contains("finestLevel"):
+        # keep only lines owned by levels <= finestLevel
+        # (stream2plt.cpp:343: levels beyond finest are not read)
+        fin = pp.get_int("finestLevel")
+        ids = [i - 1 for lev in range(min(fin + 1, sd.n_levels))
+               for per_box in sd.inside_nodes[lev] for i in per_box]
+        sel = np.zeros(lines.shape[0], bool)
+        sel[np.asarray(sorted(ids), np.int64)] = True
+        lines = lines[sel]
+        print(f"stream2plt: finestLevel={fin} keeps {sel.sum()} of "
+              f"{len(sel)} lines")
     n_lines = pp.query_int("nLines", 0)
     if n_lines and n_lines < lines.shape[0]:
         stride = lines.shape[0] // n_lines
