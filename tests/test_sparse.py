@@ -163,3 +163,33 @@ def test_sparse_stats_parity(sparse_state, tmp_path, monkeypatch):
     ga = np.loadtxt(plt + "_sp/Pdf_blob_xc.gpd")
     gb = np.loadtxt(plt + "_dn/Pdf_blob_xc.gpd")
     np.testing.assert_allclose(ga, gb, rtol=1e-10, atol=1e-14)
+
+
+def test_sparse_stats_bounds_parity(sparse_state, tmp_path, monkeypatch):
+    """bounds= on the clustered path == force_dense=1 with the same bounds:
+    the sub-box is snapped to TRUE level-0 faces before the parts see it
+    (the cluster parts' own 'level 0' is the fine geometry, so naive
+    rounding there selected different cells — r2 review finding)."""
+    from peleanalysis_tpu.cli import main
+
+    plt = str(tmp_path / "plt_spb")
+    sparse_state.to_plotfile(plt)
+    monkeypatch.chdir(tmp_path)
+    # deliberately NOT aligned to any cell face
+    bounds = "bounds=0.2137 0.0 0.0 0.7913 1.0 1.0"
+    for mode, outf in (([], "cmb_sparse.dat"),
+                       (["force_dense=1"], "cmb_dense.dat")):
+        rc = main(["conditionalMean", f"infile={plt}", "binComp=blob",
+                   "avgComps=xc", "nBins=8", "binMin=0", "binMax=1",
+                   bounds, f"outfile={outf}"] + mode)
+        assert rc == 0
+    a = np.loadtxt("cmb_sparse.dat", skiprows=2)
+    b = np.loadtxt("cmb_dense.dat", skiprows=2)
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+    # and the box actually bites: differs from the unbounded run
+    rc = main(["conditionalMean", f"infile={plt}", "binComp=blob",
+               "avgComps=xc", "nBins=8", "binMin=0", "binMax=1",
+               "outfile=cmb_all.dat"])
+    assert rc == 0
+    c = np.loadtxt("cmb_all.dat", skiprows=2)
+    assert not np.allclose(a, c)
