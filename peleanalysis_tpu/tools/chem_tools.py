@@ -106,7 +106,8 @@ def _transport(args: dict, lewis_out: bool) -> None:
 def _qpd(args: dict) -> None:
     pp = ParmParse(args)
     mech_file = pp.get_str("mech_file")   # text file of reaction lines
-    elt = pp.query_str("trace_element", "C")
+    # QPDatom is the reference's key (plotQPD.cpp:190); trace_element kept
+    elt = pp.query_str("QPDatom", pp.query_str("trace_element", "C"))
     reactions = []
     with open(mech_file) as f:
         for ln in f:
@@ -119,6 +120,9 @@ def _qpd(args: dict) -> None:
                 continue
     edges = get_edges(reactions, elt)
     print(f"{len(reactions)} reactions, {len(edges)} {elt}-transfer edges")
+    if pp.query_bool("dump_edges", False):     # plotQPD.cpp:204-209
+        for e in edges:
+            print(e)
 
     rates = None
     if pp.contains("infile"):
@@ -142,8 +146,22 @@ def _qpd(args: dict) -> None:
     else:
         rates = np.ones(len(reactions))
     flux = edge_fluxes(edges, rates)
-    out = pp.query_str("outfile", "QPD_edges.dat")
+    # normalization + dump keys (plotQPD.cpp:231-235, 249-258, 190-192)
+    if pp.contains("scaleNorm"):
+        norm = max((abs(w) for w in flux.values()), default=1.0)
+        norm *= pp.get_float("scaleNorm")
+        print(f"NormVal: {norm}")
+        flux = {k: w / norm for k, w in flux.items()}
+    if pp.contains("fuelSpec"):
+        fuel = pp.get_str("fuelSpec")
+        for (s1, s2), w in sorted(flux.items(), key=lambda kv: -abs(kv[1])):
+            if fuel in (s1, s2):
+                print(f"{s1} -> {s2}: {w:e}")
+    out = pp.query_str(
+        "QPDfileName", pp.query_str("outfile", "QPD_edges.dat"))
     with open(out, "w") as f:
+        if pp.contains("QPDlabel"):
+            f.write(f"# {pp.get_str('QPDlabel')}\n")
         for (s1, s2), w in sorted(flux.items(), key=lambda kv: -abs(kv[1])):
             f.write(f"{s1} {s2} {w:e}\n")
     print(f"wrote {out}")
