@@ -80,7 +80,8 @@ def main(args: dict) -> None:
             mesh, capacity=pp.query_int("capacity", None))
     else:
         lines = trace_streamlines(ds, seeds, n_steps, h_rk, trace_field=None,
-                                  sample_names=())
+                                  sample_names=(),
+                                  ngrow=pp.query_int("nGrow", None))
     names = ["X", "Y", "Z"]
     out = pp.query_str("outFile", infile + "_stream.dat")
     write_tecplot_lines(out, names, lines)
