@@ -253,3 +253,34 @@ def test_fcompare_fextrema(plt, tmp_path, capsys):
     out = capsys.readouterr().out
     ds_min = float(out.split()[-2])
     assert 250 < ds_min < 400   # synthetic temp floor ~300
+
+
+def test_slice_plot_reference_keys(plt, tmp_path, monkeypatch):
+    """slicePlot accepts the reference's full surface (slicePlot.cpp:28-90):
+    file/varname/slicedir/sliceloc (finest cell INDEX)/outtype/min/max,
+    plus amrvis .pal palette files."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["slicePlot", f"file={plt}", "varname=temp", "slicedir=2",
+                 "sliceloc=16", "outtype=gray", "min=300", "max=1800",
+                 "outfile=g.pgm"]) == 0
+    raw = open("g.pgm", "rb").read()
+    assert raw[:2] == b"P6"          # P6 writer (gray = equal channels)
+    # amrvis palette: 256 RGB byte triples
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:, 0] = np.arange(256)       # red ramp
+    pal.tofile("ramp.pal")
+    assert main(["slicePlot", f"file={plt}", "varname=temp", "slicedir=2",
+                 "sliceloc=16", "outtype=image", "palette=ramp.pal",
+                 "outfile=p.ppm"]) == 0
+    img = open("p.ppm", "rb").read()
+    body = img.split(b"\n", 3)[3]
+    px = np.frombuffer(body, np.uint8).reshape(-1, 3)
+    # with a red-only ramp, green/blue stay zero and red varies
+    assert px[:, 1].max() == 0 and px[:, 2].max() == 0 and px[:, 0].max() > 0
+    # fab outtype round-trips through the FAB reader
+    assert main(["slicePlot", f"file={plt}", "varname=temp", "slicedir=0",
+                 "sliceloc=3", "outtype=fab", "outfile=s.fab"]) == 0
+    from peleanalysis_tpu.io.fab import read_fab
+    with open("s.fab", "rb") as f:
+        box, arr = read_fab(f)
+    assert np.isfinite(arr).all()
