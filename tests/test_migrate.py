@@ -97,3 +97,36 @@ def test_trace_streamlines_migrating_matches(mesh8, tmp_path):
                                       sample_names=("temp",))
     assert got.shape == ref.shape
     assert np.allclose(got, ref, atol=1e-10), np.abs(got - ref).max()
+
+
+def test_part_stream_cli_ndevices(mesh8, tmp_path, monkeypatch):
+    """partStream ndevices=8 through the real CLI matches ndevices=1."""
+    from peleanalysis_tpu.cli import main as cli
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    monkeypatch.chdir(tmp_path)
+    fields = {
+        "x_velocity": lambda x, y, z: 1.0 + 0.3 * np.sin(2 * np.pi * y),
+        "y_velocity": lambda x, y, z: 0.5 * np.cos(2 * np.pi * x) + 0.2,
+        "z_velocity": lambda x, y, z: 0.3 * np.sin(2 * np.pi * (x + y)),
+    }
+    write_synthetic_plotfile("plt", n_cell=32, n_levels=2, fields=fields)
+    base = ["partStream", "infile=plt", "seedRakeL=0.3 0.4 0.45",
+            "seedRakeR=0.7 0.6 0.55", "seedRakeNum=16", "Nsteps=21",
+            "hRK=0.5"]
+    assert cli(base + ["outFile=res.dat"]) == 0
+    assert cli(base + ["ndevices=8", "outFile=mig.dat"]) == 0
+
+    def load(p):
+        rows = []
+        for ln in open(p):
+            toks = ln.split()
+            try:
+                rows.append([float(v) for v in toks])
+            except ValueError:
+                pass
+        return np.array([r for r in rows if len(r) == 3])
+
+    a, b = load("res.dat"), load("mig.dat")
+    assert a.shape == b.shape and a.shape[0] > 0
+    np.testing.assert_allclose(a, b, atol=1e-9)
