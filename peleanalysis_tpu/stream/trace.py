@@ -192,6 +192,9 @@ def trace_streamlines(
     f32 positions, ~3x the XLA path on TPU), "xla" = gather path, "auto" =
     pallas on TPU for float32 states when the level is big enough.
     """
+    if march_engine not in ("auto", "pallas", "xla"):
+        raise ValueError(f"march_engine={march_engine!r}: "
+                         "expected auto, pallas or xla")
     meta = dstate.meta
     bf16_default = False
     if march_dtype is None and dstate.data[0].dtype == jnp.float32:

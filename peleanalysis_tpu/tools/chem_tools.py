@@ -146,12 +146,22 @@ def _qpd(args: dict) -> None:
     else:
         rates = np.ones(len(reactions))
     flux = edge_fluxes(edges, rates)
-    # normalization + dump keys (plotQPD.cpp:231-235, 249-258, 190-192)
+    # normalization: fluxes are MULTIPLIED by normVal = 1/(net CH4->CH3
+    # flux) * scaleNorm — "normalize to CH4 destruction on the CH4->CH3
+    # edge" (plotQPD.cpp:214-244); without that edge normVal stays 1
+    norm = 1.0
+    for (s1, s2), w in flux.items():
+        if {s1, s2} == {"CH4", "CH3"} and w != 0:
+            norm = 1.0 / w
+            if s2 == "CH4":
+                norm *= -1.0
+            break
     if pp.contains("scaleNorm"):
-        norm = max((abs(w) for w in flux.values()), default=1.0)
         norm *= pp.get_float("scaleNorm")
+    if pp.contains("scaleNorm") or norm != 1.0:
         print(f"NormVal: {norm}")
-        flux = {k: w / norm for k, w in flux.items()}
+        if norm != 0:
+            flux = {k: w * norm for k, w in flux.items()}
     if pp.contains("fuelSpec"):
         fuel = pp.get_str("fuelSpec")
         for (s1, s2), w in sorted(flux.items(), key=lambda kv: -abs(kv[1])):

@@ -74,6 +74,14 @@ def main(args: dict) -> None:
     """CLI: fcompare infile1= infile2= [vars=common] [rtol=] [atol=]
          | fextrema infile= [vars=all]
     fcompare exits nonzero when any comp exceeds rtol/atol (if given)."""
+    import jax
+
+    # diff/extrema math must run in true float64: the exact regressions
+    # fcompare exists to catch (1e-9-relative drifts) vanish at f32.
+    # TPUs have no native f64 — pin the host backend (the reductions are
+    # trivial and skipping the device roundtrip is faster anyway)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     pp = ParmParse(args)
     tool = args.get("_tool", ["fcompare"])[0]
     if tool == "fextrema":
@@ -96,13 +104,20 @@ def main(args: dict) -> None:
     st2 = AmrState.from_plotfile(f2, dtype=np.float64)
     names = pp.query_str_list(
         "vars", [n for n in st1.names if n in st2.names])
-    missing = [n for n in names if n not in st2.names]
-    if missing:
-        raise ValueError(f"fcompare: comps not in {f2}: {missing}")
+    if not names:
+        raise ValueError(f"fcompare: no common comps between {f1} and {f2}")
+    for fn, st in ((f1, st1), (f2, st2)):
+        missing = [n for n in names if n not in st.names]
+        if missing:
+            raise ValueError(f"fcompare: comps not in {fn}: {missing}")
+    # AMReX fcompare aborts unless the BoxArrays agree; matching minimal
+    # bboxes with different box unions would diff valid cells against holes
+    m1, m2 = st1.meta, st2.meta
+    if len(m1.bas) != len(m2.bas) or any(
+            ba != bb for ba, bb in zip(m1.bas, m2.bas)):
+        raise ValueError("fcompare: BoxArrays are not the same")
     a = DenseAmrState.from_batched(st1)
     b = DenseAmrState.from_batched(st2)
-    if [tuple(x.shape) for x in a.data] != [tuple(x.shape) for x in b.data]:
-        raise ValueError("fcompare: plotfiles have different hierarchies")
     linf, rel, l2 = compare_states(a, b, names)
     w = max(len(n) for n in names)
     print(f" {'variable'.ljust(w)}   {'absolute error':>16} "
