@@ -284,3 +284,24 @@ def test_slice_plot_reference_keys(plt, tmp_path, monkeypatch):
     with open("s.fab", "rb") as f:
         box, arr = read_fab(f)
     assert np.isfinite(arr).all()
+
+
+def test_fcompare_catches_tiny_drift_and_boxarray_mismatch(plt, tmp_path,
+                                                           capsys):
+    """f64 resolution: a 1e-9-relative drift must be reported non-zero;
+    different BoxArrays must be refused (AMReX fcompare semantics)."""
+    from peleanalysis_tpu.cli import main
+    st = AmrState.from_plotfile(plt, dtype=np.float64)
+    data = [d * (1.0 + 1e-9) for d in st.data]
+    p2 = str(tmp_path / "plt_drift")
+    st.with_data(st.names, data).to_plotfile(p2, dtype=np.float64)
+    with pytest.raises(SystemExit):
+        main(["fcompare", f"infile1={plt}", f"infile2={p2}", "vars=temp",
+              "rtol=1e-12"])
+    capsys.readouterr()
+    # coarser regrid -> different BoxArrays, same minimal boxes
+    p3 = str(tmp_path / "plt_regrid")
+    assert main(["regridPlt", f"infile={plt}", f"outfile={p3}",
+                 "max_grid_size=4"]) == 0
+    with pytest.raises(ValueError, match="BoxArrays"):
+        main(["fcompare", f"infile1={plt}", f"infile2={p3}"])
