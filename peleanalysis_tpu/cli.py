@@ -70,6 +70,7 @@ TOOLS = {
     # AMReX plotfile-tool analogs every Pele workflow leans on
     "fcompare": ".tools.compare_plts",
     "fextrema": ".tools.compare_plts",
+    "doctor": ".tools.doctor",
 }
 
 
