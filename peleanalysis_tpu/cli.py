@@ -71,6 +71,7 @@ TOOLS = {
     "fcompare": ".tools.compare_plts",
     "fextrema": ".tools.compare_plts",
     "doctor": ".tools.doctor",
+    "plt2npz": ".tools.plt2npz",
 }
 
 

@@ -305,3 +305,27 @@ def test_fcompare_catches_tiny_drift_and_boxarray_mismatch(plt, tmp_path,
                  "max_grid_size=4"]) == 0
     with pytest.raises(ValueError, match="BoxArrays"):
         main(["fcompare", f"infile1={plt}", f"infile2={p3}"])
+
+
+def test_plt2npz(plt, tmp_path):
+    from peleanalysis_tpu.cli import main
+    out = str(tmp_path / "x.npz")
+    assert main(["plt2npz", f"infile={plt}", f"outfile={out}",
+                 "vars=temp"]) == 0
+    z = np.load(out)
+    assert list(z["names"]) == ["temp"]
+    assert z["lev0"].shape[0] == 1 and z["lev1"].shape[0] == 1
+    assert z["lev0_valid"].dtype == bool
+    # flat mode at finest resolution over the domain
+    out2 = str(tmp_path / "y.npz")
+    assert main(["plt2npz", f"infile={plt}", f"outfile={out2}",
+                 "mode=flat", "vars=temp"]) == 0
+    z2 = np.load(out2)
+    assert z2["data"].shape == (1, 32, 32, 32)
+    # values where the fine level covers match the fine data
+    src = AmrState.from_plotfile(plt, dtype=np.float64)
+    b = src.meta.bas[1][0]
+    sl = (0,) + tuple(slice(b.lo[d], b.hi[d] + 1) for d in range(3))
+    want = np.asarray(src.data[1][0])[src.comp("temp")][
+        : b.shape[0], : b.shape[1], : b.shape[2]]
+    np.testing.assert_allclose(z2["data"][sl], want, rtol=1e-12)
