@@ -72,6 +72,7 @@ TOOLS = {
     "fextrema": ".tools.compare_plts",
     "doctor": ".tools.doctor",
     "plt2npz": ".tools.plt2npz",
+    "npz2plt": ".tools.plt2npz",
 }
 
 

@@ -329,3 +329,21 @@ def test_plt2npz(plt, tmp_path):
     want = np.asarray(src.data[1][0])[src.comp("temp")][
         : b.shape[0], : b.shape[1], : b.shape[2]]
     np.testing.assert_allclose(z2["data"][sl], want, rtol=1e-12)
+
+
+def test_npz2plt_roundtrip(plt, tmp_path):
+    from peleanalysis_tpu.cli import main
+    npz = str(tmp_path / "x.npz")
+    assert main(["plt2npz", f"infile={plt}", f"outfile={npz}",
+                 "mode=flat", "vars=temp density"]) == 0
+    p2 = str(tmp_path / "plt_rt")
+    assert main(["npz2plt", f"infile={npz}", f"outfile={p2}",
+                 "max_grid_size=16"]) == 0
+    st = AmrState.from_plotfile(p2, dtype=np.float64)
+    assert st.names == ["temp", "density"]
+    z = np.load(npz)
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    ds = DenseAmrState.from_batched(st)
+    np.testing.assert_allclose(np.asarray(ds.data[0]), z["data"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(st.meta.geoms[0].prob_hi, (1.0, 1.0, 1.0))
