@@ -313,6 +313,15 @@ def main(args: dict) -> None:
     state = AmrState.from_plotfile(
         infile, names=names, max_level=pp.query_int("finestLevel", None),
         is_periodic=[bool(p) for p in is_per])
+    from ..amr.cluster import needs_clustering
+    for lev in range(state.meta.n_levels):
+        ba = state.meta.bas[lev]
+        if needs_clustering(ba):
+            waste = ba.minimal_box().size / max(ba.total_cells(), 1)
+            print(f"curvature: level {lev} union bbox is {waste:.1f}x its "
+                  "valid cells — the composite smoothing solve requires the "
+                  "dense model (no clustered path); expect the corresponding "
+                  "HBM footprint or pass finestLevel= to cap levels")
     dstate = DenseAmrState.from_batched(state)
     ndev = pp.query_int("ndevices", 1)
     if ndev > 1:
