@@ -135,3 +135,43 @@ def needs_clustering(ba: BoxArray, waste_factor: float = 4.0,
     bbox = ba.minimal_box()
     return (bbox.size > waste_factor * ba.total_cells()
             and bbox.size > min_cells)
+
+
+def cluster_substates(state, waste_factor: float = 4.0, dist: int = 2):
+    """Generic per-cluster DenseAmrStates for STENCIL tools (curvature
+    without the composite smoothing solve; any chain of 1-ghost fills):
+    coarse dense arrays shared zero-copy, the finest level assembled per
+    cluster, coarse in-level/covered masks the GLOBAL ones.  Cluster
+    separation (`dist`, connected_components) guarantees one cluster's
+    1-ghost fills never reach another cluster's fine data, so per-cluster
+    outputs equal the global dense run on every cluster cell.
+    Returns (groups, substates, base) — groups[i] lists the finest-level
+    box indices of substates[i]."""
+    from .dense import DenseAmrState, DenseLevelMeta, _assemble_dense
+    from .hierarchy import AmrMeta
+
+    meta = state.meta
+    fin = meta.n_levels - 1
+    groups = cluster_boxes(meta.bas[fin], waste_factor, dist)
+    base = DenseAmrState.from_batched_coarse_only(state)
+    boxes = list(meta.bas[fin])
+    subs = []
+    for g in groups:
+        ba_g = BoxArray([boxes[i] for i in g])
+        meta_g = AmrMeta(meta.geoms, meta.bas[:fin] + [ba_g],
+                         meta.ref_ratio, meta.time, meta.level_steps,
+                         meta.ndim2)
+        bbox_g = ba_g.minimal_box()
+        lmeta_g = base.lmeta[:fin] + [DenseLevelMeta(
+            bbox_g, meta.geoms[fin], ba_g.total_cells() / bbox_g.size)]
+        data_g = list(base.data[:fin]) + [_assemble_dense(
+            state.data[fin][np.asarray(g)], ba_g, bbox_g)]
+        sub = DenseAmrState(meta_g, state.names, data_g, lmeta_g)
+        for lev in range(fin):
+            sub._in_level[lev] = base.in_level_mask(lev)
+            # GLOBAL covered masks (the sub meta's fine BoxArray is only
+            # this cluster — computing them lazily would mark coarse cells
+            # under OTHER clusters as uncovered)
+            sub._covered[lev] = base.covered_mask(lev)
+        subs.append(sub)
+    return groups, subs, base

@@ -314,14 +314,108 @@ def main(args: dict) -> None:
         infile, names=names, max_level=pp.query_int("finestLevel", None),
         is_periodic=[bool(p) for p in is_per])
     from ..amr.cluster import needs_clustering
-    for lev in range(state.meta.n_levels):
-        ba = state.meta.bas[lev]
-        if needs_clustering(ba):
-            waste = ba.minimal_box().size / max(ba.total_cells(), 1)
-            print(f"curvature: level {lev} union bbox is {waste:.1f}x its "
-                  "valid cells — the composite smoothing solve requires the "
-                  "dense model (no clustered path); expect the corresponding "
-                  "HBM footprint or pass finestLevel= to cap levels")
+
+    def _cli_kwargs(pp):
+        return dict(
+            prog_min=pp.query_float("progMin", None),
+            prog_max=pp.query_float("progMax", None),
+            do_smooth=pp.query_bool("do_smooth", False),
+            smooth_time=pp.query_float("smoothing_time", 1.0e-7),
+            smooth_composite=pp.query_bool("smooth_composite", True),
+            smooth_iters=pp.query_int("smooth_iters", 50),
+            smooth_rtol=(pp.query_float("smooth_rtol", 1.0e-10) or None),
+            do_gauss=pp.query_bool("do_gaussCurv", True),
+            get_strain_tensor=pp.query_bool("getStrainTensor", False),
+            do_threshold=pp.query_bool("threshold_prog", False),
+            threshold=pp.query_float(
+                "threshold_value", pp.query_float("threshold", 0.02)),
+            replicate_strain_bug=pp.query_bool("replicate_strain_bug",
+                                               False),
+            sym_dir=pp.query_int_list("sym_dir", [0, 0, 0]),
+            interp=pp.query_str("cf_interp", "quadratic"),
+        )
+
+    def _main_clustered(pp, state, progress_name, names, aux_names,
+                        do_strain, do_velnormal, infile):
+        import jax.numpy as jnp
+
+        from ..amr.cluster import cluster_substates
+        from ..io.plotfile import write_plotfile
+
+        groups, subs, base = cluster_substates(state)
+        meta = state.meta
+        fin = meta.n_levels - 1
+        kwargs = _cli_kwargs(pp)
+        ic = state.comp(progress_name)
+        if kwargs["prog_min"] is None or kwargs["prog_max"] is None:
+            # GLOBAL progress min/max: a per-cluster scan would normalize
+            # each cluster differently
+            lo, hi = np.inf, -np.inf
+            for sub in subs:
+                for lev in range(meta.n_levels):
+                    v = sub.data[lev][ic]
+                    m = sub.valid_mask(lev)
+                    lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
+                    hi = max(hi, float(jnp.max(jnp.where(m, v, -np.inf))))
+            if kwargs["prog_min"] is None:
+                kwargs["prog_min"] = lo
+            if kwargs["prog_max"] is None:
+                kwargs["prog_max"] = hi
+        outs = [compute_curvature_dense(
+            sub, progress_name, do_strain=do_strain,
+            do_velnormal=do_velnormal, **kwargs) for sub in subs]
+        out_names = list(outs[0].names) + aux_names
+        aux_ic = np.asarray([state.comp(n) for n in aux_names], np.int64)
+
+        def box_fab(src, lev, b, aux_dense=None):
+            bbox = src.lmeta[lev].bbox
+            sl = tuple(slice(b.lo[d] - bbox.lo[d], b.hi[d] - bbox.lo[d] + 1)
+                       for d in range(3))
+            fab = np.asarray(src.data[lev][(slice(None),) + sl])
+            if aux_dense is not None:
+                fab = np.concatenate([fab, aux_dense[(aux_ic,) + sl]],
+                                     axis=0)
+            return fab
+
+        level_data = []
+        for lev in range(fin):
+            aux_dense = np.asarray(base.data[lev]) if aux_names else None
+            level_data.append([
+                box_fab(outs[0], lev, b, aux_dense)
+                for b in meta.bas[lev]])
+        # finest level: each box from its cluster's dense output
+        boxes = list(meta.bas[fin])
+        fine_fabs = [None] * len(boxes)
+        for gi, g in enumerate(groups):
+            aux_dense = (np.asarray(subs[gi].data[fin])
+                         if aux_names else None)
+            for i in g:
+                fine_fabs[i] = box_fab(outs[gi], fin, boxes[i], aux_dense)
+        level_data.append(fine_fabs)
+        outfile = pp.query_str("outfile", infile + "_K")
+        write_plotfile(outfile, out_names, meta.time, list(meta.geoms),
+                       list(meta.ref_ratio), list(meta.bas), level_data)
+        print(f"wrote {outfile} ({len(groups)} clusters)")
+
+    do_smooth = pp.query_bool("do_smooth", False)
+    sparse = (state.meta.n_levels > 1
+              and needs_clustering(state.meta.bas[-1])
+              and not pp.query_bool("force_dense", False))
+    if sparse and do_smooth:
+        ba = state.meta.bas[-1]
+        waste = ba.minimal_box().size / max(ba.total_cells(), 1)
+        print(f"curvature: finest union bbox is {waste:.1f}x its valid "
+              "cells — the composite smoothing solve requires the dense "
+              "model (no clustered path); expect the corresponding HBM "
+              "footprint or pass finestLevel= to cap levels")
+        sparse = False
+    if sparse:
+        # sparse refinement, local stencils only: per-cluster dense patches
+        # (every fill is 1-ghost and clusters are >=3 cells apart, so the
+        # per-cluster run equals the global dense run on cluster cells)
+        print("curvature: sparse refinement detected -> clustered path")
+        return _main_clustered(pp, state, progress_name, names, aux_names,
+                               do_strain, do_velnormal, infile)
     dstate = DenseAmrState.from_batched(state)
     ndev = pp.query_int("ndevices", 1)
     if ndev > 1:
@@ -330,24 +424,8 @@ def main(args: dict) -> None:
         dstate = shard_dense_state(dstate, make_spatial_mesh(ndev))
     out = compute_curvature_dense(
         dstate, progress_name,
-        prog_min=pp.query_float("progMin", None),
-        prog_max=pp.query_float("progMax", None),
-        do_smooth=pp.query_bool("do_smooth", False),
-        smooth_time=pp.query_float("smoothing_time", 1.0e-7),
-        smooth_composite=pp.query_bool("smooth_composite", True),
-        smooth_iters=pp.query_int("smooth_iters", 50),
-        smooth_rtol=(pp.query_float("smooth_rtol", 1.0e-10) or None),
-        do_gauss=pp.query_bool("do_gaussCurv", True),
-        do_strain=do_strain,
-        get_strain_tensor=pp.query_bool("getStrainTensor", False),
-        do_velnormal=do_velnormal,
-        do_threshold=pp.query_bool("threshold_prog", False),
-        threshold=pp.query_float(
-            "threshold_value", pp.query_float("threshold", 0.02)),
-        replicate_strain_bug=pp.query_bool("replicate_strain_bug", False),
-        sym_dir=pp.query_int_list("sym_dir", [0, 0, 0]),
-        interp=pp.query_str("cf_interp", "quadratic"),
-    )
+        do_strain=do_strain, do_velnormal=do_velnormal,
+        **_cli_kwargs(pp))
     if aux_names:
         import jax.numpy as jnp
         data = [jnp.concatenate(

@@ -193,3 +193,29 @@ def test_sparse_stats_bounds_parity(sparse_state, tmp_path, monkeypatch):
     assert rc == 0
     c = np.loadtxt("cmb_all.dat", skiprows=2)
     assert not np.allclose(a, c)
+
+
+def test_sparse_curvature_clustered_matches_dense(sparse_state, tmp_path,
+                                                  monkeypatch):
+    """curvature (no smoothing: pure 1-ghost stencils) on the clustered
+    path == force_dense=1 on every cell of every output comp."""
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.amr.hierarchy import AmrState
+
+    plt = str(tmp_path / "plt_spc")
+    sparse_state.to_plotfile(plt)
+    monkeypatch.chdir(tmp_path)
+    for mode, outf in (([], "Kc"), (["force_dense=1"], "Kd")):
+        rc = main(["curvature", f"infile={plt}", "progressName=blob",
+                   "do_gaussCurv=1", "Aux_Variables=xc",
+                   f"outfile={outf}"] + mode)
+        assert rc == 0
+    a = AmrState.from_plotfile("Kc", dtype=np.float64)
+    b = AmrState.from_plotfile("Kd", dtype=np.float64)
+    assert a.names == b.names
+    for lev in range(a.meta.n_levels):
+        da, db = np.asarray(a.data[lev]), np.asarray(b.data[lev])
+        # holes carry NaN/inf in both outputs; infs must match exactly
+        np.testing.assert_allclose(da, db, rtol=1e-12, atol=0,
+                                   equal_nan=True,
+                                   err_msg=f"lev {lev} mismatch")
