@@ -345,3 +345,71 @@ def seed_rake(lo, hi, n: int) -> np.ndarray:
     hi = np.asarray(hi, dtype=np.float64)
     t = np.linspace(0.0, 1.0, n)[:, None]
     return lo[None] + t * (hi - lo)[None]
+
+
+def trace_streamlines_sparse(
+    state,
+    seeds: np.ndarray,
+    n_rk_steps: int,
+    h_rk: float,
+    trace_field: Optional[str] = None,
+    sample_names: Sequence[str] = (),
+    bc=None,
+    march_dtype: Optional[str] = None,
+    march_engine: str = "auto",
+) -> np.ndarray:
+    """Sparse-refinement trace: the finest level is processed as dense
+    CLUSTERS (amr/cluster.py) so HBM scales with cluster bboxes instead of
+    the union bbox.  Seeds are partitioned GLOBALLY (owner level from the
+    full BoxArrays, owner cluster for finest-owned seeds); clusters are
+    separated by the full grow radius, so each per-cluster march samples
+    exactly what the union-bbox march would.  Coarse-owned seeds trace on
+    the shared coarse arrays (identical in every substate).
+
+    `state` is the batched AmrState; output layout matches
+    trace_streamlines."""
+    from ..amr.cluster import cluster_substates
+    from ..amr.dense import DenseAmrState
+
+    meta = state.meta
+    fin = meta.n_levels - 1
+    n_half = (n_rk_steps - 1) // 2
+    h_phys = h_rk * meta.geoms[fin].dx[0]
+    # grow radius of the finest level's march — clusters must be separated
+    # by at least this much for the per-cluster fill to be exact
+    ngrow_fin = int(np.ceil(h_phys * n_half
+                            / min(meta.geoms[fin].dx))) + 2
+    groups, subs, base = cluster_substates(state, dist=ngrow_fin + 1)
+
+    seeds = push_nodes_inside(np.asarray(seeds, np.float64), meta.geoms[0])
+    # global owner level for each seed, finest checked against the real
+    # BoxArray (no dense union mask needed)
+    geom_f = meta.geoms[fin]
+    dxf = np.array(geom_f.dx)
+    idxf = np.floor((seeds - np.array(geom_f.prob_lo)) / dxf).astype(
+        np.int64) + np.array(geom_f.domain.lo)
+    on_fine = np.zeros(len(seeds), bool)
+    cluster_of = np.full(len(seeds), -1, np.int64)
+    boxes = list(meta.bas[fin])
+    for gi, g in enumerate(groups):
+        for i in g:
+            b = boxes[i]
+            inb = np.all((idxf >= np.array(b.lo))
+                         & (idxf <= np.array(b.hi)), axis=1)
+            on_fine |= inb
+            cluster_of[inb] = gi
+
+    nf = len(sample_names)
+    out = np.zeros((len(seeds), 2 * n_half + 1, 3 + nf))
+    kw = dict(trace_field=trace_field, sample_names=sample_names, bc=bc,
+              march_dtype=march_dtype, march_engine=march_engine)
+    coarse_sel = np.nonzero(~on_fine)[0]
+    if len(coarse_sel):
+        out[coarse_sel] = trace_streamlines(
+            subs[0], seeds[coarse_sel], n_rk_steps, h_rk, **kw)
+    for gi in range(len(groups)):
+        sel = np.nonzero(cluster_of == gi)[0]
+        if len(sel):
+            out[sel] = trace_streamlines(
+                subs[gi], seeds[sel], n_rk_steps, h_rk, **kw)
+    return out

@@ -50,7 +50,12 @@ def main(args: dict) -> None:
     st = AmrState.from_plotfile(infile, names=vel,
                                 max_level=pp.query_int("finestLevel", None),
                                 dtype=np.float64)
-    ds = DenseAmrState.from_batched(st)
+    from ..amr.cluster import needs_clustering
+    sparse = (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
+              and not pp.query_bool("force_dense", False)
+              and pp.query_int("ndevices", 0) <= 1
+              and not pp.query_bool("oneSeedPerCell", False))
+    ds = None if sparse else DenseAmrState.from_batched(st)
 
     elements = np.zeros((0, 3), np.int32)
     if pp.query_bool("oneSeedPerCell", False):
@@ -78,6 +83,13 @@ def main(args: dict) -> None:
         lines = trace_streamlines_migrating(
             ds, seeds, n_steps, h_rk,
             mesh, capacity=pp.query_int("capacity", None))
+    elif sparse:
+        # sparse refinement: clustered per-region marches (exact; see
+        # stream/trace.trace_streamlines_sparse)
+        print("partStream: sparse refinement detected -> clustered path")
+        from ..stream.trace import trace_streamlines_sparse
+        lines = trace_streamlines_sparse(st, seeds, n_steps, h_rk,
+                                         trace_field=None, sample_names=())
     else:
         lines = trace_streamlines(ds, seeds, n_steps, h_rk, trace_field=None,
                                   sample_names=(),

@@ -89,7 +89,14 @@ def main(args: dict) -> None:
     st = AmrState.from_plotfile(plotfile, names=load, max_level=finest,
                                 is_periodic=[bool(p) for p in is_per],
                                 dtype=np.float64)
-    ds = DenseAmrState.from_batched(st)
+    from ..amr.cluster import needs_clustering
+    sparse = (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
+              and not pp.query_bool("force_dense", False))
+    if sparse:
+        print("stream: sparse refinement detected -> clustered path")
+        ds = None
+    else:
+        ds = DenseAmrState.from_batched(st)
     seeds, elements = get_seeds(pp)
     if pp.contains("bounds"):
         # limit seed points to a physical sub-box, dropping elements that
@@ -107,12 +114,20 @@ def main(args: dict) -> None:
             print(f"bounds trim: {keep.sum()}/{len(keep)} seeds kept")
 
     with phase("stream integrate"):
-        lines = trace_streamlines(
-            ds, seeds, n_rk, h_rk,
-            trace_field=None if trace_along_v else progress_name,
-            sample_names=sample,
-            march_engine=pp.query_str("marchEngine", "auto"),
-            ngrow=pp.query_int("nGrow", None))
+        if sparse:
+            from ..stream.trace import trace_streamlines_sparse
+            lines = trace_streamlines_sparse(
+                st, seeds, n_rk, h_rk,
+                trace_field=None if trace_along_v else progress_name,
+                sample_names=sample,
+                march_engine=pp.query_str("marchEngine", "auto"))
+        else:
+            lines = trace_streamlines(
+                ds, seeds, n_rk, h_rk,
+                trace_field=None if trace_along_v else progress_name,
+                sample_names=sample,
+                march_engine=pp.query_str("marchEngine", "auto"),
+                ngrow=pp.query_int("nGrow", None))
     if verbose:
         report()
     names = ["X", "Y", "Z"] + sample

@@ -219,3 +219,28 @@ def test_sparse_curvature_clustered_matches_dense(sparse_state, tmp_path,
         np.testing.assert_allclose(da, db, rtol=1e-12, atol=0,
                                    equal_nan=True,
                                    err_msg=f"lev {lev} mismatch")
+
+
+def test_sparse_stream_clustered_matches_dense(sparse_state, tmp_path,
+                                               monkeypatch):
+    """trace_streamlines_sparse == the dense union-bbox trace for seeds on
+    coarse levels, on each cluster, and marching beyond cluster bounds."""
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.stream.trace import (trace_streamlines,
+                                               trace_streamlines_sparse)
+
+    # gradient tracing up the blob field; seeds near both fine regions
+    rng = np.random.default_rng(5)
+    seeds = np.concatenate([
+        0.25 + 0.1 * (rng.random((8, 3)) - 0.5),   # cluster 1
+        0.75 + 0.1 * (rng.random((8, 3)) - 0.5),   # cluster 2
+        np.stack([rng.uniform(0.4, 0.6, 8)] * 3, axis=1),  # coarse middle
+    ])
+    dense = DenseAmrState.from_batched(sparse_state)
+    ref = trace_streamlines(dense, seeds, 11, 0.5, trace_field="blob",
+                            sample_names=("xc",))
+    got = trace_streamlines_sparse(sparse_state, seeds, 11, 0.5,
+                                   trace_field="blob",
+                                   sample_names=("xc",))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-12)
