@@ -61,6 +61,44 @@ def sample_onto_lines(ds: DenseAmrState, lines: np.ndarray,
     return out
 
 
+def sample_onto_lines_sparse(state, lines: np.ndarray, names) -> np.ndarray:
+    """Sparse-refinement sampling: lines partitioned by seed like
+    trace_streamlines_sparse (clusters separated by each line's full
+    extent radius, so per-cluster grown fills are exact)."""
+    from ..amr.cluster import cluster_substates
+
+    meta = state.meta
+    fin = meta.n_levels - 1
+    seeds = lines[:, (lines.shape[1] - 1) // 2, :3]
+    # separation: the largest distance any selected line wanders from its
+    # seed, in finest cells
+    reach = np.abs(lines[:, :, :3] - seeds[:, None]).max() \
+        / min(meta.geoms[fin].dx)
+    groups, subs, base = cluster_substates(
+        state, dist=int(np.ceil(reach)) + 3)
+    geom_f = meta.geoms[fin]
+    idxf = np.floor((seeds - np.array(geom_f.prob_lo))
+                    / np.array(geom_f.dx)).astype(np.int64) \
+        + np.array(geom_f.domain.lo)
+    cluster_of = np.full(len(seeds), -1, np.int64)
+    boxes = list(meta.bas[fin])
+    for gi, g in enumerate(groups):
+        for i in g:
+            b = boxes[i]
+            inb = np.all((idxf >= np.array(b.lo))
+                         & (idxf <= np.array(b.hi)), axis=1)
+            cluster_of[inb] = gi
+    out = np.zeros(lines.shape[:2] + (len(names),))
+    sel0 = np.nonzero(cluster_of < 0)[0]
+    if len(sel0):
+        out[sel0] = sample_onto_lines(subs[0], lines[sel0], names)
+    for gi in range(len(groups)):
+        sel = np.nonzero(cluster_of == gi)[0]
+        if len(sel):
+            out[sel] = sample_onto_lines(subs[gi], lines[sel], names)
+    return out
+
+
 def main(args: dict) -> None:
     """CLI: sampleStreamlines plotfile= pathFile= [comps=... | sComp= nComp=]
     [nCompsPerPass=-1] [streamSampleFile= | outFile=]"""
@@ -94,8 +132,14 @@ def main(args: dict) -> None:
                                                  pp.query_int_list(
                                                      "is_per", [0, 0, 0])],
                                     dtype=np.float64)
-        ds = DenseAmrState.from_batched(st)
-        sampled.append(sample_onto_lines(ds, sd.lines, grp))
+        from ..amr.cluster import needs_clustering
+        if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
+                and not pp.query_bool("force_dense", False)):
+            print("sampleStreamlines: sparse refinement -> clustered path")
+            sampled.append(sample_onto_lines_sparse(st, sd.lines, grp))
+        else:
+            ds = DenseAmrState.from_batched(st)
+            sampled.append(sample_onto_lines(ds, sd.lines, grp))
     new_lines = np.concatenate([sd.lines[:, :, :3]] + sampled, axis=2)
     new_names = ["X", "Y", "Z"] + names
     out_sd = StreamData(new_names, sd.elements, sd.inside_nodes, new_lines)

@@ -244,3 +244,22 @@ def test_sparse_stream_clustered_matches_dense(sparse_state, tmp_path,
                                    sample_names=("xc",))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_sparse_sample_streamlines_matches_dense(sparse_state):
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.stream.trace import trace_streamlines
+    from peleanalysis_tpu.tools.sample_streamlines import (
+        sample_onto_lines, sample_onto_lines_sparse)
+
+    rng = np.random.default_rng(7)
+    seeds = np.concatenate([
+        0.25 + 0.08 * (rng.random((6, 3)) - 0.5),
+        0.75 + 0.08 * (rng.random((6, 3)) - 0.5),
+        np.stack([rng.uniform(0.45, 0.55, 6)] * 3, axis=1),
+    ])
+    dense = DenseAmrState.from_batched(sparse_state)
+    lines = trace_streamlines(dense, seeds, 9, 0.5, trace_field="blob")
+    a = sample_onto_lines(dense, lines, ["xc", "blob"])
+    b = sample_onto_lines_sparse(sparse_state, lines, ["xc", "blob"])
+    np.testing.assert_allclose(a, b, atol=1e-12)
