@@ -357,6 +357,7 @@ def trace_streamlines_sparse(
     bc=None,
     march_dtype: Optional[str] = None,
     march_engine: str = "auto",
+    ngrow: Optional[int] = None,
 ) -> np.ndarray:
     """Sparse-refinement trace: the finest level is processed as dense
     CLUSTERS (amr/cluster.py) so HBM scales with cluster bboxes instead of
@@ -377,8 +378,9 @@ def trace_streamlines_sparse(
     h_phys = h_rk * meta.geoms[fin].dx[0]
     # grow radius of the finest level's march — clusters must be separated
     # by at least this much for the per-cluster fill to be exact
-    ngrow_fin = int(np.ceil(h_phys * n_half
-                            / min(meta.geoms[fin].dx))) + 2
+    ngrow_fin = (ngrow if ngrow is not None
+                 else int(np.ceil(h_phys * n_half
+                                  / min(meta.geoms[fin].dx))) + 2)
     groups, subs, base = cluster_substates(state, dist=ngrow_fin + 1)
 
     seeds = push_nodes_inside(np.asarray(seeds, np.float64), meta.geoms[0])
@@ -402,7 +404,8 @@ def trace_streamlines_sparse(
     nf = len(sample_names)
     out = np.zeros((len(seeds), 2 * n_half + 1, 3 + nf))
     kw = dict(trace_field=trace_field, sample_names=sample_names, bc=bc,
-              march_dtype=march_dtype, march_engine=march_engine)
+              march_dtype=march_dtype, march_engine=march_engine,
+              ngrow=ngrow)
     coarse_sel = np.nonzero(~on_fine)[0]
     if len(coarse_sel):
         out[coarse_sel] = trace_streamlines(

@@ -150,18 +150,16 @@ def _qpd(args: dict) -> None:
     # flux) * scaleNorm — "normalize to CH4 destruction on the CH4->CH3
     # edge" (plotQPD.cpp:214-244); without that edge normVal stays 1
     norm = 1.0
-    for (s1, s2), w in flux.items():
-        if {s1, s2} == {"CH4", "CH3"} and w != 0:
+    for (s1, s2), w in flux.items():   # last matching edge wins, like the
+        if {s1, s2} == {"CH4", "CH3"} and w != 0:   # reference's loop
             norm = 1.0 / w
             if s2 == "CH4":
-                norm *= -1.0
-            break
+                norm = -norm
     if pp.contains("scaleNorm"):
         norm *= pp.get_float("scaleNorm")
-    if pp.contains("scaleNorm") or norm != 1.0:
-        print(f"NormVal: {norm}")
-        if norm != 0:
-            flux = {k: w * norm for k, w in flux.items()}
+    print(f"NormVal: {norm}")
+    if norm != 0:
+        flux = {k: w * norm for k, w in flux.items()}
     if pp.contains("fuelSpec"):
         fuel = pp.get_str("fuelSpec")
         for (s1, s2), w in sorted(flux.items(), key=lambda kv: -abs(kv[1])):

@@ -218,8 +218,13 @@ def main(args: dict) -> None:
     maxs = np.full((nbins, nb), -np.inf)
     from ..amr.cluster import needs_clustering, sparse_stats_parts
     for plt in infiles:
+        # dtype=float64 gives the reference's double accumulation on hosts
+        # that support it (TPUs silently stay f32; the shifted moments keep
+        # the std columns exact there either way)
+        dt = {"float64": np.float64, "float32": np.float32}[
+            pp.query_str("dtype", "float32")]
         st = AmrState.from_plotfile(plt, names=[bin_name] + avg_names,
-                                    max_level=finest)
+                                    max_level=finest, dtype=dt)
         if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
                 and not pp.query_bool("force_dense", False)):
             # sparse refinement: accumulate coarse levels once (global

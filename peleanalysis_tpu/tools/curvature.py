@@ -351,8 +351,12 @@ def main(args: dict) -> None:
             # GLOBAL progress min/max: a per-cluster scan would normalize
             # each cluster differently
             lo, hi = np.inf, -np.inf
-            for sub in subs:
-                for lev in range(meta.n_levels):
+            for si, sub in enumerate(subs):
+                # coarse levels are the SAME shared arrays in every sub —
+                # scan them once; the finest is per-cluster
+                levs = (range(meta.n_levels) if si == 0
+                        else [meta.n_levels - 1])
+                for lev in levs:
                     v = sub.data[lev][ic]
                     m = sub.valid_mask(lev)
                     lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
@@ -398,9 +402,9 @@ def main(args: dict) -> None:
         print(f"wrote {outfile} ({len(groups)} clusters)")
 
     do_smooth = pp.query_bool("do_smooth", False)
-    sparse = (state.meta.n_levels > 1
-              and needs_clustering(state.meta.bas[-1])
-              and not pp.query_bool("force_dense", False))
+    force_dense = pp.query_bool("force_dense", False)
+    sparse = (not force_dense and state.meta.n_levels > 1
+              and needs_clustering(state.meta.bas[-1]))
     if sparse and do_smooth:
         ba = state.meta.bas[-1]
         waste = ba.minimal_box().size / max(ba.total_cells(), 1)

@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..amr.hierarchy import AmrState
 from ..ops.fill import FOEXTRAP, REFLECT_EVEN, FillPlan, apply_fill, get_fill_plan
@@ -147,36 +148,64 @@ def main(args: dict) -> None:
     state = AmrState.from_plotfile(
         infile, names=[var] + list(aux), max_level=finest,
         is_periodic=[bool(p) for p in is_per])
-    sparse = any(needs_clustering(state.meta.bas[l])
-                 for l in range(state.meta.n_levels))
-    if pp.query_bool("force_dense", False):
-        sparse = False
+    force_dense = pp.query_bool("force_dense", False)
+    sparse = (not force_dense
+              and any(needs_clustering(state.meta.bas[l])
+                      for l in range(state.meta.n_levels)))
     if sparse and (pp.query_bool("fluxMatch", False)
                    or pp.query_int("ndevices", 1) > 1):
-        # the batched-box path implements neither key: fall back to dense
+        # the clustered path implements neither key: fall back to dense
         # (more HBM) rather than silently dropping the request
         print("grad: fluxMatch/ndevices force the dense path on this "
               "sparse-refinement plotfile (higher HBM footprint)")
         sparse = False
     if sparse:
-        # sparse refinement: the dense union-bbox would waste >4x the valid
-        # cells — route through the batched-box model (footprint ~ boxes,
-        # like the reference's per-rank ownership, grad.cpp:160-163)
-        print("grad: sparse refinement detected -> batched-box path")
-        out = compute_grad(state, var, aux=tuple(aux), sym_dir=sym_dir,
-                           interp=pp.query_str("cf_interp", "quadratic"))
-    else:
-        dstate = DenseAmrState.from_batched(state)
-        ndev = pp.query_int("ndevices", 1)
-        if ndev > 1:
-            # spatial SPMD over a device mesh (DistributionMapping analog,
-            # grad.cpp:160-163); non-divisible levels are padded
-            from ..parallel.dense_shard import (make_spatial_mesh,
-                                                shard_dense_state)
-            dstate = shard_dense_state(dstate, make_spatial_mesh(ndev))
-        out = compute_grad_dense(
-            dstate, var, aux=tuple(aux), sym_dir=sym_dir,
-            interp=pp.query_str("cf_interp", "quadratic"),
-            flux_match=pp.query_bool("fluxMatch", False))
+        # sparse refinement: per-cluster dense patches (footprint ~ cluster
+        # bboxes; 1-ghost fills + cluster separation make it exact, and the
+        # quadratic c-f interpolation works unlike the gather-plan path —
+        # the reference gets this scaling from per-rank ownership,
+        # grad.cpp:160-163)
+        from ..amr.cluster import cluster_substates
+        print("grad: sparse refinement detected -> clustered path")
+        interp = pp.query_str("cf_interp", "quadratic")
+        groups, subs, base = cluster_substates(state)
+        outs = [compute_grad_dense(sub, var, aux=tuple(aux),
+                                   sym_dir=sym_dir, interp=interp)
+                for sub in subs]
+        from ..io.plotfile import write_plotfile
+        meta = state.meta
+        fin = meta.n_levels - 1
+
+        def box_fab(src, lev, b):
+            bbox = src.lmeta[lev].bbox
+            sl = tuple(slice(b.lo[d] - bbox.lo[d], b.hi[d] - bbox.lo[d] + 1)
+                       for d in range(3))
+            return np.asarray(src.data[lev][(slice(None),) + sl])
+
+        level_data = [[box_fab(outs[0], lev, b) for b in meta.bas[lev]]
+                      for lev in range(fin)]
+        boxes = list(meta.bas[fin])
+        fine_fabs = [None] * len(boxes)
+        for gi, g in enumerate(groups):
+            for i in g:
+                fine_fabs[i] = box_fab(outs[gi], fin, boxes[i])
+        level_data.append(fine_fabs)
+        write_plotfile(outfile, list(outs[0].names), meta.time,
+                       list(meta.geoms), list(meta.ref_ratio),
+                       list(meta.bas), level_data)
+        print(f"wrote {outfile} ({len(groups)} clusters)")
+        return
+    dstate = DenseAmrState.from_batched(state)
+    ndev = pp.query_int("ndevices", 1)
+    if ndev > 1:
+        # spatial SPMD over a device mesh (DistributionMapping analog,
+        # grad.cpp:160-163); non-divisible levels are padded
+        from ..parallel.dense_shard import (make_spatial_mesh,
+                                            shard_dense_state)
+        dstate = shard_dense_state(dstate, make_spatial_mesh(ndev))
+    out = compute_grad_dense(
+        dstate, var, aux=tuple(aux), sym_dir=sym_dir,
+        interp=pp.query_str("cf_interp", "quadratic"),
+        flux_match=pp.query_bool("fluxMatch", False))
     out.to_plotfile(outfile)
     print(f"wrote {outfile}")

@@ -230,7 +230,10 @@ def main(args: dict) -> None:
 
     from ..amr.cluster import needs_clustering, sparse_stats_parts
     for plt in infiles:
-        st = AmrState.from_plotfile(plt, names=names, max_level=finest)
+        dt = {"float64": np.float64, "float32": np.float32}[
+            pp.query_str("dtype", "float32")]
+        st = AmrState.from_plotfile(plt, names=names, max_level=finest,
+                                    dtype=dt)
         if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
                 and not pp.query_bool("force_dense", False)):
             # sparse refinement: coarse levels once (global covered mask) +

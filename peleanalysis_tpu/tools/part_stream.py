@@ -51,10 +51,11 @@ def main(args: dict) -> None:
                                 max_level=pp.query_int("finestLevel", None),
                                 dtype=np.float64)
     from ..amr.cluster import needs_clustering
-    sparse = (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
-              and not pp.query_bool("force_dense", False)
+    force_dense = pp.query_bool("force_dense", False)
+    sparse = (not force_dense and st.meta.n_levels > 1
               and pp.query_int("ndevices", 0) <= 1
-              and not pp.query_bool("oneSeedPerCell", False))
+              and not pp.query_bool("oneSeedPerCell", False)
+              and needs_clustering(st.meta.bas[-1]))
     ds = None if sparse else DenseAmrState.from_batched(st)
 
     elements = np.zeros((0, 3), np.int32)

@@ -44,7 +44,6 @@ def main(args: dict) -> None:
         "prob_lo": np.asarray(st.meta.geoms[0].prob_lo),
         "prob_hi": np.asarray(st.meta.geoms[0].prob_hi),
     }
-    ds = DenseAmrState.from_batched(st)
     for lev in range(st.meta.n_levels):
         out[f"dx{lev}"] = np.asarray(st.meta.geoms[lev].dx)
     if mode == "flat":
@@ -54,6 +53,7 @@ def main(args: dict) -> None:
         out["data"] = np.asarray(
             flatten_to_level(st, fin, interp=interp))[idx]
     elif mode == "levels":
+        ds = DenseAmrState.from_batched(st)
         for lev in range(st.meta.n_levels):
             out[f"lev{lev}"] = np.asarray(ds.data[lev])[idx]
             out[f"lev{lev}_valid"] = np.asarray(ds.valid_mask(lev))

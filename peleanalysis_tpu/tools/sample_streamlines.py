@@ -69,6 +69,8 @@ def sample_onto_lines_sparse(state, lines: np.ndarray, names) -> np.ndarray:
 
     meta = state.meta
     fin = meta.n_levels - 1
+    if lines.shape[0] == 0:
+        return np.zeros(lines.shape[:2] + (len(names),))
     seeds = lines[:, (lines.shape[1] - 1) // 2, :3]
     # separation: the largest distance any selected line wanders from its
     # seed, in finest cells

@@ -90,8 +90,9 @@ def main(args: dict) -> None:
                                 is_periodic=[bool(p) for p in is_per],
                                 dtype=np.float64)
     from ..amr.cluster import needs_clustering
-    sparse = (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
-              and not pp.query_bool("force_dense", False))
+    force_dense = pp.query_bool("force_dense", False)
+    sparse = (not force_dense and st.meta.n_levels > 1
+              and needs_clustering(st.meta.bas[-1]))
     if sparse:
         print("stream: sparse refinement detected -> clustered path")
         ds = None
@@ -120,7 +121,8 @@ def main(args: dict) -> None:
                 st, seeds, n_rk, h_rk,
                 trace_field=None if trace_along_v else progress_name,
                 sample_names=sample,
-                march_engine=pp.query_str("marchEngine", "auto"))
+                march_engine=pp.query_str("marchEngine", "auto"),
+                ngrow=pp.query_int("nGrow", None))
         else:
             lines = trace_streamlines(
                 ds, seeds, n_rk, h_rk,

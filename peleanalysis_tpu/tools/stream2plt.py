@@ -108,6 +108,9 @@ def main(args: dict) -> None:
         lines = lines[::stride][:n_lines]  # downsampleStreamData analog
     keep = select_lines(lines, sd.names, pp)
     out = lines[keep][:, :, ci]
+    if out.shape[0] == 0:
+        raise ValueError("stream2plt: no lines survive the filters "
+                         "(check finestLevel=/predicates)")
     n_half = (out.shape[1] - 1) // 2
     box = Box((0, -n_half, 0), (max(out.shape[0] - 1, 0), n_half, 0))
     with open(outfile, "wb") as f:

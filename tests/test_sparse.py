@@ -38,8 +38,11 @@ def sparse_state():
     geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
     geoms = [geom0, geom0.refine(2), geom0.refine(2).refine(2)]
     ba0 = BoxArray([dom0])
-    ba1 = BoxArray([_box_at(96, (.25,) * 3, .12), _box_at(96, (.75,) * 3, .12)])
-    ba2 = BoxArray([_box_at(192, (.25,) * 3, .08), _box_at(192, (.75,) * 3, .08)])
+    # finest bbox must exceed needs_clustering's min_cells (1<<21) so the
+    # CLI sparse gates actually fire in the routing tests below (a 127^3
+    # bbox silently fell under the gate and compared dense vs dense)
+    ba1 = BoxArray([_box_at(96, (.2,) * 3, .13), _box_at(96, (.8,) * 3, .13)])
+    ba2 = BoxArray([_box_at(192, (.2,) * 3, .09), _box_at(192, (.8,) * 3, .09)])
     meta = AmrMeta(geoms, [ba0, ba1, ba2], [2, 2])
     names, data = make_level_data(geoms, [ba0, ba1, ba2],
                               {"blob": _blob,
@@ -149,23 +152,25 @@ def test_sparse_stats_parity(sparse_state, tmp_path, monkeypatch):
                        (["force_dense=1"], "cm_dense.dat")):
         rc = main(["conditionalMean", f"infile={plt}", "binComp=blob",
                    "avgComps=blob", "nBins=8", "binMin=0", "binMax=1",
-                   f"outfile={outf}"] + mode)
+                   "dtype=float64", f"outfile={outf}"] + mode)
         assert rc == 0
     a = np.loadtxt("cm_sparse.dat", skiprows=2)
     b = np.loadtxt("cm_dense.dat", skiprows=2)
-    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(a[:, -2], b[:, -2])   # N exact
 
     for mode, suf in (([], "_sp"), (["force_dense=1"], "_dn")):
         rc = main(["jpdf", f"infile={plt}", "vars=blob xc", "nBins=8",
                    "output_gnuplot=1", "output_plotfile=0",
-                   f"outSuffix={suf}"] + mode)
+                   "dtype=float64", f"outSuffix={suf}"] + mode)
         assert rc == 0
     ga = np.loadtxt(plt + "_sp/Pdf_blob_xc.gpd")
     gb = np.loadtxt(plt + "_dn/Pdf_blob_xc.gpd")
-    np.testing.assert_allclose(ga, gb, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(ga, gb, rtol=1e-9, atol=1e-12)
 
 
-def test_sparse_stats_bounds_parity(sparse_state, tmp_path, monkeypatch):
+def test_sparse_stats_bounds_parity(sparse_state, tmp_path, monkeypatch,
+                                    capsys):
     """bounds= on the clustered path == force_dense=1 with the same bounds:
     the sub-box is snapped to TRUE level-0 faces before the parts see it
     (the cluster parts' own 'level 0' is the fine geometry, so naive
@@ -181,11 +186,14 @@ def test_sparse_stats_bounds_parity(sparse_state, tmp_path, monkeypatch):
                        (["force_dense=1"], "cmb_dense.dat")):
         rc = main(["conditionalMean", f"infile={plt}", "binComp=blob",
                    "avgComps=xc", "nBins=8", "binMin=0", "binMax=1",
-                   bounds, f"outfile={outf}"] + mode)
+                   "dtype=float64", bounds, f"outfile={outf}"] + mode)
         assert rc == 0
+        seen = capsys.readouterr().out
+        assert ("clustered path" in seen) == (not mode)
     a = np.loadtxt("cmb_sparse.dat", skiprows=2)
     b = np.loadtxt("cmb_dense.dat", skiprows=2)
-    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(a[:, -2], b[:, -2])
     # and the box actually bites: differs from the unbounded run
     rc = main(["conditionalMean", f"infile={plt}", "binComp=blob",
                "avgComps=xc", "nBins=8", "binMin=0", "binMax=1",
@@ -196,7 +204,7 @@ def test_sparse_stats_bounds_parity(sparse_state, tmp_path, monkeypatch):
 
 
 def test_sparse_curvature_clustered_matches_dense(sparse_state, tmp_path,
-                                                  monkeypatch):
+                                                  monkeypatch, capsys):
     """curvature (no smoothing: pure 1-ghost stencils) on the clustered
     path == force_dense=1 on every cell of every output comp."""
     from peleanalysis_tpu.cli import main
@@ -210,6 +218,10 @@ def test_sparse_curvature_clustered_matches_dense(sparse_state, tmp_path,
                    "do_gaussCurv=1", "Aux_Variables=xc",
                    f"outfile={outf}"] + mode)
         assert rc == 0
+        seen = capsys.readouterr().out
+        # the gate must actually route (this fixture sat under min_cells
+        # once, silently comparing dense vs dense)
+        assert ("clustered path" in seen) == (not mode)
     a = AmrState.from_plotfile("Kc", dtype=np.float64)
     b = AmrState.from_plotfile("Kd", dtype=np.float64)
     assert a.names == b.names
