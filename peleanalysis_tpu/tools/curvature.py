@@ -73,7 +73,8 @@ def compute_curvature_dense(
     get_strain_tensor: bool = False,
     do_velnormal: bool = False,
     do_threshold: bool = False,
-    threshold: float = 0.02,
+    threshold: float = 1.0e-4,
+    use_file_minmax: bool = True,
     replicate_strain_bug: bool = False,
     sym_dir: Optional[Sequence[int]] = None,
     interp: str = "linear",
@@ -92,16 +93,21 @@ def compute_curvature_dense(
     iv = [dstate.comp(n) for n in vel_names] if need_vel else None
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
-    # progress min/max scan over valid (uncovered, in-box) cells
-    if prog_min is None or prog_max is None:
+    # progress min/max scan over valid (uncovered, in-box) cells.  With
+    # use_file_minmax (the reference default, curvature.cpp:139-148) the file
+    # is ALWAYS scanned and user-supplied bounds only widen the range:
+    # progMin = min(user, file), progMax = max(user, file).
+    if not use_file_minmax and (prog_min is None or prog_max is None):
+        raise ValueError("use_file_minmax=False requires prog_min/prog_max")
+    if use_file_minmax or prog_min is None or prog_max is None:
         lo, hi = np.inf, -np.inf
         for lev in range(meta.n_levels):
             v = dstate.data[lev][ic]
             m = dstate.valid_mask(lev)
             lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
             hi = max(hi, float(jnp.max(jnp.where(m, v, -np.inf))))
-        prog_min = lo if prog_min is None else prog_min
-        prog_max = hi if prog_max is None else prog_max
+        prog_min = lo if prog_min is None else min(prog_min, lo)
+        prog_max = hi if prog_max is None else max(prog_max, hi)
     if prog_min >= prog_max:
         raise ValueError("progMin must be less than progMax")
 
@@ -281,8 +287,8 @@ def main(args: dict) -> None:
     """CLI: curvature infile=<plt> [progressName=temp] [progMin= progMax=]
     [do_smooth=0] [smoothing_time=1e-7] [smooth_composite=1] [smooth_iters=50]
     [smooth_rtol=1e-10  (0 disables the residual stop: fixed smooth_iters)]
-    [do_gaussCurv=1] [do_strain=0]
-    [getStrainTensor=0] [do_velnormal=0] [threshold_prog=0] [threshold=0.02]
+    [do_gaussCurv=1] [do_strain=0] [useFileMinMax=1]
+    [getStrainTensor=0] [do_velnormal=0] [threshold_prog=0] [threshold=1e-4]
     [is_per=...] [outfile=...]"""
     from ..amr.hierarchy import AmrState
     from ..parmparse import ParmParse
@@ -304,8 +310,9 @@ def main(args: dict) -> None:
                  if n not in names]
     names += aux_names
     # floorIt only gates the reference's min/max printout (curvature.cpp:139,
-    # no flooring is ever applied); useFileMinMax=0 means "trust progMin/
-    # progMax as given" — the default file scan happens when they are absent
+    # no flooring is ever applied).  useFileMinMax=1 (default) always scans
+    # the file and user progMin/progMax only widen the range
+    # (curvature.cpp:139-148); =0 trusts progMin/progMax verbatim
     pp.query_int("floorIt", 0)
     if not pp.query_bool("useFileMinMax", True):
         if not (pp.contains("progMin") and pp.contains("progMax")):
@@ -328,7 +335,8 @@ def main(args: dict) -> None:
             get_strain_tensor=pp.query_bool("getStrainTensor", False),
             do_threshold=pp.query_bool("threshold_prog", False),
             threshold=pp.query_float(
-                "threshold_value", pp.query_float("threshold", 0.02)),
+                "threshold_value", pp.query_float("threshold", 1.0e-4)),
+            use_file_minmax=pp.query_bool("useFileMinMax", True),
             replicate_strain_bug=pp.query_bool("replicate_strain_bug",
                                                False),
             sym_dir=pp.query_int_list("sym_dir", [0, 0, 0]),
@@ -347,9 +355,11 @@ def main(args: dict) -> None:
         fin = meta.n_levels - 1
         kwargs = _cli_kwargs(pp)
         ic = state.comp(progress_name)
-        if kwargs["prog_min"] is None or kwargs["prog_max"] is None:
+        if (kwargs["use_file_minmax"] or kwargs["prog_min"] is None
+                or kwargs["prog_max"] is None):
             # GLOBAL progress min/max: a per-cluster scan would normalize
-            # each cluster differently
+            # each cluster differently.  useFileMinMax combines user bounds
+            # with the file scan (min/max), matching curvature.cpp:139-148.
             lo, hi = np.inf, -np.inf
             for si, sub in enumerate(subs):
                 # coarse levels are the SAME shared arrays in every sub —
@@ -361,10 +371,12 @@ def main(args: dict) -> None:
                     m = sub.valid_mask(lev)
                     lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
                     hi = max(hi, float(jnp.max(jnp.where(m, v, -np.inf))))
-            if kwargs["prog_min"] is None:
-                kwargs["prog_min"] = lo
-            if kwargs["prog_max"] is None:
-                kwargs["prog_max"] = hi
+            kwargs["prog_min"] = (lo if kwargs["prog_min"] is None
+                                  else min(kwargs["prog_min"], lo))
+            kwargs["prog_max"] = (hi if kwargs["prog_max"] is None
+                                  else max(kwargs["prog_max"], hi))
+        # bounds are now resolved globally; stop per-sub rescans
+        kwargs["use_file_minmax"] = False
         outs = [compute_curvature_dense(
             sub, progress_name, do_strain=do_strain,
             do_velnormal=do_velnormal, **kwargs) for sub in subs]

@@ -188,6 +188,19 @@ def write_ppm(path: str, arr, vmin=None, vmax=None,
         img.tofile(f)
 
 
+def write_pgm(path: str, arr, vmin=None, vmax=None) -> None:
+    """True P5 grayscale PGM (the reference's STORE_PGM_STR path,
+    slicePlot.cpp:86-88,137-138): one byte per pixel, no RGB triples."""
+    a = np.asarray(arr, dtype=np.float64)
+    vmin = a.min() if vmin is None else vmin
+    vmax = a.max() if vmax is None else vmax
+    x = np.clip((a - vmin) / max(vmax - vmin, 1e-300), 0, 1)
+    img = (x * 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+        img.tofile(f)
+
+
 def main(args: dict) -> None:
     """CLI: integral infile=<plt> vars=<names> integralDimension=1|2|3
     [dir=/dir1=/dir2=] [cVar= cMin= cMax=] [avg=0] [finestLevel=]
@@ -235,12 +248,19 @@ def main(args: dict) -> None:
     else:
         write_dat_1d(base + "_x.dat", coords[0])
         write_dat_1d(base + "_y.dat", coords[1])
-        for n, v in zip(var_names, fields):
+        for i, (n, v) in enumerate(zip(var_names, fields)):
             if fmt == "ppm":
+                # per-variable useminmax<n>=lo hi (1-based, like jpdf /
+                # integral.cpp useminmax%i); vMin=/vMax= kept as global
+                # aliases.  goPastMax defaults ON (integral.cpp:464-465).
+                vmin = pp.query_float("vMin", None)
+                vmax = pp.query_float("vMax", None)
+                mm = pp.query_float_list(f"useminmax{i + 1}", None)
+                if mm:
+                    vmin, vmax = mm[0], mm[1]
                 write_ppm(f"{base}_{n}.ppm", v, palette="pele",
-                          vmin=pp.query_float("vMin", None),
-                          vmax=pp.query_float("vMax", None),
-                          go_past_max=pp.query_int("goPastMax", 0) == 1)
+                          vmin=vmin, vmax=vmax,
+                          go_past_max=pp.query_int("goPastMax", 1) == 1)
             else:
                 write_dat_2d(f"{base}_{n}.dat", v)
     print(f"wrote {base}*")

@@ -15,7 +15,7 @@ from ..amr.hierarchy import AmrState
 from ..io.fab import write_fab
 from ..parmparse import ParmParse
 from .flatten_amr import flatten_to_level
-from .integral import write_ppm
+from .integral import write_pgm, write_ppm
 
 
 def slice_field(st: AmrState, var: str, direction: int, idx: int
@@ -71,10 +71,15 @@ def main(args: dict) -> None:
     if out_type in ("image", "gray"):
         vmin = pp.query_float("min", None)
         vmax = pp.query_float("max", None)
-        pal = "gray" if out_type == "gray" else "rainbow"
-        if pp.contains("palette"):
-            pal = read_amrvis_palette(pp.get_str("palette"))
-        write_ppm(outfile, img, vmin=vmin, vmax=vmax, palette=pal)
+        if out_type == "gray":
+            # true P5 grayscale like the reference's STORE_PGM_STR
+            # (slicePlot.cpp:86-88,137-138), not a P6 with equal channels
+            write_pgm(outfile, img, vmin=vmin, vmax=vmax)
+        else:
+            pal = "rainbow"
+            if pp.contains("palette"):
+                pal = read_amrvis_palette(pp.get_str("palette"))
+            write_ppm(outfile, img, vmin=vmin, vmax=vmax, palette=pal)
     else:
         with open(outfile, "wb") as f:
             write_fab(f, Box((0, 0, 0),

@@ -183,6 +183,35 @@ def test_average_down(tmp_path):
                                rtol=1e-12)
 
 
+def test_use_file_minmax_combines(sphere_state):
+    """useFileMinMax=1 (default) combines user progMin/progMax with the file
+    scan via min/max (curvature.cpp:139-148): user values LESS extreme than
+    the file's must not narrow the normalization range."""
+    ds = sphere_state
+    # narrow user window inside the file's range -> ignored under the default
+    out_comb = compute_curvature_dense(ds, "progress", do_gauss=False,
+                                       prog_min=0.4, prog_max=0.6)
+    out_scan = compute_curvature_dense(ds, "progress", do_gauss=False)
+    a = np.asarray(out_comb.data[0][out_comb.comp("Progress")])
+    b = np.asarray(out_scan.data[0][out_scan.comp("Progress")])
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+    # use_file_minmax=False trusts the user bounds verbatim
+    out_raw = compute_curvature_dense(ds, "progress", do_gauss=False,
+                                      prog_min=0.4, prog_max=0.6,
+                                      use_file_minmax=False)
+    c = np.asarray(out_raw.data[0][out_raw.comp("Progress")])
+    assert not np.allclose(a, c)
+    v0 = np.asarray(ds.valid_mask(0))
+    # the narrow window stretches [0,1] data to ~5x the span
+    assert (c[v0].max() - c[v0].min()) > 3 * (b[v0].max() - b[v0].min())
+    # user bounds WIDER than the file's do take effect even with the scan
+    out_wide = compute_curvature_dense(ds, "progress", do_gauss=False,
+                                       prog_min=-1.0, prog_max=2.0)
+    w = np.asarray(out_wide.data[0][out_wide.comp("Progress")])
+    v = np.asarray(ds.valid_mask(0))
+    assert w[v].max() < 0.7  # range [-1,2] compresses [0,1] data
+
+
 def test_curvature_cli_sharded_matches(tmp_path, monkeypatch):
     """curvature ndevices=8 over the virtual mesh == unsharded (the second
     major tool pinned multi-chip, after grad in dryrun and isosurface in

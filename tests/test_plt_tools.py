@@ -264,7 +264,10 @@ def test_slice_plot_reference_keys(plt, tmp_path, monkeypatch):
                  "sliceloc=16", "outtype=gray", "min=300", "max=1800",
                  "outfile=g.pgm"]) == 0
     raw = open("g.pgm", "rb").read()
-    assert raw[:2] == b"P6"          # P6 writer (gray = equal channels)
+    assert raw[:2] == b"P5"          # true P5 PGM (slicePlot.cpp:86-88)
+    w, h = (int(t) for t in raw.split(b"\n", 3)[1].split())
+    body = raw.split(b"\n", 3)[3]
+    assert len(body) == w * h        # one byte per pixel, no RGB triples
     # amrvis palette: 256 RGB byte triples
     pal = np.zeros((256, 3), np.uint8)
     pal[:, 0] = np.arange(256)       # red ramp
