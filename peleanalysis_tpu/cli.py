@@ -104,6 +104,25 @@ def main(argv=None) -> int:
             pass
     args = parse_argv(argv[1:])
     args.setdefault("_tool", [tool])
+    # Global dtype= key: float64 gives the reference's double-precision
+    # compute end-to-end on every tool (grad/curvature/isosurface/stream
+    # included), not just the stats tools' accumulators.  f64 is emulated
+    # (slow) on TPU — the default stays float32.
+    dt = args.get("dtype")
+    if dt:
+        import jax
+        import jax.numpy as jnp
+
+        from . import config
+        name = dt[0] if isinstance(dt, list) else dt
+        if name in ("float64", "f64", "double"):
+            jax.config.update("jax_enable_x64", True)
+            config.set_compute_dtype(jnp.float64)
+        elif name in ("float32", "f32", "single"):
+            config.set_compute_dtype(jnp.float32)
+        else:
+            print(f"unknown dtype '{name}' (float32|float64)")
+            return 2
     from .parmparse import _ACTIVE
     _ACTIVE.clear()
     # PELE_PROFILE=<dir>: wrap the tool in a jax.profiler trace (the TPU
@@ -120,7 +139,7 @@ def main(argv=None) -> int:
     # the reference silently ignores unknown ParmParse keys; a typo'd key
     # costs real debugging time, so warn (stderr, non-fatal)
     touched = set().union(*(pp.touched for pp in _ACTIVE)) if _ACTIVE else set()
-    unused = set(args) - touched - {"_tool"}
+    unused = set(args) - touched - {"_tool", "dtype"}
     if unused:
         print(f"warning: unused input keys (typo?): {' '.join(sorted(unused))}",
               file=sys.stderr)

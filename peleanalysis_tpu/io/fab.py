@@ -23,13 +23,32 @@ _FAB_HEADER_F32 = "FAB ((4, (32 8 23 0 1 9 0 127)),(4, (4 3 2 1)))"
 
 _BOX_RE = re.compile(r"\(\(([-\d,]+)\)\s*\(([-\d,]+)\)\s*\(([-\d,]+)\)\)\s*(\d+)\s*$")
 
+# Full RealDescriptor: ((nbytes, (bit-format ...)), (nbytes, (byte-order ...)))
+# AMReX FPC byte orders: ascending (1 2 .. n) = big-endian "normal order",
+# descending (n .. 2 1) = little-endian "reverse order" (x86 native).
+_DESC_RE = re.compile(
+    r"FAB \(\((\d+), \(([\d\s]+)\)\),\((\d+), \(([\d\s]+)\)\)\)")
+
 
 def _dtype_from_header(header: str) -> np.dtype:
-    if "(64 11 52" in header:
-        return np.dtype("<f8")
-    if "(32 8 23" in header:
-        return np.dtype("<f4")
-    raise ValueError(f"unsupported FAB real descriptor: {header!r}")
+    m = _DESC_RE.match(header)
+    if m is None:
+        raise ValueError(f"unsupported FAB real descriptor: {header!r}")
+    nbytes = int(m.group(1))
+    fmt = [int(x) for x in m.group(2).split()]
+    order = [int(x) for x in m.group(4).split()]
+    # IEEE layouts only: (nbits exp mant ...) must match float32/float64
+    if nbytes == 8 and fmt[:3] == [64, 11, 52]:
+        kind = "f8"
+    elif nbytes == 4 and fmt[:3] == [32, 8, 23]:
+        kind = "f4"
+    else:
+        raise ValueError(f"non-IEEE FAB real descriptor: {header!r}")
+    if order == list(range(nbytes, 0, -1)):
+        return np.dtype("<" + kind)
+    if order == list(range(1, nbytes + 1)):
+        return np.dtype(">" + kind)
+    raise ValueError(f"unsupported FAB byte order {order} in {header!r}")
 
 
 def read_fab_header(f: BinaryIO) -> Tuple[Box, int, np.dtype]:
@@ -56,6 +75,7 @@ def read_fab(f: BinaryIO) -> Tuple[Box, np.ndarray]:
     raw = np.fromfile(f, dtype=dtype, count=count)
     if raw.size != count:
         raise EOFError("truncated FAB data")
+    raw = np.ascontiguousarray(raw, dtype=dtype.newbyteorder("="))
     # file layout: comp outermost, then z, y, x (x fastest)
     data = raw.reshape((ncomp,) + shape[::-1])
     # -> [comp, x, y, z]
@@ -102,4 +122,5 @@ def read_raw_node_fab(f: BinaryIO) -> np.ndarray:
     raw = np.fromfile(f, dtype=dtype, count=n * ncomp)
     if raw.size != n * ncomp:
         raise EOFError("truncated MEF node FAB")
-    return raw.reshape(n, ncomp)
+    return np.ascontiguousarray(raw, dtype=dtype.newbyteorder("=")).reshape(
+        n, ncomp)

@@ -118,6 +118,9 @@ class PlotfileReader:
                       "rb") as f:
                 f.seek(idx["fabs"][0][1])
                 _, ncomp, dtype = read_fab_header(f)
+            if dtype.byteorder == ">":
+                # the native loader memcpys raw floats: little-endian only
+                raise OSError("big-endian FAB: python fallback")
             sel = list(range(ncomp)) if comps is None else list(comps)
             paths = [os.path.join(idx["dir"], idx["fabs"][i][0])
                      for i in range(nbox)]

@@ -221,7 +221,9 @@ def main(args: dict) -> None:
         # dtype=float64 gives the reference's double accumulation on hosts
         # that support it (TPUs silently stay f32; the shifted moments keep
         # the std columns exact there either way)
-        dt = {"float64": np.float64, "float32": np.float32}[
+        dt = {"float64": np.float64, "f64": np.float64,
+              "double": np.float64, "float32": np.float32,
+              "f32": np.float32, "single": np.float32}[
             pp.query_str("dtype", "float32")]
         st = AmrState.from_plotfile(plt, names=[bin_name] + avg_names,
                                     max_level=finest, dtype=dt)

@@ -230,7 +230,9 @@ def main(args: dict) -> None:
 
     from ..amr.cluster import needs_clustering, sparse_stats_parts
     for plt in infiles:
-        dt = {"float64": np.float64, "float32": np.float32}[
+        dt = {"float64": np.float64, "f64": np.float64,
+              "double": np.float64, "float32": np.float32,
+              "f32": np.float32, "single": np.float32}[
             pp.query_str("dtype", "float32")]
         st = AmrState.from_plotfile(plt, names=names, max_level=finest,
                                     dtype=dt)

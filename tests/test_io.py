@@ -245,6 +245,71 @@ def test_golden_vismf_fab_header():
     np.testing.assert_allclose(data[3, 1, :, 0], 1100.0 + np.arange(5))
 
 
+def test_big_endian_fab(tmp_path):
+    """Generic RealDescriptor parsing (the AMReX FPC 'normal order'
+    big-endian descriptor a plotfile from an old big-endian system carries):
+    ascending byte-order list => '>f8'/'>f4', payload byteswapped on read."""
+    from peleanalysis_tpu.io.fab import read_fab
+    d = np.arange(24, dtype=">f8").reshape(2, 3, 2, 2)  # [comp,x,y,z]
+    hdr = (b"FAB ((8, (64 11 52 0 1 12 0 1023)),(8, (1 2 3 4 5 6 7 8)))"
+           b"((0,0,0) (2,1,1) (0,0,0)) 2\n")
+    p = tmp_path / "be.fab"
+    with open(p, "wb") as f:
+        f.write(hdr)
+        # disk layout: comp outermost then z,y,x (x fastest)
+        np.ascontiguousarray(np.transpose(d, (0, 3, 2, 1))).tofile(f)
+    with open(p, "rb") as f:
+        box, back = read_fab(f)
+    assert box.shape == (3, 2, 2) and back.dtype.byteorder in ("=", "<", "|")
+    np.testing.assert_array_equal(back, d.astype(np.float64))
+    # f32 variant
+    hdr32 = (b"FAB ((4, (32 8 23 0 1 9 0 127)),(4, (1 2 3 4)))"
+             b"((0,0,0) (1,0,0) (0,0,0)) 1\n")
+    with open(tmp_path / "be32.fab", "wb") as f:
+        f.write(hdr32)
+        np.array([1.5, -2.25], dtype=">f4").tofile(f)
+    with open(tmp_path / "be32.fab", "rb") as f:
+        box, back = read_fab(f)
+    np.testing.assert_array_equal(back.ravel(), [1.5, -2.25])
+
+
+def test_big_endian_plotfile(tmp_path):
+    """A whole plotfile rewritten big-endian loads identically (the native
+    loader declines and the python path byteswaps)."""
+    import os
+    from peleanalysis_tpu.io.fab import read_fab_header
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+    from peleanalysis_tpu.amr.hierarchy import AmrState
+
+    plt = str(tmp_path / "plt")
+    write_synthetic_plotfile(plt, n_cell=16, n_levels=2)
+    ref = AmrState.from_plotfile(plt, dtype=np.float64)
+    # rewrite every Cell_D file with the big-endian descriptor + payload
+    for lev_dir in sorted(p for p in os.listdir(plt) if p.startswith("Level_")):
+        for fn in sorted(os.listdir(os.path.join(plt, lev_dir))):
+            if "_D_" not in fn:
+                continue
+            path = os.path.join(plt, lev_dir, fn)
+            recs = []
+            with open(path, "rb") as f:
+                end = os.fstat(f.fileno()).st_size
+                while f.tell() < end:
+                    box, ncomp, dtype = read_fab_header(f)
+                    n = int(np.prod(box.shape)) * ncomp
+                    payload = np.fromfile(f, dtype=dtype, count=n)
+                    recs.append((box, ncomp, payload))
+            with open(path, "wb") as f:
+                for box, ncomp, payload in recs:
+                    f.write(b"FAB ((8, (64 11 52 0 1 12 0 1023)),"
+                            b"(8, (1 2 3 4 5 6 7 8)))"
+                            + repr(box).encode() + b" %d\n" % ncomp)
+                    payload.astype(">f8").tofile(f)
+    be = AmrState.from_plotfile(plt, dtype=np.float64)
+    for lev in range(ref.meta.n_levels):
+        np.testing.assert_array_equal(np.asarray(ref.data[lev]),
+                                      np.asarray(be.data[lev]))
+
+
 def test_f32_fab_descriptor_interop(tmp_path):
     """Our float32 FAB header must carry AMReX's Native32RealDescriptor
     (byte count 4) so reference tools parse our files."""
