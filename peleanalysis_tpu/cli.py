@@ -76,13 +76,39 @@ TOOLS = {
 }
 
 
-def main(argv=None) -> int:
+def main(argv=None, session=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
-        print("tools:", " ".join(sorted(TOOLS)))
+        print("tools:", " ".join(sorted(TOOLS)), "pipeline")
         return 0
     tool = argv[0]
+    if tool == "pipeline":
+        # device-resident tool chaining: stages separated by "--" share one
+        # Session (plotfile loads, fills, compiled engines, and intermediate
+        # surfaces stay on device; per-stage write=0 skips disk artifacts).
+        # The reference's analog is file-chained mains
+        # (/root/reference/Src/GNUmakefile:14-40).
+        from .session import Session
+        sess = session if session is not None else Session()
+        stages, cur = [], []
+        for tok in argv[1:]:
+            if tok == "--":
+                stages.append(cur)
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            stages.append(cur)
+        if not stages:
+            print("pipeline: no stages (usage: pipeline <tool> k=v ... "
+                  "-- <tool> k=v ...)")
+            return 2
+        for stage in stages:
+            rc = main(stage, session=sess)
+            if rc != 0:
+                return rc
+        return 0
     if tool not in TOOLS:
         print(f"unknown tool '{tool}'. tools: {' '.join(sorted(TOOLS))}")
         return 2
@@ -104,6 +130,8 @@ def main(argv=None) -> int:
             pass
     args = parse_argv(argv[1:])
     args.setdefault("_tool", [tool])
+    if session is not None:
+        args["_session"] = session
     # Global dtype= key: float64 gives the reference's double-precision
     # compute end-to-end on every tool (grad/curvature/isosurface/stream
     # included), not just the stats tools' accumulators.  f64 is emulated
@@ -139,7 +167,7 @@ def main(argv=None) -> int:
     # the reference silently ignores unknown ParmParse keys; a typo'd key
     # costs real debugging time, so warn (stderr, non-fatal)
     touched = set().union(*(pp.touched for pp in _ACTIVE)) if _ACTIVE else set()
-    unused = set(args) - touched - {"_tool", "dtype"}
+    unused = set(args) - touched - {"_tool", "dtype", "_session", "write"}
     if unused:
         print(f"warning: unused input keys (typo?): {' '.join(sorted(unused))}",
               file=sys.stderr)

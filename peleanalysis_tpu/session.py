@@ -1,0 +1,187 @@
+"""Device-resident pipeline session.
+
+The reference chains its tools through files: each main() re-reads the
+plotfile, re-fills ghosts, and writes its whole output to disk
+(/root/reference/Src/GNUmakefile:14-40 — one executable per analysis).  On
+TPU the host<->device roundtrips dominate a chained run, so the ``pipeline``
+CLI mode (cli.py) threads one :class:`Session` through the tool mains:
+
+  * plotfile loads are cached per (path, max_level, is_per, dtype) and
+    extended IN PLACE when a later stage needs more components — the batched
+    device arrays, the DenseAmrState, and its compiled-engine caches
+    (``_mc_enum_fns`` etc.) all survive, so nothing re-reads, re-fills, or
+    recompiles;
+  * tool outputs (plotfiles, MEF surfaces, streamline sets) are registered
+    under their output names; a later stage asking for that name gets the
+    in-memory object instead of parsing the file back;
+  * per-stage ``write=0`` skips the disk artifact entirely — the data stays
+    on device for the next stage, and only final artifacts are fetched.
+
+Python API::
+
+    from peleanalysis_tpu.session import Session
+    s = Session()
+    s.run("grad", infile="plt", gradVar="temp", outfile="g")
+    s.run("isosurface", infile="plt", isoCompName="temp", isoVal=1000,
+          outfile_base="iso", write=0)
+    s.run("stream", plotfile="plt", isoFile="iso.mef", outFile="lines.dat")
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .amr.dense import DenseAmrState
+from .amr.hierarchy import AmrState
+
+
+def _state_key(path: str, max_level, is_periodic, dtype) -> Tuple:
+    import jax.numpy as jnp
+
+    from . import config
+    per = tuple(bool(p) for p in is_periodic) if is_periodic is not None \
+        else None
+    # key by the EFFECTIVE on-device dtype: tools that request float64 get
+    # float32 arrays when x64 is off, identical to a float32 load — sharing
+    # the cache entry is exact, not approximate
+    dt = jnp.zeros((), dtype or config.compute_dtype).dtype.name
+    return (path, max_level, per, dt)
+
+
+class Session:
+    """Shared state across chained tool invocations (see module docstring)."""
+
+    def __init__(self) -> None:
+        self._states: Dict[Tuple, AmrState] = {}
+        self._dense: Dict[int, DenseAmrState] = {}
+        self.plotfiles: Dict[str, AmrState] = {}   # output name -> state
+        self.surfaces: Dict[str, object] = {}      # output name -> MEF
+        self.lines: Dict[str, tuple] = {}          # name -> (names, lines,
+        #                                            elements)
+
+    # -- loading ------------------------------------------------------------
+
+    def load(self, path: str, names: Optional[Sequence[str]] = None,
+             max_level=None, is_periodic=None, dtype=None) -> AmrState:
+        """Cached AmrState.from_plotfile; extends the comp set in place."""
+        # a previous stage's in-memory output shadows the path
+        if path in self.plotfiles:
+            st = self.plotfiles[path]
+            if names is None or all(n in st.names for n in names):
+                return st
+            # fall through: the registered output lacks a needed comp but
+            # the file may have been written with more — reload from disk
+        key = _state_key(path, max_level, is_periodic, dtype)
+        st = self._states.get(key)
+        if st is None:
+            st = AmrState.from_plotfile(path, names=names,
+                                        max_level=max_level,
+                                        is_periodic=is_periodic, dtype=dtype)
+            self._states[key] = st
+            return st
+        missing = [] if names is None else [n for n in names
+                                            if n not in st.names]
+        if names is None:
+            from .io.plotfile import PlotfileReader
+            missing = [n for n in PlotfileReader(path).var_names
+                       if n not in st.names]
+        if missing:
+            self._extend(st, path, missing, max_level, dtype)
+        return st
+
+    def _extend(self, st: AmrState, path: str, missing: Sequence[str],
+                max_level, dtype) -> None:
+        """Read only the missing comps and append them in place — the
+        DenseAmrState and its compiled-engine caches stay valid (geometry
+        unchanged; engines select comps per call)."""
+        import jax.numpy as jnp
+
+        extra = AmrState.from_plotfile(path, names=list(missing),
+                                       max_level=max_level, dtype=dtype)
+        for lev in range(st.meta.n_levels):
+            st.data[lev] = jnp.concatenate(
+                [st.data[lev], extra.data[lev]], axis=1)
+        st.names.extend(missing)
+        ds = self._dense.get(id(st))
+        if ds is not None:
+            dx = AmrState(st.meta, list(missing), extra.data)
+            dd = DenseAmrState.from_batched(dx)
+            for lev in range(st.meta.n_levels):
+                ds.data[lev] = jnp.concatenate(
+                    [ds.data[lev], dd.data[lev]], axis=0)
+            ds.names.extend(missing)
+
+    def dense(self, st: AmrState) -> DenseAmrState:
+        ds = self._dense.get(id(st))
+        if ds is None:
+            ds = self._dense[id(st)] = DenseAmrState.from_batched(st)
+        return ds
+
+    # -- artifact registry ----------------------------------------------------
+
+    def put_plotfile(self, name: str, state) -> None:
+        if isinstance(state, DenseAmrState):
+            batched = state.to_batched()
+        else:
+            batched = state
+        self.plotfiles[name] = batched
+
+    def put_surface(self, name: str, mef) -> None:
+        self.surfaces[name] = mef
+
+    def get_surface(self, name: str):
+        return self.surfaces.get(name)
+
+    def put_lines(self, name: str, names, lines, elements) -> None:
+        self.lines[name] = (names, lines, elements)
+
+    # -- driver ---------------------------------------------------------------
+
+    def run(self, tool: str, **kw) -> None:
+        """Run one tool with this session attached (Python-API pipeline)."""
+        from .cli import main as cli_main
+        argv = [tool]
+        for k, v in kw.items():
+            if isinstance(v, (list, tuple)):
+                argv.append(f"{k}=" + " ".join(str(x) for x in v))
+            else:
+                argv.append(f"{k}={v}")
+        rc = cli_main(argv, session=self)
+        if rc != 0:
+            raise RuntimeError(f"pipeline stage '{tool}' failed (rc={rc})")
+
+
+# -- tool-side helpers (no-op outside a session) ------------------------------
+
+def get_session(args: dict) -> Optional[Session]:
+    s = args.get("_session")
+    return s if isinstance(s, Session) else None
+
+
+def load_state(args: dict, path: str, names=None, max_level=None,
+               is_periodic=None, dtype=None) -> AmrState:
+    """Session-aware AmrState.from_plotfile."""
+    s = get_session(args)
+    if s is not None:
+        return s.load(path, names=names, max_level=max_level,
+                      is_periodic=is_periodic, dtype=dtype)
+    return AmrState.from_plotfile(path, names=names, max_level=max_level,
+                                  is_periodic=is_periodic, dtype=dtype)
+
+
+def dense_state(args: dict, st: AmrState) -> DenseAmrState:
+    s = get_session(args)
+    if s is not None:
+        return s.dense(st)
+    return DenseAmrState.from_batched(st)
+
+
+def stage_writes(args: dict) -> bool:
+    """Per-stage write=0 skips disk artifacts (pipeline mode only — outside
+    a session the key is ignored so single-tool runs always write)."""
+    s = get_session(args)
+    if s is None:
+        return True
+    from .parmparse import ParmParse
+    return ParmParse(args).query_int("write", 1) == 1

@@ -225,8 +225,9 @@ def main(args: dict) -> None:
               "double": np.float64, "float32": np.float32,
               "f32": np.float32, "single": np.float32}[
             pp.query_str("dtype", "float32")]
-        st = AmrState.from_plotfile(plt, names=[bin_name] + avg_names,
-                                    max_level=finest, dtype=dt)
+        from ..session import load_state
+        st = load_state(args, plt, names=[bin_name] + avg_names,
+                        max_level=finest, dtype=dt)
         if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
                 and not pp.query_bool("force_dense", False)):
             # sparse refinement: accumulate coarse levels once (global
@@ -239,7 +240,8 @@ def main(args: dict) -> None:
             parts = [(ds_c, float(r ** ndim))] \
                 + [(c, 1.0) for c in clusters]
         else:
-            parts = [(DenseAmrState.from_batched(st), 1.0)]
+            from ..session import dense_state
+            parts = [(dense_state(args, st), 1.0)]
         for ds, scale in parts:
             h, s, s2, mn, mx = accumulate_conditional_mean(
                 ds, bin_name, avg_names, nbins, bin_min, bin_max,

@@ -317,8 +317,10 @@ def main(args: dict) -> None:
     if not pp.query_bool("useFileMinMax", True):
         if not (pp.contains("progMin") and pp.contains("progMax")):
             raise ValueError("useFileMinMax=0 requires progMin= and progMax=")
-    state = AmrState.from_plotfile(
-        infile, names=names, max_level=pp.query_int("finestLevel", None),
+    from ..session import dense_state, get_session, load_state, stage_writes
+
+    state = load_state(
+        args, infile, names=names, max_level=pp.query_int("finestLevel", None),
         is_periodic=[bool(p) for p in is_per])
     from ..amr.cluster import needs_clustering
 
@@ -432,7 +434,7 @@ def main(args: dict) -> None:
         print("curvature: sparse refinement detected -> clustered path")
         return _main_clustered(pp, state, progress_name, names, aux_names,
                                do_strain, do_velnormal, infile)
-    dstate = DenseAmrState.from_batched(state)
+    dstate = dense_state(args, state)
     ndev = pp.query_int("ndevices", 1)
     if ndev > 1:
         from ..parallel.dense_shard import (make_spatial_mesh,
@@ -451,5 +453,9 @@ def main(args: dict) -> None:
             for lev in range(out.meta.n_levels)]
         out = out.with_data(out.names + aux_names, data)
     outfile = pp.query_str("outfile", infile + "_K")
-    out.to_plotfile(outfile)
-    print(f"wrote {outfile}")
+    sess = get_session(args)
+    if sess is not None:
+        sess.put_plotfile(outfile, out)
+    if stage_writes(args):
+        out.to_plotfile(outfile)
+        print(f"wrote {outfile}")

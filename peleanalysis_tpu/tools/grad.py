@@ -144,9 +144,10 @@ def main(args: dict) -> None:
 
     from ..amr.cluster import needs_clustering
     from ..amr.dense import DenseAmrState
+    from ..session import dense_state, get_session, load_state, stage_writes
 
-    state = AmrState.from_plotfile(
-        infile, names=[var] + list(aux), max_level=finest,
+    state = load_state(
+        args, infile, names=[var] + list(aux), max_level=finest,
         is_periodic=[bool(p) for p in is_per])
     force_dense = pp.query_bool("force_dense", False)
     sparse = (not force_dense
@@ -195,7 +196,7 @@ def main(args: dict) -> None:
                        list(meta.bas), level_data)
         print(f"wrote {outfile} ({len(groups)} clusters)")
         return
-    dstate = DenseAmrState.from_batched(state)
+    dstate = dense_state(args, state)
     ndev = pp.query_int("ndevices", 1)
     if ndev > 1:
         # spatial SPMD over a device mesh (DistributionMapping analog,
@@ -207,5 +208,9 @@ def main(args: dict) -> None:
         dstate, var, aux=tuple(aux), sym_dir=sym_dir,
         interp=pp.query_str("cf_interp", "quadratic"),
         flux_match=pp.query_bool("fluxMatch", False))
-    out.to_plotfile(outfile)
-    print(f"wrote {outfile}")
+    sess = get_session(args)
+    if sess is not None:
+        sess.put_plotfile(outfile, out)
+    if stage_writes(args):
+        out.to_plotfile(outfile)
+        print(f"wrote {outfile}")

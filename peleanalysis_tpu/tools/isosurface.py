@@ -47,11 +47,13 @@ def main(args: dict) -> None:
               "per-edge engine never emits duplicate/overlap elements "
               "(the reference's per-box g1box filter has no analog here)")
 
+    from ..session import dense_state, get_session, load_state, stage_writes
+
     load = [iso_name] + [n for n in extras if n != iso_name]
     with phase("isosurface I/O"):
-        st = AmrState.from_plotfile(infile, names=load, max_level=finest,
-                                    is_periodic=[bool(p) for p in is_per],
-                                    dtype=np.float64)
+        st = load_state(args, infile, names=load, max_level=finest,
+                        is_periodic=[bool(p) for p in is_per],
+                        dtype=np.float64)
         from ..amr.cluster import needs_clustering
         fin = st.meta.n_levels - 1
         # surface_is_large=1 is the reference's disk-staged memory valve
@@ -62,7 +64,7 @@ def main(args: dict) -> None:
         sparse = (not st.meta.ndim2 and st.meta.n_levels > 1
                   and (force_sparse or needs_clustering(st.meta.bas[fin]))
                   and not pp.query_bool("force_dense", False))
-        ds = None if sparse else DenseAmrState.from_batched(st)
+        ds = None if sparse else dense_state(args, st)
         ndev = pp.query_int("ndevices", 1)
         if ds is not None and ndev > 1:
             from ..parallel.dense_shard import (make_spatial_mesh,
@@ -89,7 +91,13 @@ def main(args: dict) -> None:
                                      label=f"{st.meta.time:g}",
                                      classify=engine)
     base = pp.query_str("outfile_base", f"{infile}_{iso_name}_{iso_val:g}")
-    if pp.query_bool("writeSurf", True):
+    sess = get_session(args)
+    if sess is not None:
+        # downstream stages (stream isoFile=, MEF tools) resolve these
+        # names from the session before touching disk
+        sess.put_surface(base + ".mef", mef)
+        sess.put_surface(base + ".dat", mef)
+    if pp.query_bool("writeSurf", True) and stage_writes(args):
         fmt = pp.query_str("surfFormat", "MEF")
         if fmt.upper() == "MEF":
             write_mef(base + ".mef", mef)

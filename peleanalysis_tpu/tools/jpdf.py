@@ -234,8 +234,9 @@ def main(args: dict) -> None:
               "double": np.float64, "float32": np.float32,
               "f32": np.float32, "single": np.float32}[
             pp.query_str("dtype", "float32")]
-        st = AmrState.from_plotfile(plt, names=names, max_level=finest,
-                                    dtype=dt)
+        from ..session import load_state
+        st = load_state(args, plt, names=names, max_level=finest,
+                        dtype=dt)
         if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
                 and not pp.query_bool("force_dense", False)):
             # sparse refinement: coarse levels once (global covered mask) +
@@ -245,7 +246,8 @@ def main(args: dict) -> None:
             ds_c, clusters, _r = sparse_stats_parts(st)
             part_states = [ds_c] + clusters
         else:
-            part_states = [DenseAmrState.from_batched(st)]
+            from ..session import dense_state
+            part_states = [dense_state(args, st)]
         parts = []
         for ds in part_states:
             fields = {n: [ds.data[lev][ds.comp(n)]

@@ -21,64 +21,78 @@ def _resolve(mef: MEF, toks):
 def main(args: dict) -> None:
     pp = ParmParse(args)
     tool = args.get("_tool", ["?"])[0]
+    from ..session import get_session, stage_writes
+    sess = get_session(args)
+    writes = stage_writes(args)
+
+    def _rmef(path):
+        # pipeline mode: an upstream stage's surface resolves by name
+        m = sess.get_surface(path) if sess is not None else None
+        return m if m is not None else read_mef(path)
+
+    def _wmef(path, m):
+        if sess is not None:
+            sess.put_surface(path, m)
+        if writes:
+            write_mef(path, m)
 
     if tool == "combineMEF":
-        a = read_mef(pp.get_str("infile1"))
-        b = read_mef(pp.get_str("infile2"))
+        a = _rmef(pp.get_str("infile1"))
+        b = _rmef(pp.get_str("infile2"))
         out = G.combine_mef(a, b,
                             _resolve(a, pp.query_str_list(
                                 "comps1", a.names[a.ndim:])),
                             _resolve(b, pp.query_str_list(
                                 "comps2", b.names[b.ndim:])))
-        write_mef(pp.query_str("outfile", "combined.mef"), out)
+        _wmef(pp.query_str("outfile", "combined.mef"), out)
 
     elif tool == "mergeMEF":
-        a = read_mef(pp.get_str("infile1"))
-        b = read_mef(pp.get_str("infile2"))
-        write_mef(pp.query_str("outfile", "merged.mef"), G.merge_mef(a, b))
+        a = _rmef(pp.get_str("infile1"))
+        b = _rmef(pp.get_str("infile2"))
+        _wmef(pp.query_str("outfile", "merged.mef"), G.merge_mef(a, b))
 
     elif tool == "multMEF":
-        a = read_mef(pp.get_str("infile1"))
-        b = read_mef(pp.get_str("infile2"))
+        a = _rmef(pp.get_str("infile1"))
+        b = _rmef(pp.get_str("infile2"))
         comps = _resolve(a, pp.get_str_list("comps"))
-        write_mef(pp.query_str("outfile", "mult.mef"),
+        _wmef(pp.query_str("outfile", "mult.mef"),
                   G.mult_mef(a, b, comps))
 
     elif tool == "scaleMEF":
-        a = read_mef(pp.get_str("infile"))
+        a = _rmef(pp.get_str("infile"))
         comps = _resolve(a, pp.get_str_list("comps"))
         factors = pp.get_float_list("factors")
-        write_mef(pp.query_str("outfile", "scaled.mef"),
+        _wmef(pp.query_str("outfile", "scaled.mef"),
                   G.scale_mef(a, comps, factors))
 
     elif tool == "sliceMEF":
-        a = read_mef(pp.get_str("infile"))
+        a = _rmef(pp.get_str("infile"))
         d = pp.get_int("dir")
         locs = pp.get_float_list("locs")
         outs = G.slice_mef(a, d, locs)
         base = pp.query_str("outfile_base", pp.get_str("infile") + "_slice")
         for loc, m in zip(locs, outs):
             if pp.query_bool("write_mef", True):
-                write_mef(f"{base}_{loc:g}.mef", m)
+                _wmef(f"{base}_{loc:g}.mef", m)
             if pp.query_bool("write_tec", False):
                 write_mef_tecplot(f"{base}_{loc:g}.dat", m)
 
     elif tool == "isoMEF":
-        a = read_mef(pp.get_str("infile"))
+        a = _rmef(pp.get_str("infile"))
         comp = pp.get_str("comp")
         comp = a.names[int(comp)] if comp.isdigit() else comp
         val = pp.get_float("isoVal")
         out = G.iso_mef(a, comp, val)
-        write_mef(pp.query_str("outfile", f"iso_{comp}_{val:g}.mef"), out)
+        _wmef(pp.query_str("outfile", f"iso_{comp}_{val:g}.mef"), out)
 
     elif tool == "smoothMEF":
-        a = read_mef(pp.get_str("infile"))
+        a = _rmef(pp.get_str("infile"))
         comps = _resolve(a, pp.query_str_list("comps", a.names[a.ndim:]))
         out = G.smooth_mef(a, comps, pp.query_int("niter", 1))
-        write_mef(pp.query_str("outfile", "smoothed.mef"), out)
+        _wmef(pp.query_str("outfile", "smoothed.mef"), out)
 
     elif tool == "trimMEFgen":
-        a = read_mef(pp.get_str("infile"))
+        a = _rmef(pp.get_str("infile"))
         comps = _resolve(a, pp.query_str_list("comps", []))
         signs = pp.query_str_list("signs", ["+"] * len(comps))
         vals = pp.query_float_list("vals", [0.0] * len(comps))
@@ -93,10 +107,10 @@ def main(args: dict) -> None:
                 np.cross(p[e[:, 1]] - p[e[:, 0]], p[e[:, 2]] - p[e[:, 0]]),
                 axis=1)
             print(f"  Triangle area min, max: {ar.min()} , {ar.max()}")
-        write_mef(pp.query_str("outfile", "trimmed.mef"), out)
+        _wmef(pp.query_str("outfile", "trimmed.mef"), out)
 
     elif tool == "binMEF":
-        a = read_mef(pp.get_str("infile"))
+        a = _rmef(pp.get_str("infile"))
         comps = _resolve(a, pp.get_str_list("binComps"))
         bmin = pp.get_float_list("binMin")
         bmax = pp.get_float_list("binMax")
@@ -133,7 +147,7 @@ def main(args: dict) -> None:
 
     elif tool == "decimateMEF":
         from ..native import qem_decimate
-        a = read_mef(pp.get_str("infile"))
+        a = _rmef(pp.get_str("infile"))
         target = pp.query_int("face_target", max(a.n_elts // 2, 4))
         v, t, attr = qem_decimate(
             a.positions(), a.elements, target,
@@ -141,19 +155,19 @@ def main(args: dict) -> None:
             attrs=a.nodes[:, a.ndim:] if a.nodes.shape[1] > a.ndim else None)
         nodes = np.concatenate([v, attr], axis=1) if attr is not None else v
         out = MEF(a.label, a.names, nodes, t.astype(np.int32))
-        write_mef(pp.query_str("outfile", "decimated.mef"), out)
+        _wmef(pp.query_str("outfile", "decimated.mef"), out)
         print(f"decimated {a.n_elts} -> {out.n_elts} elements")
 
     elif tool == "surfDATtoMEF":
         m = read_mef_tecplot(pp.get_str("infile"))
-        write_mef(pp.query_str("outfile", "surf.mef"), m)
+        _wmef(pp.query_str("outfile", "surf.mef"), m)
 
     elif tool == "surfMEFtoDAT":
-        m = read_mef(pp.get_str("infile"))
+        m = _rmef(pp.get_str("infile"))
         write_mef_tecplot(pp.query_str("outfile", "surf.dat"), m)
 
     elif tool == "checkIso":
-        m = read_mef(pp.get_str("infile"))
+        m = _rmef(pp.get_str("infile"))
         rep = G.check_iso(m)
         for k, v in rep.items():
             print(f"{k}: {v}")

@@ -22,10 +22,13 @@ from ..stream.trace import seed_rake, trace_streamlines
 from ..stream import surface as surf
 
 
-def get_seeds(pp: ParmParse):
+def get_seeds(pp: ParmParse, sess=None):
     """Seed cloud + optional connectivity (stream.cpp:450-532)."""
     if pp.contains("isoFile"):
-        mef = read_mef(pp.get_str("isoFile"))
+        name = pp.get_str("isoFile")
+        mef = sess.get_surface(name) if sess is not None else None
+        if mef is None:
+            mef = read_mef(name)
         return mef.positions(), mef.elements
     if pp.contains("seedLoc"):
         loc = pp.get_float_list("seedLoc")
@@ -86,9 +89,12 @@ def main(args: dict) -> None:
                 sample.append(extra)
     load = load + [s for s in sample if s not in load]
 
-    st = AmrState.from_plotfile(plotfile, names=load, max_level=finest,
-                                is_periodic=[bool(p) for p in is_per],
-                                dtype=np.float64)
+    from ..session import dense_state, get_session, load_state, stage_writes
+    sess = get_session(args)
+
+    st = load_state(args, plotfile, names=load, max_level=finest,
+                    is_periodic=[bool(p) for p in is_per],
+                    dtype=np.float64)
     from ..amr.cluster import needs_clustering
     force_dense = pp.query_bool("force_dense", False)
     sparse = (not force_dense and st.meta.n_levels > 1
@@ -97,8 +103,8 @@ def main(args: dict) -> None:
         print("stream: sparse refinement detected -> clustered path")
         ds = None
     else:
-        ds = DenseAmrState.from_batched(st)
-    seeds, elements = get_seeds(pp)
+        ds = dense_state(args, st)
+    seeds, elements = get_seeds(pp, sess)
     if pp.contains("bounds"):
         # limit seed points to a physical sub-box, dropping elements that
         # lose a node (trim_surface, stream.cpp:217-291 + 543-560)
@@ -134,13 +140,19 @@ def main(args: dict) -> None:
         report()
     names = ["X", "Y", "Z"] + sample
 
-    if pp.contains("streamFile"):
+    if sess is not None:
+        out_name = (pp.query_str("streamFile", None)
+                    or pp.query_str("outFile", None))
+        if out_name:
+            sess.put_lines(out_name, names, lines, elements)
+    writes = stage_writes(args)
+    if pp.contains("streamFile") and writes:
         inside = compute_inside_nodes(st.meta, lines[:, (lines.shape[1] // 2), :3])
         sd = StreamData(names, np.asarray(elements, np.int32), inside, lines)
         write_stream_data(pp.get_str("streamFile"), sd, meta=st.meta,
                           version=pp.query_str("sd_version", "0"))
         print(f"wrote {pp.get_str('streamFile')}")
-    if pp.contains("outFile"):
+    if pp.contains("outFile") and writes:
         write_tecplot_lines(pp.get_str("outFile"), names, lines)
         print(f"wrote {pp.get_str('outFile')}")
     if not pp.contains("streamFile") and not pp.contains("outFile"):
@@ -183,5 +195,8 @@ def main(args: dict) -> None:
         alt_file = pp.query_str(
             "altIsoFile", pp.query_str("altSurfFile",
                                        plotfile + "_altSurf.mef"))
-        write_mef(alt_file, mef)
-        print(f"wrote {alt_file}")
+        if sess is not None:
+            sess.put_surface(alt_file, mef)
+        if writes:
+            write_mef(alt_file, mef)
+            print(f"wrote {alt_file}")

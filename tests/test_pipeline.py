@@ -1,0 +1,130 @@
+"""Pipeline mode (device-resident tool chaining, VERDICT r2 #1): chained
+stages share one Session — plotfile loads, dense conversions, and surfaces
+stay in memory — and outputs stay identical to file-chained tool runs (the
+reference's chaining model, /root/reference/Src/GNUmakefile:14-40)."""
+import os
+
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.hierarchy import AmrState
+from peleanalysis_tpu.cli import main
+from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+
+@pytest.fixture(scope="module")
+def plt(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pltpipe") / "plt")
+    write_synthetic_plotfile(p, n_cell=32, n_levels=2)
+    return p
+
+
+def _assert_states_equal(pa, pb):
+    a = AmrState.from_plotfile(pa, dtype=np.float64)
+    b = AmrState.from_plotfile(pb, dtype=np.float64)
+    assert a.names == b.names
+    for lev in range(a.meta.n_levels):
+        da, db = np.asarray(a.data[lev]), np.asarray(b.data[lev])
+        np.testing.assert_array_equal(np.isnan(da), np.isnan(db))
+        m = ~np.isnan(da)
+        np.testing.assert_array_equal(da[m], db[m])
+
+
+def test_pipeline_matches_file_chain(plt, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    # file-chained
+    os.makedirs("sep")
+    assert main(["grad", f"infile={plt}", "gradVar=temp",
+                 "outfile=sep/g"]) == 0
+    assert main(["curvature", f"infile={plt}", "progressName=temp",
+                 "outfile=sep/K"]) == 0
+    assert main(["isosurface", f"infile={plt}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=sep/iso"]) == 0
+    assert main(["stream", f"plotfile={plt}", "isoFile=sep/iso.mef",
+                 "nRKsteps=10", "outFile=sep/lines.dat"]) == 0
+    # pipelined (one Session)
+    os.makedirs("pipe")
+    assert main(["pipeline",
+                 "grad", f"infile={plt}", "gradVar=temp", "outfile=pipe/g",
+                 "--",
+                 "curvature", f"infile={plt}", "progressName=temp",
+                 "outfile=pipe/K",
+                 "--",
+                 "isosurface", f"infile={plt}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=pipe/iso",
+                 "--",
+                 "stream", f"plotfile={plt}", "isoFile=pipe/iso.mef",
+                 "nRKsteps=10", "outFile=pipe/lines.dat"]) == 0
+    _assert_states_equal("sep/g", "pipe/g")
+    _assert_states_equal("sep/K", "pipe/K")
+    assert open("sep/iso.mef", "rb").read() == open("pipe/iso.mef",
+                                                    "rb").read()
+    # stream Tecplot output: identical modulo the path in no line (pure data)
+    assert open("sep/lines.dat").read() == open("pipe/lines.dat").read()
+
+
+def test_pipeline_write0_keeps_surface_in_session(plt, tmp_path,
+                                                  monkeypatch):
+    """write=0 on the isosurface stage: no MEF on disk, but stream still
+    finds the surface in the session and produces the same lines."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["isosurface", f"infile={plt}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=ref_iso"]) == 0
+    assert main(["stream", f"plotfile={plt}", "isoFile=ref_iso.mef",
+                 "nRKsteps=10", "outFile=ref_lines.dat"]) == 0
+    assert main(["pipeline",
+                 "isosurface", f"infile={plt}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=mem_iso", "write=0",
+                 "--",
+                 "stream", f"plotfile={plt}", "isoFile=mem_iso.mef",
+                 "nRKsteps=10", "outFile=mem_lines.dat"]) == 0
+    assert not os.path.exists("mem_iso.mef")
+    assert open("ref_lines.dat").read() == open("mem_lines.dat").read()
+
+
+def test_session_extends_comps_in_place(plt):
+    """A later stage needing more comps extends the cached state in place —
+    same object, same dense instance, engine caches preserved."""
+    from peleanalysis_tpu.session import Session
+    s = Session()
+    st1 = s.load(plt, names=["temp"], is_periodic=[False] * 3)
+    ds1 = s.dense(st1)
+    st2 = s.load(plt, names=["temp", "density"],
+                 is_periodic=[False] * 3)
+    assert st2 is st1 and "density" in st1.names
+    ds2 = s.dense(st2)
+    assert ds2 is ds1 and "density" in ds1.names
+    # data round-trips correctly for the appended comp
+    ref = AmrState.from_plotfile(plt, names=["density"])
+    ic = st1.comp("density")
+    for lev in range(st1.meta.n_levels):
+        np.testing.assert_array_equal(np.asarray(st1.data[lev][:, ic]),
+                                      np.asarray(ref.data[lev][:, 0]))
+
+
+def test_pipeline_mef_tools_stage(plt, tmp_path, monkeypatch):
+    """MEF algebra stages resolve upstream surfaces from the session."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["pipeline",
+                 "isosurface", f"infile={plt}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=iso", "write=0",
+                 "--",
+                 "scaleMEF", "infile=iso.mef", "comps=temp", "factors=2",
+                 "outfile=scaled.mef"]) == 0
+    from peleanalysis_tpu.io.mef import read_mef
+    m = read_mef("scaled.mef")
+    assert not os.path.exists("iso.mef")
+    np.testing.assert_allclose(m.nodes[:, m.names.index("temp")], 1600.0)
+
+
+def test_pipeline_stats_stage(plt, tmp_path, monkeypatch):
+    """conditionalMean rides the same session cache (shared load + dense)."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["pipeline",
+                 "grad", f"infile={plt}", "gradVar=temp", "is_per=0 0 0",
+                 "outfile=g", "write=0",
+                 "--",
+                 "conditionalMean", f"infiles={plt}", "binComp=temp",
+                 "avgComps=density", "nBins=16", "binMin=300",
+                 "binMax=1800"]) == 0
+    assert os.path.exists("CM_temp.dat")
