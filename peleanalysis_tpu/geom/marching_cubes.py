@@ -848,14 +848,154 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
     return jax.jit(fn)
 
 
+class DeferredSurface:
+    """Device-resident enum-engine surface (pipeline mode): the packed
+    result vector stays on device; only the count header was fetched.
+    ``positions()`` fetches the node xyz columns alone (a fraction of the
+    full payload); ``to_mef()`` fetches and decodes everything (cached).
+    Duck-types the MEF surface for downstream stages (positions/elements/
+    names/n_nodes/n_elts)."""
+
+    def __init__(self, packed_dev, decode_kw, counts, xyz_fn):
+        self._packed = packed_dev
+        self._kw = decode_kw
+        self._mef = None
+        self._xyz = None
+        self._xyz_fn = xyz_fn
+        self.n_nodes = int(counts[0])
+        self.n_elts = int(counts[1])
+        self.names = ["X", "Y", "Z"] + list(decode_kw["names"])
+
+    def positions(self) -> np.ndarray:
+        if self._mef is not None:
+            return self._mef.positions()
+        if self._xyz is None:
+            kw = self._kw
+            rows = np.asarray(self._xyz_fn(self._packed))
+            parts, p = [], 0
+            for lev in range(kw["nl"]):
+                parts.append(rows[p: p + kw["n_nod"][lev]])
+                p += kw["node_caps"][lev]
+            self._xyz = (np.concatenate(parts) if parts
+                         else np.zeros((0, 3)))
+        return np.asarray(self._xyz, np.float64)
+
+    def to_mef(self) -> MEF:
+        if self._mef is None:
+            self._mef = _decode_packed(np.asarray(self._packed),
+                                       **self._kw)[0]
+        return self._mef
+
+    @property
+    def elements(self) -> np.ndarray:
+        return self.to_mef().elements
+
+    @property
+    def nodes(self) -> np.ndarray:
+        return self.to_mef().nodes
+
+
+def _decode_packed(packed: np.ndarray, *, nl, ne, caps, node_caps, tri_cap,
+                   want_eids, words, nf, names, iso_val, label, lmeta,
+                   n_nod, n_tri):
+    """Host-side decode of the enum engine's packed result vector."""
+    base = 2 + ne + nl + ne
+    ep = packed[base: base + tri_cap * 2].reshape(tri_cap, 2)[:n_tri]
+    w0, w1 = ep[:, 0], ep[:, 1]
+    elements = np.stack([w0 & 0x1FFFFF,
+                         (w0 >> 21) & 0x7FF | (w1 & 0x3FF) << 11,
+                         (w1 >> 10) & 0x1FFFFF], axis=1)
+    base += tri_cap * 2
+    node_lev = node_eid = None
+    if want_eids:
+        # decode the level-local flat edge ids into GLOBAL packed keys
+        # (lev, axis, global cell): local volume coords are cluster-relative
+        # in the sparse path, so the merge key must be global
+        eid_rows = packed[base: base + sum(node_caps)]
+        base += sum(node_caps)
+        eparts, lparts, p = [], [], 0
+        for lev in range(nl):
+            loc = eid_rows[p: p + n_nod[lev]].astype(np.int64)
+            p += node_caps[lev]
+            gbox = lmeta[lev].bbox.grow(1)
+            gs = gbox.shape
+            shapes = [tuple(gs[d] - (1 if d == a else 0) for d in range(3))
+                      for a in range(3)]
+            sz = [int(np.prod(s)) for s in shapes]
+            ax = ((loc >= sz[0]).astype(np.int64)
+                  + (loc >= sz[0] + sz[1]).astype(np.int64))
+            off = np.asarray([0, sz[0], sz[0] + sz[1]])[ax]
+            rel = loc - off
+            key = np.zeros(len(loc), np.int64)
+            for a in range(3):
+                s = shapes[a]
+                i = rel // (s[1] * s[2]) + gbox.lo[0] + 1
+                j = (rel // s[2]) % s[1] + gbox.lo[1] + 1
+                k = rel % s[2] + gbox.lo[2] + 1
+                ka = (np.int64(lev) << 59 | np.int64(a) << 57
+                      | i << 38 | j << 19 | k)
+                key = np.where(ax == a, ka, key)
+            eparts.append(key)
+            lparts.append(np.full(n_nod[lev], lev, np.int32))
+        node_eid = (np.concatenate(eparts) if eparts
+                    else np.zeros(0, np.int64))
+        node_lev = (np.concatenate(lparts) if lparts
+                    else np.zeros(0, np.int32))
+    nbits = packed[base:]
+    rows = nbits.view(np.float64 if words == 2
+                      else np.float32).reshape(sum(node_caps), nf - 1)
+    # valid node rows are per-level cap-padded prefixes; global node ids are
+    # dense ranks over the TRUE per-level counts -> slice and concatenate
+    parts, p = [], 0
+    for lev in range(nl):
+        parts.append(rows[p: p + n_nod[lev]])
+        p += node_caps[lev]
+    shipped = np.concatenate(parts) if parts else np.zeros((0, nf - 1))
+    nodes = np.empty((len(shipped), nf), shipped.dtype)
+    nodes[:, :3] = shipped[:, :3]
+    nodes[:, 3] = iso_val                  # iso comp re-inserted (comp 3)
+    nodes[:, 4:] = shipped[:, 3:]
+    if sum(n_nod) == 0:
+        nodes = np.zeros((0, nf))
+        elements = np.zeros((0, 3), np.int32)
+    mef = MEF(label or "0", ["X", "Y", "Z"] + list(names),
+              np.asarray(nodes, np.float64),
+              np.asarray(elements, np.int32))
+    return mef, node_lev, node_eid
+
+
+@partial(jax.jit, static_argnames=("node_caps", "tri_cap", "ne", "nl",
+                                  "want_eids", "words", "nfm1"))
+def _xyz_slice(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1):
+    """Device slice of the packed vector down to the node xyz columns
+    (cap-padded rows; host slices the valid prefixes)."""
+    base = 2 + ne + nl + ne + tri_cap * 2
+    if want_eids:
+        base += sum(node_caps)
+    nbits = packed[base:].reshape(sum(node_caps), nfm1 * words)
+    if words == 2:
+        rows = jax.lax.bitcast_convert_type(
+            nbits.reshape(sum(node_caps), nfm1, 2), jnp.float64)
+    else:
+        rows = jax.lax.bitcast_convert_type(nbits, jnp.float32)
+    return rows[:, :3]
+
+
 def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
                             iso_val: float,
                             extra_names: Sequence[str] = (),
                             bc=None, label: Optional[str] = None,
-                            emit_levels=None, want_eids: bool = False):
+                            emit_levels=None, want_eids: bool = False,
+                            defer: bool = False):
     """Sort-free single-dispatch single-fetch extraction (enum engine).
     With want_eids, returns (MEF, node_lev [n], node_eid [n],
-    tri_lev_counts) for the sparse per-cluster merge."""
+    tri_lev_counts) for the sparse per-cluster merge.  With defer=True the
+    packed result stays on device (only the count header is fetched) and a
+    :class:`DeferredSurface` is returned — the pipeline-mode path where a
+    downstream stage consumes seeds without the full surface payload."""
+    if defer and want_eids:
+        raise ValueError("defer is not supported with want_eids (the "
+                         "sparse merge needs the decoded edge ids)")
     meta = dstate.meta
     names = [iso_name] + [n for n in extra_names if n != iso_name]
     comps = [dstate.comp(n) for n in names]
@@ -911,12 +1051,19 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
             fns[key] = _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
                                       3, caps, node_caps, tri_cap, unwraps,
                                       spans_all, emit, want_eids)
-        packed = np.asarray(fns[key](data_levels, masks, inlev_devs,
-                                     ok_devs, iso_val))
-        n_uniq, n_tri = int(packed[0]), int(packed[1])
-        n_act = [int(v) for v in packed[2: 2 + ne]]
-        n_nod = [int(v) for v in packed[2 + ne: 2 + ne + nl]]
-        tri_ns = [int(v) for v in packed[2 + ne + nl: 2 + ne + nl + ne]]
+        packed_dev = fns[key](data_levels, masks, inlev_devs,
+                              ok_devs, iso_val)
+        if defer:
+            # fetch the count header only; the payload stays on device
+            head = np.asarray(packed_dev[: 2 + ne + nl + ne])
+            packed = None
+        else:
+            packed = np.asarray(packed_dev)
+            head = packed
+        n_uniq, n_tri = int(head[0]), int(head[1])
+        n_act = [int(v) for v in head[2: 2 + ne]]
+        n_nod = [int(v) for v in head[2 + ne: 2 + ne + nl]]
+        tri_ns = [int(v) for v in head[2 + ne + nl: 2 + ne + nl + ne]]
         ok = True
         for k, lev in enumerate(emit):
             if n_act[k] > caps[lev]:
@@ -934,68 +1081,20 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
                              "use classify='device' for larger extractions")
         if ok:
             break
-    base = 2 + ne + nl + ne
-    ep = packed[base: base + tri_cap * 2].reshape(tri_cap, 2)[:n_tri]
-    w0, w1 = ep[:, 0], ep[:, 1]
-    elements = np.stack([w0 & 0x1FFFFF,
-                         (w0 >> 21) & 0x7FF | (w1 & 0x3FF) << 11,
-                         (w1 >> 10) & 0x1FFFFF], axis=1)
-    base += tri_cap * 2
-    node_lev = node_eid = None
-    if want_eids:
-        # decode the level-local flat edge ids into GLOBAL packed keys
-        # (lev, axis, global cell): local volume coords are cluster-relative
-        # in the sparse path, so the merge key must be global
-        eid_rows = packed[base: base + sum(node_caps)]
-        base += sum(node_caps)
-        eparts, lparts, p = [], [], 0
-        for lev in range(nl):
-            loc = eid_rows[p: p + n_nod[lev]].astype(np.int64)
-            p += node_caps[lev]
-            gbox = dstate.lmeta[lev].bbox.grow(1)
-            gs = gbox.shape
-            shapes = [tuple(gs[d] - (1 if d == a else 0) for d in range(3))
-                      for a in range(3)]
-            sz = [int(np.prod(s)) for s in shapes]
-            ax = ((loc >= sz[0]).astype(np.int64)
-                  + (loc >= sz[0] + sz[1]).astype(np.int64))
-            off = np.asarray([0, sz[0], sz[0] + sz[1]])[ax]
-            rel = loc - off
-            key = np.zeros(len(loc), np.int64)
-            for a in range(3):
-                s = shapes[a]
-                i = rel // (s[1] * s[2]) + gbox.lo[0] + 1
-                j = (rel // s[2]) % s[1] + gbox.lo[1] + 1
-                k = rel % s[2] + gbox.lo[2] + 1
-                ka = (np.int64(lev) << 59 | np.int64(a) << 57
-                      | i << 38 | j << 19 | k)
-                key = np.where(ax == a, ka, key)
-            eparts.append(key)
-            lparts.append(np.full(n_nod[lev], lev, np.int32))
-        node_eid = (np.concatenate(eparts) if eparts
-                    else np.zeros(0, np.int64))
-        node_lev = (np.concatenate(lparts) if lparts
-                    else np.zeros(0, np.int32))
-    nbits = packed[base:]
-    rows = nbits.view(np.float64 if words == 2
-                      else np.float32).reshape(sum(node_caps), nf - 1)
-    # valid node rows are per-level cap-padded prefixes; global node ids are
-    # dense ranks over the TRUE per-level counts -> slice and concatenate
-    parts, p = [], 0
-    for lev in range(nl):
-        parts.append(rows[p: p + n_nod[lev]])
-        p += node_caps[lev]
-    shipped = np.concatenate(parts) if parts else np.zeros((0, nf - 1))
-    nodes = np.empty((len(shipped), nf), shipped.dtype)
-    nodes[:, :3] = shipped[:, :3]
-    nodes[:, 3] = iso_val                  # iso comp re-inserted (comp 3)
-    nodes[:, 4:] = shipped[:, 3:]
-    if n_uniq == 0:
-        nodes = np.zeros((0, nf))
-        elements = np.zeros((0, 3), np.int32)
-    mef = MEF(label or "0", ["X", "Y", "Z"] + names,
-              np.asarray(nodes, np.float64),
-              np.asarray(elements, np.int32))
+    decode_kw = dict(nl=nl, ne=ne, caps=caps, node_caps=node_caps,
+                     tri_cap=tri_cap, want_eids=want_eids, words=words,
+                     nf=nf, names=names, iso_val=iso_val, label=label,
+                     lmeta=dstate.lmeta, n_nod=n_nod, n_tri=n_tri)
+    if defer:
+        def xyz_fn(p):
+            return _xyz_slice(p, node_caps, tri_cap, ne, nl, want_eids,
+                              words, nf - 1)
+        surf = DeferredSurface(packed_dev, decode_kw,
+                               (n_uniq, n_tri), xyz_fn)
+        if want_eids:
+            return surf, None, None, tri_ns
+        return surf
+    mef, node_lev, node_eid = _decode_packed(packed, **decode_kw)
     if want_eids:
         return mef, node_lev, node_eid, tri_ns
     return mef
@@ -1367,15 +1466,19 @@ def extract_isosurface(
     bc=None,
     label: Optional[str] = None,
     classify: str = "device",
+    defer: bool = False,
 ) -> MEF:
-    """Marching-cubes isosurface over all levels -> deduplicated MEF."""
+    """Marching-cubes isosurface over all levels -> deduplicated MEF.
+    defer=True (enum engine only) keeps the surface payload on device and
+    returns a DeferredSurface — see extract_isosurface_enum."""
     if classify == "fused":
         return extract_isosurface_fused(dstate, iso_name, iso_val,
                                         extra_names, bc, label)
     if classify == "enum":
         try:
             return extract_isosurface_enum(dstate, iso_name, iso_val,
-                                           extra_names, bc, label)
+                                           extra_names, bc, label,
+                                           defer=defer)
         except ValueError as e:
             if "2^21" not in str(e):
                 raise

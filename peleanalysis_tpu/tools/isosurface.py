@@ -86,10 +86,14 @@ def main(args: dict) -> None:
                                             label=f"{st.meta.time:g}")
     else:
         engine = pp.query_str("engine", "enum")  # enum|device|fused|numpy
+        # pipeline stage with write=0: keep the surface payload on device —
+        # a downstream stream stage fetches only the seed xyz columns
+        defer = (get_session(args) is not None and not stage_writes(args)
+                 and engine == "enum")
         with phase("Compute Surface"):
             mef = extract_isosurface(ds, iso_name, iso_val, extras,
                                      label=f"{st.meta.time:g}",
-                                     classify=engine)
+                                     classify=engine, defer=defer)
     base = pp.query_str("outfile_base", f"{infile}_{iso_name}_{iso_val:g}")
     sess = get_session(args)
     if sess is not None:
@@ -111,7 +115,8 @@ def main(args: dict) -> None:
             write_mef_tecplot(base + ".dat", mef)
             print(f"wrote {base}.dat")
     if pp.query_bool("computeArea", False):
-        print(f"Total area of surface: {surface_area(mef):.10g}")
+        m = mef.to_mef() if hasattr(mef, "to_mef") else mef
+        print(f"Total area of surface: {surface_area(m):.10g}")
     if pp.query_bool("build_distance_function", False):
         # in-run signed-distance plotfile from the same invocation
         # (isosurface.cpp:1595-1654 per-box make_level_set3 + :1732-1748
@@ -126,6 +131,8 @@ def main(args: dict) -> None:
                 "union-bbox footprint")
         import jax.numpy as jnp
         from ..geom.sdf import signed_distance_dense
+        if hasattr(mef, "to_mef"):
+            mef = mef.to_mef()
         fin = st.meta.n_levels - 1
         dmax = pp.query_float("dmax", 4.0 * st.meta.geoms[fin].dx[0])
         with phase("Distance"):

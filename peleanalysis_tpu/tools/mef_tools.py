@@ -28,7 +28,9 @@ def main(args: dict) -> None:
     def _rmef(path):
         # pipeline mode: an upstream stage's surface resolves by name
         m = sess.get_surface(path) if sess is not None else None
-        return m if m is not None else read_mef(path)
+        if m is None:
+            return read_mef(path)
+        return m.to_mef() if hasattr(m, "to_mef") else m
 
     def _wmef(path, m):
         if sess is not None:

@@ -23,21 +23,24 @@ from ..stream import surface as surf
 
 
 def get_seeds(pp: ParmParse, sess=None):
-    """Seed cloud + optional connectivity (stream.cpp:450-532)."""
+    """Seed cloud + a LAZY connectivity thunk (stream.cpp:450-532).  With a
+    session-deferred surface, positions() fetches only the xyz columns;
+    the element payload is fetched only if an output actually needs it."""
     if pp.contains("isoFile"):
         name = pp.get_str("isoFile")
         mef = sess.get_surface(name) if sess is not None else None
         if mef is None:
             mef = read_mef(name)
-        return mef.positions(), mef.elements
+        return mef.positions(), (lambda: mef.elements)
+    empty = np.zeros((0, 3), np.int32)
     if pp.contains("seedLoc"):
         loc = pp.get_float_list("seedLoc")
-        return np.array([loc[:3]]), np.zeros((0, 3), np.int32)
+        return np.array([loc[:3]]), (lambda: empty)
     if pp.contains("seedRakeL"):
         n = pp.query_int("seedRakeNum", 10)
         seeds = seed_rake(pp.get_float_list("seedRakeL")[:3],
                           pp.get_float_list("seedRakeR")[:3], n)
-        return seeds, np.zeros((0, 3), np.int32)
+        return seeds, (lambda: empty)
     raise ValueError("must specify one of isoFile / seedLoc / seedRakeL+R")
 
 
@@ -104,7 +107,7 @@ def main(args: dict) -> None:
         ds = None
     else:
         ds = dense_state(args, st)
-    seeds, elements = get_seeds(pp, sess)
+    seeds, get_elts = get_seeds(pp, sess)
     if pp.contains("bounds"):
         # limit seed points to a physical sub-box, dropping elements that
         # lose a node (trim_surface, stream.cpp:217-291 + 543-560)
@@ -112,10 +115,11 @@ def main(args: dict) -> None:
         keep = np.all((seeds >= np.asarray(barr[:3]))
                       & (seeds <= np.asarray(barr[3:6])), axis=1)
         renum = np.cumsum(keep) - 1
+        elements = np.asarray(get_elts())
         if len(elements):
-            elements = np.asarray(elements)
             e_keep = keep[elements].all(axis=1)
             elements = renum[elements[e_keep]]
+        get_elts = (lambda e=elements: e)
         seeds = seeds[keep]
         if verbose:
             print(f"bounds trim: {keep.sum()}/{len(keep)} seeds kept")
@@ -144,11 +148,12 @@ def main(args: dict) -> None:
         out_name = (pp.query_str("streamFile", None)
                     or pp.query_str("outFile", None))
         if out_name:
-            sess.put_lines(out_name, names, lines, elements)
+            sess.put_lines(out_name, names, lines, get_elts)
     writes = stage_writes(args)
     if pp.contains("streamFile") and writes:
         inside = compute_inside_nodes(st.meta, lines[:, (lines.shape[1] // 2), :3])
-        sd = StreamData(names, np.asarray(elements, np.int32), inside, lines)
+        sd = StreamData(names, np.asarray(get_elts(), np.int32), inside,
+                        lines)
         write_stream_data(pp.get_str("streamFile"), sd, meta=st.meta,
                           version=pp.query_str("sd_version", "0"))
         print(f"wrote {pp.get_str('streamFile')}")
@@ -187,7 +192,7 @@ def main(args: dict) -> None:
             nodes[:, : len(names)] = surf.advect_points(
                 nodes[:, : len(names)], names, dt)
         mef = MEF(f"{st.meta.time:g}", out_names, nodes,
-                  np.asarray(elements, np.int32))
+                  np.asarray(get_elts(), np.int32))
         # advectColdIso names the intent (stream.cpp:979-1001): the alt
         # surface is the cold iso, advected by u*dt — which is exactly the
         # dt!=0 path above (velocity comps ride in `sample` when build_alt)

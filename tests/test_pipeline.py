@@ -82,6 +82,27 @@ def test_pipeline_write0_keeps_surface_in_session(plt, tmp_path,
     assert open("ref_lines.dat").read() == open("mem_lines.dat").read()
 
 
+def test_deferred_surface_partial_fetch(plt):
+    """defer=True keeps the payload on device: positions() decodes only the
+    xyz columns (no full MEF materialization), and to_mef() matches the
+    eager engine exactly."""
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.geom.marching_cubes import (DeferredSurface,
+                                                      extract_isosurface)
+    ds = DenseAmrState.from_batched(
+        AmrState.from_plotfile(plt, names=["temp"]))
+    surf = extract_isosurface(ds, "temp", 800.0, classify="enum",
+                              defer=True)
+    assert isinstance(surf, DeferredSurface)
+    xyz = surf.positions()
+    assert surf._mef is None            # no full fetch yet
+    eager = extract_isosurface(ds, "temp", 800.0, classify="enum")
+    np.testing.assert_array_equal(xyz, eager.positions())
+    got = surf.to_mef()
+    np.testing.assert_array_equal(got.nodes, eager.nodes)
+    np.testing.assert_array_equal(got.elements, eager.elements)
+
+
 def test_session_extends_comps_in_place(plt):
     """A later stage needing more comps extends the cached state in place —
     same object, same dense instance, engine caches preserved."""
