@@ -1,90 +1,141 @@
 """SPMD domain decomposition for the dense canonical model.
 
-The reference distributes boxes over MPI ranks; the dense model's natural
-multi-chip layout is a spatial shard: every level array
-[ncomp, X, Y, Z] is sharded along one spatial axis over a 1-D
-jax.sharding mesh.  Fills and stencils are slice/concat/pad arithmetic, so
-GSPMD lowers the level-boundary reads to halo collective-permutes over ICI —
-the FillBoundary/MPI analog with no hand-written communication
-(tests/test_halo.py proves the sharded pipeline bit-equal to unsharded;
-parallel/halo.py is the explicit shard_map+ppermute alternative).
+The reference distributes boxes over MPI ranks
+(DistributionMapping, /root/reference/Src/grad.cpp:160-163); the dense
+model's multi-chip layout is a spatial shard: every level array
+[ncomp, X, Y, Z] is sharded over a 1-D/2-D/3-D ``jax.sharding`` mesh whose
+axes map onto the spatial dims ("x", "y", "z").  Fills and stencils are
+slice/concat/pad arithmetic, so GSPMD lowers the shard-boundary reads to
+halo collective-permutes over ICI — the FillBoundary/MPI analog with no
+hand-written communication (tests/test_halo.py proves the sharded pipeline
+equal to unsharded; parallel/halo.py is the explicit shard_map+ppermute
+alternative).  A v5p pod mesh is 2-D/3-D: pass shape=(4, 2) etc. to spread
+the domain over both ICI dimensions instead of X-slabs only.
 
-Levels whose X extent does not divide the mesh are PADDED, not replicated:
-the level bounding box grows on the hi-x side and the pad cells are ordinary
-"hole" cells (in_level False), which ghost fills overwrite with coarse
-upsampled values — semantically exact by construction.  Level 0 must span
-the domain, so a non-divisible level-0 X stays replicated (its data is the
-coarsest = smallest; the fine levels carry the memory).
+Levels whose extents do not divide the mesh are PADDED, not replicated:
+
+  * lev > 0: the bounding box grows on the hi side of each sharded dim and
+    the pad cells are ordinary "hole" cells (in_level False), which ghost
+    fills overwrite with coarse upsampled values — semantically exact.
+  * lev == 0 (spans the domain, no coarser level): pads are EDGE COPIES of
+    the boundary plane, exactly the foextrap ghost value a stencil at the
+    last real plane expects; pad cells themselves are masked out
+    (in_level False).  A PERIODIC non-divisible dim at level 0 would need
+    wrap values that move with the data, so that level stays replicated
+    (rare: level-0 extents are nearly always powers of two).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 X_AXIS = "x"
+SPATIAL_AXES = ("x", "y", "z")
 
 
-def make_spatial_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_spatial_mesh(n_devices: Optional[int] = None,
+                      shape: Optional[Sequence[int]] = None) -> Mesh:
+    """1-D X-slab mesh by default; pass shape=(a, b[, c]) for a 2-D/3-D
+    decomposition over ("x", "y"[, "z"])."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return Mesh(np.array(devs), (X_AXIS,))
+    if shape is None:
+        shape = (len(devs),)
+    shape = tuple(int(s) for s in shape)
+    if int(np.prod(shape)) != len(devs):
+        raise ValueError(f"mesh shape {shape} != {len(devs)} devices")
+    return Mesh(np.array(devs).reshape(shape), SPATIAL_AXES[: len(shape)])
+
+
+def _dim_axes(mesh: Mesh) -> List[Optional[str]]:
+    """Mesh axis name (or None) per spatial dim 0..2."""
+    names: List[Optional[str]] = [None, None, None]
+    for ax in mesh.axis_names:
+        names[SPATIAL_AXES.index(ax)] = ax
+    return names
+
+
+def _dim_sizes(mesh: Mesh) -> Tuple[int, int, int]:
+    sizes = [1, 1, 1]
+    for ax, n in zip(mesh.axis_names, mesh.devices.shape):
+        sizes[SPATIAL_AXES.index(ax)] = int(n)
+    return tuple(sizes)
 
 
 def dense_sharding(mesh: Mesh) -> NamedSharding:
-    """[ncomp, X, Y, Z] sharded along X."""
-    return NamedSharding(mesh, P(None, X_AXIS))
+    """[ncomp, X, Y, Z] sharded over the mesh's spatial axes."""
+    return NamedSharding(mesh, P(None, *_dim_axes(mesh)))
 
 
-def pad_state_divisible(dstate, ndev: int):
-    """Grow each level's (lev>0) bounding box on the hi-x side until its X
-    extent divides ndev.  Pad cells are holes (in_level False): fills give
-    them coarse values, valid masks exclude them, to_batched never reads
-    them.  Returns a new DenseAmrState (masks rebuilt lazily)."""
+def mask_sharding(mesh: Mesh) -> NamedSharding:
+    """[X, Y, Z] bool masks sharded over the mesh's spatial axes."""
+    return NamedSharding(mesh, P(*_dim_axes(mesh)))
+
+
+def pad_state_divisible(dstate, mesh: Mesh):
+    """Grow each level's bounding box on the hi side of every sharded dim
+    until its extent divides that mesh axis.  lev>0 pads are holes; lev-0
+    pads are edge copies (see module docstring).  Returns a new
+    DenseAmrState (masks rebuilt lazily), or dstate unchanged."""
     import jax.numpy as jnp
 
     from ..amr.box import Box
     from ..amr.dense import DenseAmrState, DenseLevelMeta
 
+    sizes = _dim_sizes(mesh)
     meta = dstate.meta
     new_data, new_lmeta, changed = [], [], False
     for lev in range(meta.n_levels):
         arr = dstate.data[lev]
         bbox = dstate.lmeta[lev].bbox
-        padx = (-arr.shape[1]) % ndev
-        if padx == 0 or lev == 0:
+        pads = [(-arr.shape[1 + d]) % sizes[d] for d in range(3)]
+        if lev == 0 and any(
+                pads[d] and meta.geoms[0].is_periodic[d] for d in range(3)):
+            # periodic level-0 pad would need wrap values: stay replicated
+            new_data.append(arr)
+            new_lmeta.append(dstate.lmeta[lev])
+            continue
+        if not any(pads):
             new_data.append(arr)
             new_lmeta.append(dstate.lmeta[lev])
             continue
         changed = True
-        new_bbox = Box(bbox.lo, (bbox.hi[0] + padx,) + bbox.hi[1:])
+        new_bbox = Box(bbox.lo,
+                       tuple(bbox.hi[d] + pads[d] for d in range(3)))
         new_lmeta.append(DenseLevelMeta(
             new_bbox, meta.geoms[lev],
             meta.bas[lev].total_cells() / new_bbox.size))
-        new_data.append(jnp.pad(arr, ((0, 0), (0, padx), (0, 0), (0, 0))))
+        widths = ((0, 0),) + tuple((0, p) for p in pads)
+        mode = "edge" if lev == 0 else "constant"
+        new_data.append(jnp.pad(arr, widths, mode=mode))
     if not changed:
         return dstate
     return DenseAmrState(meta, dstate.names, new_data, new_lmeta)
 
 
 def shard_dense_state(dstate, mesh: Mesh):
-    """Place every level's dense array (and masks) with the X axis sharded,
-    padding non-divisible levels first (see pad_state_divisible)."""
-    ndev = mesh.devices.size
-    dstate = pad_state_divisible(dstate, ndev)
+    """Place every level's dense array (and masks) sharded over the mesh's
+    spatial axes, padding non-divisible levels first."""
+    sizes = _dim_sizes(mesh)
+    dstate = pad_state_divisible(dstate, mesh)
     sh = dense_sharding(mesh)
+    msh = mask_sharding(mesh)
     rep = NamedSharding(mesh, P())
+
+    def divisible(shape3):
+        return all(shape3[d] % sizes[d] == 0 for d in range(3))
+
     new_data = []
     for lev, arr in enumerate(dstate.data):
-        target = sh if arr.shape[1] % ndev == 0 else rep
+        target = sh if divisible(arr.shape[1:]) else rep
         new_data.append(jax.device_put(arr, target))
     out = dstate.with_data(dstate.names, new_data)
     for lev in range(dstate.meta.n_levels):
         m = dstate.in_level_mask(lev)
-        msh = (NamedSharding(mesh, P(X_AXIS))
-               if m.shape[0] % ndev == 0 else rep)
-        out._in_level[lev] = jax.device_put(m, msh)
+        out._in_level[lev] = jax.device_put(
+            m, msh if divisible(m.shape) else rep)
     return out

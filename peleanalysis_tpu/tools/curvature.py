@@ -439,7 +439,7 @@ def main(args: dict) -> None:
     if ndev > 1:
         from ..parallel.dense_shard import (make_spatial_mesh,
                                             shard_dense_state)
-        dstate = shard_dense_state(dstate, make_spatial_mesh(ndev))
+        dstate = shard_dense_state(dstate, make_spatial_mesh(ndev, pp.query_int_list("mesh_shape", None)))
     out = compute_curvature_dense(
         dstate, progress_name,
         do_strain=do_strain, do_velnormal=do_velnormal,

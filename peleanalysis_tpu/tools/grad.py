@@ -203,7 +203,7 @@ def main(args: dict) -> None:
         # grad.cpp:160-163); non-divisible levels are padded
         from ..parallel.dense_shard import (make_spatial_mesh,
                                             shard_dense_state)
-        dstate = shard_dense_state(dstate, make_spatial_mesh(ndev))
+        dstate = shard_dense_state(dstate, make_spatial_mesh(ndev, pp.query_int_list("mesh_shape", None)))
     out = compute_grad_dense(
         dstate, var, aux=tuple(aux), sym_dir=sym_dir,
         interp=pp.query_str("cf_interp", "quadratic"),

@@ -69,7 +69,7 @@ def main(args: dict) -> None:
         if ds is not None and ndev > 1:
             from ..parallel.dense_shard import (make_spatial_mesh,
                                                 shard_dense_state)
-            ds = shard_dense_state(ds, make_spatial_mesh(ndev))
+            ds = shard_dense_state(ds, make_spatial_mesh(ndev, pp.query_int_list("mesh_shape", None)))
     if st.meta.ndim2:
         # DIM=2 plotfile: marching squares -> polyline contour MEF
         from ..geom.marching_squares import extract_isolines
