@@ -269,6 +269,41 @@ def main():
     except Exception:
         pass
 
+    # ---- device-resident chained composite (pipeline mode) -----------------
+    # grad -> curvature -> isosurface(defer: counts-only fetch) -> stream
+    # seeded from the surface's xyz columns; only final artifacts fetched
+    # (seed xyz + compressed lines).  The per-tool path re-reads/refills and
+    # fetches everything per stage; this is what `pipeline ... write=0` buys.
+    chain_ms = None
+    try:
+        gfn = jax.jit(grad_chain)
+        cfn = jax.jit(curv_chain)
+        fetch_s = jax.jit(lambda ls: sum(jnp.sum(x) for x in ls))
+        dsurf = extract_isosurface(dstate, "temp", 1000.0, classify="enum",
+                                   defer=True)
+        seeds_c = np.ascontiguousarray(dsurf.positions()[:4096])
+        if len(seeds_c) < 4096:
+            seeds_c = np.concatenate(
+                [seeds_c, seeds[: 4096 - len(seeds_c)]])
+        trace_streamlines(dstate, seeds_c, 51, 0.5, trace_field=None)  # warm
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            g1 = gfn(data_t, masks)          # queued on device
+            c1 = cfn(data_p, masks)          # queued on device
+            dsurf = extract_isosurface(dstate, "temp", 1000.0,
+                                       classify="enum", defer=True)
+            sc = np.ascontiguousarray(dsurf.positions()[:4096])
+            if len(sc) < 4096:
+                sc = np.concatenate([sc, seeds[: 4096 - len(sc)]])
+            lines_c = trace_streamlines(dstate, sc, 51, 0.5,
+                                        trace_field=None)
+            _ = float(fetch_s(g1)) + float(fetch_s(c1))
+            times.append(time.perf_counter() - t0)
+        chain_ms = min(times) * 1e3
+    except Exception as e:
+        print(f"# chain bench skipped: {e!r}")
+
     def numpy_trace(field, plo, dxs, seeds, n_half, h):
         pos = seeds.copy()
         out = [pos.copy()]
@@ -321,21 +356,40 @@ def main():
                 0.5 * geom_f.dx[0])
     cpu_stream_ms = (time.perf_counter() - t0) * 1e3
 
-    # conditionalMean + jpdf
-    from peleanalysis_tpu.tools.conditional_mean import \
-        accumulate_conditional_mean
-    from peleanalysis_tpu.tools.jpdf import compute_jpdf_pair
+    # conditionalMean + jpdf: ONE fused dispatch + ONE fetch (r3 measured:
+    # each standalone tool is ~5 ms device + ~30 ms tunnel latency, so the
+    # fused path halves the chained e2e; tools stay 1-dispatch-1-fetch each)
+    from peleanalysis_tpu.tools.conditional_mean import (
+        _accumulate_all, accumulate_stats_fused, refinement_weights)
+    from peleanalysis_tpu.tools.jpdf import _jpdf_all
+    pair_b = (300.0, 1801.0, -0.1, 1.1)
+    accumulate_stats_fused(dstate, "temp", ["density"], 64, 300.0, 1801.0,
+                           ("temp", "progress"), pair_b, 64)   # warm
+    t0 = time.perf_counter()
+    accumulate_stats_fused(dstate, "temp", ["density"], 64, 300.0, 1801.0,
+                           ("temp", "progress"), pair_b, 64)
+    stats_ms = (time.perf_counter() - t0) * 1e3
+    # device-only split: K back-to-back fused dispatches, 2 scalar fetches
+    svols = tuple(float(np.prod(meta.geoms[lev].dx)) for lev in range(n_lev))
+    sweights = tuple(refinement_weights(meta.ref_ratio, n_lev, 3))
+    smasks = [dstate.valid_mask(lev) for lev in range(n_lev)]
+    ibs, ias = state.comp("temp"), (state.comp("density"),)
     f1 = [dstate.data[l][state.comp("temp")] for l in range(n_lev)]
     f2 = [dstate.data[l][state.comp("progress")] for l in range(n_lev)]
-    # warm both accumulators (trace + cache load)
-    accumulate_conditional_mean(dstate, "temp", ["density"], 64, 300.0,
-                                1801.0)
-    compute_jpdf_pair(dstate, f1, f2, 300.0, 1801.0, -0.1, 1.1, 64)
+
+    def _fused_dev(dl, ml, g1, g2):
+        cm = _accumulate_all(dl, ml, ibs, ias, sweights, 300.0, 1801.0, 64,
+                             False)
+        jp = _jpdf_all(g1, g2, ml, svols, pair_b, 64)
+        return sum(jnp.sum(x) for x in cm) + sum(jnp.sum(x) for x in jp)
+
+    fused_dev = jax.jit(_fused_dev)
+    _ = float(fused_dev(list(dstate.data), smasks, f1, f2))
+    K = 8
     t0 = time.perf_counter()
-    accumulate_conditional_mean(dstate, "temp", ["density"], 64, 300.0,
-                                1801.0)
-    compute_jpdf_pair(dstate, f1, f2, 300.0, 1801.0, -0.1, 1.1, 64)
-    stats_ms = (time.perf_counter() - t0) * 1e3
+    devs = [fused_dev(list(dstate.data), smasks, f1, f2) for _ in range(K)]
+    _ = float(devs[-1]) + float(devs[0])
+    stats_dev_ms = max(time.perf_counter() - t0 - 2 * lat, 1e-9) / K * 1e3
     # MXU accounting for the one-hot contractions: condMean does 2 einsums
     # (sums, sumsq) + 1 hit-sum; jpdf 3 einsums of [C,64]x[C,64] per chunk.
     # FLOPs ~ 2*cells*nbins per einsum (+ onehot build, not counted).
@@ -343,9 +397,12 @@ def main():
         / 1e9
     roofline["stats_matmul"] = {
         "gflop": round(stats_gflop, 1),
-        "gflop_s": round(stats_gflop / (stats_ms * 1e-3), 1),
+        "device_ms": round(stats_dev_ms, 1),
+        "fetch_ms": round(stats_ms - stats_dev_ms, 1),
+        "gflop_s": round(stats_gflop / (stats_dev_ms * 1e-3), 1),
         "pct_mxu_f32_peak": round(100 * stats_gflop * 1e9
-                                  / (stats_ms * 1e-3) / MXU_F32_PEAK, 2)}
+                                  / (stats_dev_ms * 1e-3) / MXU_F32_PEAK,
+                                  2)}
     t0 = time.perf_counter()
     w = refweights = [64, 8, 1]
     for lev in range(n_lev):
@@ -371,6 +428,8 @@ def main():
             "curvature_ms": round(curv_ms, 3),
             "isosurface_ms": round(iso_ms, 3),
             "stream_4096lines_ms": round(stream_ms, 1),
+            "pipeline_chain_ms": (round(chain_ms, 1)
+                                  if chain_ms is not None else None),
             "condmean_jpdf_ms": round(stats_ms, 1),
             "cpu_grad_ms": round(cpu_grad * 1e3, 1),
             "cpu_curvature_ms": round(cpu_curv * 1e3, 1),

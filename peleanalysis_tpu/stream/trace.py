@@ -174,6 +174,7 @@ def trace_streamlines(
     march_dtype: Optional[str] = None,
     march_engine: str = "auto",
     ngrow: Optional[int] = None,
+    fetch_compress: Optional[bool] = None,
 ) -> np.ndarray:
     """Trace ±nRKh RK4 steps from each seed; returns
     [nseed, 2*nRKh+1, 3 + len(sample_names)] with j=nRKh at the seed.
@@ -191,6 +192,12 @@ def trace_streamlines(
     march_engine: "pallas" = DMA-resident-block kernel (stream/pallas_march,
     f32 positions, ~3x the XLA path on TPU), "xla" = gather path, "auto" =
     pallas on TPU for float32 states when the level is big enough.
+    fetch_compress: ship positions as seed-f32 + int16 station DELTAS and
+    reconstruct host-side — an RK4 station moves at most h_phys, so the
+    quantization error is <= n_half*h/64000 ~ 4e-4*h, 50x below the bf16
+    march deviation.  Halves the line-payload fetch (the e2e bottleneck
+    through a slow link).  Default: ON exactly when the march itself is
+    lossy (bfloat16 default); full-precision marches ship exact f32.
     """
     if march_engine not in ("auto", "pallas", "xla"):
         raise ValueError(f"march_engine={march_engine!r}: "
@@ -202,6 +209,9 @@ def trace_streamlines(
         bf16_default = True
     if march_dtype in ("float32", "float64", "none"):
         march_dtype = None
+    # compressed line fetch: default exactly when the march is lossy anyway
+    compress = (march_dtype == "bfloat16" if fetch_compress is None
+                else bool(fetch_compress))
     # reference convention: nRKh = (nRKsteps-1)/2 (stream.cpp:701-702), so
     # StreamData written here has the same station count as reference files
     n_half = (n_rk_steps - 1) // 2
@@ -281,7 +291,7 @@ def trace_streamlines(
         # bc is closure-captured by the jitted fill: it MUST be in the key
         # (a second call with different bc would silently reuse the first's)
         key = (lev, lev_ngrow, all_data[0].shape[0], trace_field is not None,
-               n_half, nf, march_dtype, repr(bc),
+               n_half, nf, march_dtype, repr(bc), compress,
                (use_pallas, h_phys) if use_pallas else False)
 
         def make_fn(_lev, _g, _grad_mode, _plo_g, _dx, _use_pallas):
@@ -321,8 +331,21 @@ def trace_streamlines(
                 pos_p, pos_m = pos2[:, :ns], pos2[:, ns:]
                 path = jnp.concatenate([pos_m[::-1][:-1], pos_p], axis=0)
                 path = jnp.transpose(path, (1, 0, 2))
+                vals = (_sample_fields(fields, plo_v, dxj, path) if nf
+                        else None)
+                if compress:
+                    # int16 station deltas (|delta| <= h_phys by the RK4
+                    # normalized-step construction): half the fetch bytes.
+                    # The SEED station ships exact; the host reconstructs
+                    # outward from the center, so drift is <= n_half
+                    # quantization steps (~2e-4 h), not 2*n_half.
+                    d = path[:, 1:] - path[:, :-1]
+                    q = jnp.round(
+                        d * (32000.0 / h_phys)).astype(jnp.int16)
+                    if nf:
+                        return path[:, n_half], q, vals
+                    return path[:, n_half], q
                 if nf:
-                    vals = _sample_fields(fields, plo_v, dxj, path)
                     return jnp.concatenate([path, vals], axis=-1)
                 return path
             return jax.jit(fn)
@@ -334,8 +357,21 @@ def trace_streamlines(
                       "pass march_dtype='float32' for full precision")
             cache[key] = make_fn(lev, lev_ngrow, trace_field is not None,
                                  plo_g, dx, use_pallas)
-        out[sel] = np.asarray(cache[key](all_data, masks,
-                                         jnp.asarray(seeds[sel]), h_phys))
+        res = cache[key](all_data, masks, jnp.asarray(seeds[sel]), h_phys)
+        if compress:
+            parts = jax.device_get(res)
+            pc, q = parts[0].astype(np.float64), parts[1]
+            d = q.astype(np.float64) * (h_phys / 32000.0)
+            # stations ..n_half-1 | n_half (exact seed) | n_half+1..
+            fwd = pc[:, None] + np.cumsum(d[:, n_half:], axis=1)
+            bwd = pc[:, None] - np.cumsum(
+                d[:, :n_half][:, ::-1], axis=1)[:, ::-1]
+            out[sel, :, :3] = np.concatenate(
+                [bwd, pc[:, None], fwd], axis=1)
+            if nf:
+                out[sel, :, 3:] = parts[2]
+        else:
+            out[sel] = np.asarray(res)
     return out
 
 

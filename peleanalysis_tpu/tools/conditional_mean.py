@@ -125,6 +125,54 @@ def accumulate_conditional_mean(
             np.asarray(mins, np.float64), np.asarray(maxs, np.float64))
 
 
+def accumulate_stats_fused(dstate, bin_name: str, avg_names: Sequence[str],
+                           nbins: int, bin_min: float, bin_max: float,
+                           pair, pair_bounds, pair_nbins: int):
+    """conditionalMean + one jpdf pair in ONE dispatch + ONE device fetch.
+
+    Measured (r3): each stats tool runs ~5 ms of device time but ~30 ms
+    end-to-end through the tunnel — one fetch latency each, the dominant
+    cost.  A workflow needing both (the BASELINE config-5 composite) halves
+    its e2e by fusing the fetch.  pair = (name1, name2); pair_bounds =
+    (v1min, v1max, v2min, v2max).  Returns ((hits, sums, sumsq),
+    (b, bx1, bx2)) with the standalone paths' float64 host reconstructions
+    (identical numerics — the jitted accumulators are simply inlined into
+    one program)."""
+    import jax.numpy as jnp
+
+    from ..ops.stats import reconstruct_moments
+    from .jpdf import _jpdf_all
+
+    meta = dstate.meta
+    ndim = 2 if getattr(meta, "ndim2", False) else 3
+    weights = tuple(refinement_weights(meta.ref_ratio, meta.n_levels, ndim))
+    ib = dstate.comp(bin_name)
+    ia = tuple(dstate.comp(n) for n in avg_names)
+    masks = [dstate.valid_mask(lev) for lev in range(meta.n_levels)]
+    i1 = dstate.comp(pair[0])
+    i2 = dstate.comp(pair[1])
+    vols = tuple(float(np.prod(meta.geoms[lev].dx))
+                 for lev in range(meta.n_levels))
+
+    @jax.jit
+    def fused(data_list, mask_list):
+        cm = _accumulate_all(data_list, mask_list, ib, ia, weights,
+                             float(bin_min), float(bin_max), nbins, False)
+        f1 = [d[i1] for d in data_list]
+        f2 = [d[i2] for d in data_list]
+        jp = _jpdf_all(f1, f2, mask_list, vols,
+                       tuple(float(v) for v in pair_bounds), pair_nbins)
+        return cm, jp
+
+    (hits, sums_s, sumsq_s, shift), (b, bx1_s, bx2_s, c1, c2) = \
+        jax.device_get(fused(list(dstate.data), masks))
+    sums, sumsq = reconstruct_moments(hits, sums_s, sumsq_s, shift)
+    b64 = np.asarray(b, np.float64)
+    bx1 = np.asarray(bx1_s, np.float64) + np.float64(c1) * b64
+    bx2 = np.asarray(bx2_s, np.float64) + np.float64(c2) * b64
+    return ((np.asarray(hits, np.float64), sums, sumsq), (b64, bx1, bx2))
+
+
 def write_cm_dat(path: str, bin_name: str, avg_names: Sequence[str],
                  nbins: int, bin_min: float, bin_max: float,
                  hits, sums, sumsq, mins=None, maxs=None,

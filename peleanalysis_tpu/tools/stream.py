@@ -124,6 +124,11 @@ def main(args: dict) -> None:
         if verbose:
             print(f"bounds trim: {keep.sum()}/{len(keep)} seeds kept")
 
+    # fetch_precision=exact forces full-f32 line payloads; auto compresses
+    # (int16 station deltas, error ~4e-4 of a step) exactly when the march
+    # itself runs bfloat16 — see stream/trace.py fetch_compress
+    fcomp = {"exact": False, "compressed": True, "auto": None}[
+        pp.query_str("fetch_precision", "auto")]
     with phase("stream integrate"):
         if sparse:
             from ..stream.trace import trace_streamlines_sparse
@@ -139,7 +144,8 @@ def main(args: dict) -> None:
                 trace_field=None if trace_along_v else progress_name,
                 sample_names=sample,
                 march_engine=pp.query_str("marchEngine", "auto"),
-                ngrow=pp.query_int("nGrow", None))
+                ngrow=pp.query_int("nGrow", None),
+                fetch_compress=fcomp)
     if verbose:
         report()
     names = ["X", "Y", "Z"] + sample

@@ -255,3 +255,29 @@ def test_jpdf_minmax_uncovered_only_deviation(tmp_path):
     lo, hi = valid_minmax(ds, ic)
     assert hi < 1.0e6, "covered-cell spike leaked into the min/max scan"
     assert 300.0 <= lo < hi <= 1801.0
+
+
+def test_fused_stats_matches_standalone(ds):
+    """accumulate_stats_fused == standalone condMean + jpdf (one dispatch +
+    one fetch; numerics identical because the jitted accumulators inline)."""
+    import numpy as np
+    from peleanalysis_tpu.tools.conditional_mean import (
+        accumulate_conditional_mean, accumulate_stats_fused)
+    from peleanalysis_tpu.tools.jpdf import compute_jpdf_pair
+
+    n_lev = ds.meta.n_levels
+    (hits, sums, sumsq), (b, bx1, bx2) = accumulate_stats_fused(
+        ds, "temp", ["density"], 32, 300.0, 1801.0,
+        ("temp", "progress"), (300.0, 1801.0, -0.1, 1.1), 32)
+    h0, s0, q0, _, _ = accumulate_conditional_mean(
+        ds, "temp", ["density"], 32, 300.0, 1801.0)
+    f1 = [ds.data[l][ds.comp("temp")] for l in range(n_lev)]
+    f2 = [ds.data[l][ds.comp("progress")] for l in range(n_lev)]
+    b0, bx10, bx20 = compute_jpdf_pair(ds, f1, f2, 300.0, 1801.0,
+                                       -0.1, 1.1, 32)
+    np.testing.assert_allclose(hits, h0, rtol=1e-12)
+    np.testing.assert_allclose(sums, s0, rtol=1e-12)
+    np.testing.assert_allclose(sumsq, q0, rtol=1e-12)
+    np.testing.assert_allclose(b, b0, rtol=1e-12)
+    np.testing.assert_allclose(bx1, bx10, rtol=1e-10)
+    np.testing.assert_allclose(bx2, bx20, rtol=1e-10)

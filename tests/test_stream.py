@@ -416,3 +416,35 @@ def test_pallas_march_boundary_parity():
     d = np.abs(np.asarray(pos_ref) - np.asarray(pos_pal))
     assert np.isfinite(np.asarray(pos_pal)).all()
     assert d.max() < 1e-5, d.max()
+
+
+def test_fetch_compress_roundtrip(tmp_path):
+    """Compressed line fetch (int16 station deltas) reconstructs paths to
+    within n_half*h/64000 of the exact payload, and the exact path is the
+    default for full-precision marches."""
+    import numpy as np
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.amr.hierarchy import AmrState
+    from peleanalysis_tpu.stream.trace import trace_streamlines
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2)
+    ds = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float32))
+    rng = np.random.default_rng(3)
+    seeds = 0.5 + 0.2 * (rng.random((64, 3)) - 0.5)
+    exact = trace_streamlines(ds, seeds, 21, 0.5, trace_field=None,
+                              march_dtype="float32", fetch_compress=False)
+    comp = trace_streamlines(ds, seeds, 21, 0.5, trace_field=None,
+                             march_dtype="float32", fetch_compress=True)
+    h = 0.5 * ds.meta.geoms[-1].dx[0]
+    n_half = 10
+    # per-station quantization <= 0.5*h/32000, reconstructed outward from
+    # the exact seed station: drift <= n_half steps (x2 safety)
+    bound = n_half * 0.5 * h / 32000.0 * 2 + 1e-12
+    assert np.abs(exact[..., :3] - comp[..., :3]).max() < bound
+    # the seed station ships exact (f32)
+    np.testing.assert_array_equal(exact[:, n_half, :3], comp[:, n_half, :3])
+    # the drift is ~50x below the accepted bf16-march deviation (0.01 cell)
+    assert bound < 0.01 * ds.meta.geoms[-1].dx[0]
