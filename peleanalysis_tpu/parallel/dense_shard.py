@@ -81,12 +81,25 @@ def pad_state_divisible(dstate, mesh: Mesh):
     until its extent divides that mesh axis.  lev>0 pads are holes; lev-0
     pads are edge copies (see module docstring).  Returns a new
     DenseAmrState (masks rebuilt lazily), or dstate unchanged."""
+    return pad_state_to(dstate, _dim_sizes(mesh))
+
+
+def pad_state_to(dstate, sizes: Sequence[int]):
+    """Pad every level's extents up to multiples of ``sizes`` (per dim).
+
+    Two users: mesh sharding (extents must divide the mesh), and SHAPE
+    BUCKETING (`shape_bucket=N` on the tools): rounding all extents to a
+    granule means one compiled engine serves every hierarchy in the bucket
+    — a time series whose refinement drifts between steps stops paying a
+    cold compile per plotfile (VERDICT r2 #5).  Pad cells are holes
+    (lev>0) / edge copies (lev 0) exactly as for sharding, so results are
+    unchanged (outputs never read pads)."""
     import jax.numpy as jnp
 
     from ..amr.box import Box
     from ..amr.dense import DenseAmrState, DenseLevelMeta
 
-    sizes = _dim_sizes(mesh)
+    sizes = tuple(int(max(s, 1)) for s in sizes)
     meta = dstate.meta
     new_data, new_lmeta, changed = [], [], False
     for lev in range(meta.n_levels):

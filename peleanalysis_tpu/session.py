@@ -90,6 +90,9 @@ class Session:
             self._extend(st, path, missing, max_level, dtype)
         return st
 
+    def _dense_entries(self, st: AmrState):
+        return [(k, v) for k, v in self._dense.items() if k[0] == id(st)]
+
     def _extend(self, st: AmrState, path: str, missing: Sequence[str],
                 max_level, dtype) -> None:
         """Read only the missing comps and append them in place — the
@@ -103,19 +106,25 @@ class Session:
             st.data[lev] = jnp.concatenate(
                 [st.data[lev], extra.data[lev]], axis=1)
         st.names.extend(missing)
-        ds = self._dense.get(id(st))
-        if ds is not None:
+        for (key, ds) in self._dense_entries(st):
             dx = AmrState(st.meta, list(missing), extra.data)
             dd = DenseAmrState.from_batched(dx)
+            if key[1]:
+                from .parallel.dense_shard import pad_state_to
+                dd = pad_state_to(dd, (key[1],) * 3)
             for lev in range(st.meta.n_levels):
                 ds.data[lev] = jnp.concatenate(
                     [ds.data[lev], dd.data[lev]], axis=0)
             ds.names.extend(missing)
 
-    def dense(self, st: AmrState) -> DenseAmrState:
-        ds = self._dense.get(id(st))
+    def dense(self, st: AmrState, bucket: int = 0) -> DenseAmrState:
+        ds = self._dense.get((id(st), bucket))
         if ds is None:
-            ds = self._dense[id(st)] = DenseAmrState.from_batched(st)
+            ds = DenseAmrState.from_batched(st)
+            if bucket:
+                from .parallel.dense_shard import pad_state_to
+                ds = pad_state_to(ds, (bucket,) * 3)
+            self._dense[(id(st), bucket)] = ds
         return ds
 
     # -- artifact registry ----------------------------------------------------
@@ -171,10 +180,19 @@ def load_state(args: dict, path: str, names=None, max_level=None,
 
 
 def dense_state(args: dict, st: AmrState) -> DenseAmrState:
+    """Session-aware dense conversion.  ``shape_bucket=N`` pads every level
+    extent to a multiple of N so one compiled engine serves every hierarchy
+    in the bucket (pad cells are holes/edge copies — results unchanged)."""
+    from .parmparse import ParmParse
+    bucket = ParmParse(args).query_int("shape_bucket", 0)
     s = get_session(args)
     if s is not None:
-        return s.dense(st)
-    return DenseAmrState.from_batched(st)
+        return s.dense(st, bucket)
+    ds = DenseAmrState.from_batched(st)
+    if bucket:
+        from .parallel.dense_shard import pad_state_to
+        ds = pad_state_to(ds, (bucket,) * 3)
+    return ds
 
 
 def stage_writes(args: dict) -> bool:

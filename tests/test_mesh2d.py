@@ -120,3 +120,48 @@ def test_padded_level0_odd_extent():
             err = np.abs(a[c][m] - b[c][m]).max()
             rel = err / max(np.abs(a[c][m]).max(), 1e-30)
             assert rel < 1e-12, (lev, c, rel)
+
+
+def test_shape_bucket_correct_and_stable(tmp_path, monkeypatch):
+    """shape_bucket=N pads level extents to a granule: results unchanged,
+    and two hierarchies with slightly different refinement land on the SAME
+    padded shapes (one compiled engine serves the bucket — the time-series
+    cold-compile fix, VERDICT r2 #5)."""
+    from peleanalysis_tpu.amr.box import Box, BoxArray
+    from peleanalysis_tpu.amr.geometry import Geometry
+    from peleanalysis_tpu.amr.hierarchy import AmrMeta, AmrState
+    from peleanalysis_tpu.parallel.dense_shard import pad_state_to
+    from peleanalysis_tpu.testing import make_level_data
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+
+    def hier(fine_hi):
+        dom0 = Box((0, 0, 0), (31, 31, 31))
+        geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+        ba1 = BoxArray([Box((16, 16, 16), fine_hi)])
+        meta = AmrMeta([geom0, geom0.refine(2)],
+                       [BoxArray([dom0]), ba1], [2])
+        fields = {"temp": lambda x, y, z: 300 + 1500 * np.exp(
+            -((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) / 0.15 ** 2)}
+        names, data = make_level_data([geom0, geom0.refine(2)],
+                                      [BoxArray([dom0]), ba1], fields)
+        return DenseAmrState.from_batched(
+            AmrState.from_arrays(meta, names, data, dtype=np.float64))
+
+    ds_a = hier((44, 41, 43))    # fine extents 29,26,28
+    ds_b = hier((47, 45, 40))    # fine extents 32,30,25
+    pa = pad_state_to(ds_a, (32, 32, 32))
+    pb = pad_state_to(ds_b, (32, 32, 32))
+    # both land in the same bucket -> identical compiled-graph shapes
+    assert [d.shape for d in pa.data] == [d.shape for d in pb.data]
+    # and the padded run equals the unpadded run on valid cells
+    ref = compute_grad_dense(ds_a, "temp")
+    out = compute_grad_dense(pa, "temp")
+    for lev in range(2):
+        a = np.asarray(ref.data[lev])
+        b = np.asarray(out.data[lev])[:, :a.shape[1], :a.shape[2],
+                                      :a.shape[3]]
+        m = np.asarray(ds_a.valid_mask(lev))
+        for c in range(1, 5):
+            rel = (np.abs(a[c][m] - b[c][m]).max()
+                   / max(np.abs(a[c][m]).max(), 1e-30))
+            assert rel < 1e-12, (lev, c, rel)
