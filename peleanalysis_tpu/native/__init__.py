@@ -40,6 +40,8 @@ def get_lib():
                 ctypes.c_void_p,
                 np.ctypeslib.ndpointer(np.int32, flags="C"),
                 ctypes.c_int, ctypes.c_double,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_double, ctypes.c_double,
                 np.ctypeslib.ndpointer(np.float64, flags="C"),
                 ctypes.c_void_p,
                 np.ctypeslib.ndpointer(np.int32, flags="C"),
@@ -86,9 +88,18 @@ def load_fabs(paths, offsets, dims, sel, itemsize, dests,
 
 def qem_decimate(verts: np.ndarray, tris: np.ndarray, face_target: int,
                  boundary_weight: float = 1000.0,
-                 attrs: np.ndarray = None):
+                 attrs: np.ndarray = None,
+                 placement_policy: int = 3,
+                 weighting_policy: int = 1,
+                 meshing_penalty: float = 1.0,
+                 compactness_ratio: float = 0.0):
     """Decimate (verts [n,3] float64, tris [m,3] int32) to ~face_target
-    faces.  Returns (verts, tris[, attrs])."""
+    faces.  Config surface mirrors the reference's qslim driver
+    (/root/reference/Tools/qslim/cmdline.cpp:25-36): placement_policy
+    0=endpoints 1=endormid 2=line 3=optimal; weighting_policy 0=uniform
+    1=area 2=angle; meshing_penalty > 1 penalizes collapses that flip
+    normals or create faces below compactness_ratio.
+    Returns (verts, tris[, attrs])."""
     lib = get_lib()
     verts = np.ascontiguousarray(verts, np.float64)
     tris = np.ascontiguousarray(tris, np.int32)
@@ -105,6 +116,8 @@ def qem_decimate(verts: np.ndarray, tris: np.ndarray, face_target: int,
         n, m, n_attr, verts,
         attrs.ctypes.data if n_attr else None,
         tris, int(face_target), float(boundary_weight),
+        int(placement_policy), int(weighting_policy),
+        float(meshing_penalty), float(compactness_ratio),
         out_v, out_a.ctypes.data, out_t, counts)
     if rc != 0:
         raise RuntimeError(f"qem_decimate failed rc={rc}")

@@ -76,6 +76,15 @@ extern "C" int qem_decimate(
     const int* tris,          // [n_tris, 3]
     int face_target,
     double boundary_weight,
+    int placement_policy,     // 0=endpoints 1=endormid 2=line 3=optimal
+                              //   (qslim -O, cmdline.cpp:25-27)
+    int weighting_policy,     // 0=uniform 1=area 2=angle (qslim -W)
+    double meshing_penalty,   // cost multiplier per normal-flipping /
+                              //   sub-compact face a collapse would create
+                              //   (qslim -m; deviation: mixkit adds a fixed
+                              //   bias, we scale — ordering-equivalent)
+    double compactness_ratio, // faces below this compactness count as bad
+                              //   when meshing_penalty > 1 (qslim -c)
     double* out_verts,        // [n_verts, 3] capacity
     double* out_attrs,        // [n_verts, n_attr] capacity
     int* out_tris,            // [n_tris, 3] capacity
@@ -90,7 +99,8 @@ extern "C" int qem_decimate(
   std::vector<Quadric> Q(n_verts);
   std::vector<std::unordered_set<int>> vfaces(n_verts);
 
-  // face quadrics
+  // face quadrics (weighting_policy: 0=uniform, 1=area, 2=interior angle
+  // at each vertex — per qslim -W)
   for (int f = 0; f < n_tris; ++f) {
     int i = F[3*f], j = F[3*f+1], k = F[3*f+2];
     if (i == j || j == k || i == k) { face_dead[f] = 1; continue; }
@@ -104,9 +114,27 @@ extern "C" int qem_decimate(
     if (len < 1e-300) { continue; }
     for (int d = 0; d < 3; ++d) n[d] /= len;
     double dd = -(n[0]*p[0] + n[1]*p[1] + n[2]*p[2]);
-    Q[i].add_plane(n[0], n[1], n[2], dd, area);
-    Q[j].add_plane(n[0], n[1], n[2], dd, area);
-    Q[k].add_plane(n[0], n[1], n[2], dd, area);
+    double wv[3] = {area, area, area};
+    if (weighting_policy == 0) {
+      wv[0] = wv[1] = wv[2] = 1.0;
+    } else if (weighting_policy == 2) {
+      const int vid[3] = {i, j, k};
+      for (int c = 0; c < 3; ++c) {
+        const double *a0 = &V[3*vid[c]];
+        const double *a1 = &V[3*vid[(c + 1) % 3]];
+        const double *a2 = &V[3*vid[(c + 2) % 3]];
+        double e1[3] = {a1[0]-a0[0], a1[1]-a0[1], a1[2]-a0[2]};
+        double e2[3] = {a2[0]-a0[0], a2[1]-a0[1], a2[2]-a0[2]};
+        double l1 = std::sqrt(e1[0]*e1[0]+e1[1]*e1[1]+e1[2]*e1[2]);
+        double l2 = std::sqrt(e2[0]*e2[0]+e2[1]*e2[1]+e2[2]*e2[2]);
+        double cosang = (e1[0]*e2[0]+e1[1]*e2[1]+e1[2]*e2[2])
+                        / std::max(l1 * l2, 1e-300);
+        wv[c] = std::acos(std::min(1.0, std::max(-1.0, cosang)));
+      }
+    }
+    Q[i].add_plane(n[0], n[1], n[2], dd, wv[0]);
+    Q[j].add_plane(n[0], n[1], n[2], dd, wv[1]);
+    Q[k].add_plane(n[0], n[1], n[2], dd, wv[2]);
     vfaces[i].insert(f); vfaces[j].insert(f); vfaces[k].insert(f);
   }
 
@@ -146,20 +174,124 @@ extern "C" int qem_decimate(
     }
   }
 
-  auto edge_cost = [&](int a, int b, double* vout) -> double {
+  std::vector<int> remap(n_verts);
+  for (int i = 0; i < n_verts; ++i) remap[i] = i;
+
+  auto best_of = [&](const Quadric& s, int a, int b, bool with_mid,
+                     double* vout) -> double {
+    double m[3] = {0.5*(V[3*a]+V[3*b]), 0.5*(V[3*a+1]+V[3*b+1]),
+                   0.5*(V[3*a+2]+V[3*b+2])};
+    double ca = s.eval(&V[3*a]), cb = s.eval(&V[3*b]);
+    double cm = with_mid ? s.eval(m) : 1e300;
+    if (ca <= cb && ca <= cm) { std::memcpy(vout, &V[3*a], 24); return ca; }
+    if (cb <= cm) { std::memcpy(vout, &V[3*b], 24); return cb; }
+    std::memcpy(vout, m, 24);
+    return cm;
+  };
+
+  auto base_cost = [&](int a, int b, double* vout) -> double {
     Quadric s = Q[a];
     s.add(Q[b]);
-    if (!s.optimum(vout)) {
-      // fall back to best of endpoints/midpoint
-      double m[3] = {0.5*(V[3*a]+V[3*b]), 0.5*(V[3*a+1]+V[3*b+1]),
-                     0.5*(V[3*a+2]+V[3*b+2])};
-      double ca = s.eval(&V[3*a]), cb = s.eval(&V[3*b]), cm = s.eval(m);
-      if (ca <= cb && ca <= cm) { std::memcpy(vout, &V[3*a], 24); return ca; }
-      if (cb <= cm) { std::memcpy(vout, &V[3*b], 24); return cb; }
-      std::memcpy(vout, m, 24);
-      return cm;
+    if (placement_policy == 0)
+      return best_of(s, a, b, false, vout);
+    if (placement_policy == 1)
+      return best_of(s, a, b, true, vout);
+    if (placement_policy == 2) {
+      // best point ON the segment a->b: cost(t) is quadratic; the
+      // stationary point is t* = -d.(A pa + bv) / (d.A d), clamped
+      const double *pa = &V[3*a], *pb = &V[3*b];
+      double d[3] = {pb[0]-pa[0], pb[1]-pa[1], pb[2]-pa[2]};
+      double A[9] = {s.q[0], s.q[1], s.q[2], s.q[1], s.q[4], s.q[5],
+                     s.q[2], s.q[5], s.q[7]};
+      double bv[3] = {s.q[3], s.q[6], s.q[8]};
+      double Ad[3] = {A[0]*d[0]+A[1]*d[1]+A[2]*d[2],
+                      A[3]*d[0]+A[4]*d[1]+A[5]*d[2],
+                      A[6]*d[0]+A[7]*d[1]+A[8]*d[2]};
+      double denom = d[0]*Ad[0] + d[1]*Ad[1] + d[2]*Ad[2];
+      if (std::fabs(denom) < 1e-300)
+        return best_of(s, a, b, true, vout);
+      double Apa[3] = {A[0]*pa[0]+A[1]*pa[1]+A[2]*pa[2],
+                       A[3]*pa[0]+A[4]*pa[1]+A[5]*pa[2],
+                       A[6]*pa[0]+A[7]*pa[1]+A[8]*pa[2]};
+      double t = -(d[0]*(Apa[0]+bv[0]) + d[1]*(Apa[1]+bv[1])
+                   + d[2]*(Apa[2]+bv[2])) / denom;
+      t = std::min(1.0, std::max(0.0, t));
+      for (int c = 0; c < 3; ++c) vout[c] = pa[c] + t * d[c];
+      return s.eval(vout);
     }
+    if (!s.optimum(vout))
+      return best_of(s, a, b, true, vout);
     return s.eval(vout);
+  };
+
+  auto face_quality = [&](const double* p, const double* q,
+                          const double* r, double* normal) -> double {
+    // compactness 4*sqrt(3)*area / sum(edge^2) in (0, 1]; also returns the
+    // (unnormalized) face normal
+    double u[3] = {q[0]-p[0], q[1]-p[1], q[2]-p[2]};
+    double w[3] = {r[0]-p[0], r[1]-p[1], r[2]-p[2]};
+    normal[0] = u[1]*w[2]-u[2]*w[1];
+    normal[1] = u[2]*w[0]-u[0]*w[2];
+    normal[2] = u[0]*w[1]-u[1]*w[0];
+    double area = 0.5 * std::sqrt(normal[0]*normal[0]
+                                  + normal[1]*normal[1]
+                                  + normal[2]*normal[2]);
+    double e2 = 0;
+    const double* vs[3] = {p, q, r};
+    for (int e = 0; e < 3; ++e) {
+      const double *x = vs[e], *y = vs[(e+1)%3];
+      for (int c = 0; c < 3; ++c)
+        e2 += (y[c]-x[c]) * (y[c]-x[c]);
+    }
+    return e2 > 1e-300 ? 4.0 * std::sqrt(3.0) * area / e2 : 0.0;
+  };
+
+  auto edge_cost = [&](int a, int b, double* vout) -> double {
+    double cost = base_cost(a, b, vout);
+    if (meshing_penalty > 1.0) {
+      // count faces the collapse would flip or squash below the
+      // compactness floor (qslim's local-validity checks, -m / -c)
+      int n_bad = 0;
+      const int ends[2] = {a, b};
+      for (int s2 = 0; s2 < 2; ++s2) {
+        for (int f : vfaces[ends[s2]]) {
+          if (face_dead[f]) continue;
+          int vi[3];
+          bool dies = false;
+          for (int e = 0; e < 3; ++e) {
+            int v = F[3*f + e];
+            while (remap[v] != v) v = remap[v];
+            vi[e] = v;
+          }
+          // faces containing both endpoints die in the collapse
+          bool hasa = false, hasb = false;
+          for (int e = 0; e < 3; ++e) {
+            hasa |= vi[e] == a;
+            hasb |= vi[e] == b;
+          }
+          if ((hasa && hasb) || (s2 == 1 && hasa)) dies = true;
+          if (dies) continue;
+          const double* pts_old[3];
+          double pts_new[3][3];
+          for (int e = 0; e < 3; ++e) {
+            pts_old[e] = &V[3*vi[e]];
+            const double* src = (vi[e] == a || vi[e] == b) ? vout
+                                                           : &V[3*vi[e]];
+            std::memcpy(pts_new[e], src, 24);
+          }
+          double n_old[3], n_new[3];
+          face_quality(pts_old[0], pts_old[1], pts_old[2], n_old);
+          double comp = face_quality(pts_new[0], pts_new[1], pts_new[2],
+                                     n_new);
+          double dot = n_old[0]*n_new[0] + n_old[1]*n_new[1]
+                       + n_old[2]*n_new[2];
+          if (dot <= 0.0 || comp < compactness_ratio) n_bad++;
+        }
+      }
+      if (n_bad > 0)
+        cost = (cost + 1e-12) * (1.0 + meshing_penalty * n_bad);
+    }
+    return cost;
   };
 
   std::priority_queue<HeapEntry> heap;
@@ -177,8 +309,6 @@ extern "C" int qem_decimate(
     }
   }
 
-  std::vector<int> remap(n_verts);
-  for (int i = 0; i < n_verts; ++i) remap[i] = i;
   auto find = [&](int v) {
     while (remap[v] != v) { remap[v] = remap[remap[v]]; v = remap[v]; }
     return v;

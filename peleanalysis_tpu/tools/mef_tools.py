@@ -151,10 +151,15 @@ def main(args: dict) -> None:
         from ..native import qem_decimate
         a = _rmef(pp.get_str("infile"))
         target = pp.query_int("face_target", max(a.n_elts // 2, 4))
+        # full qslim config surface (Tools/qslim/cmdline.cpp:25-36)
         v, t, attr = qem_decimate(
             a.positions(), a.elements, target,
             boundary_weight=pp.query_float("boundary_weight", 1000.0),
-            attrs=a.nodes[:, a.ndim:] if a.nodes.shape[1] > a.ndim else None)
+            attrs=a.nodes[:, a.ndim:] if a.nodes.shape[1] > a.ndim else None,
+            placement_policy=pp.query_int("placement_policy", 3),
+            weighting_policy=pp.query_int("weighting_policy", 1),
+            meshing_penalty=pp.query_float("meshing_penalty", 1.0),
+            compactness_ratio=pp.query_float("compactness_ratio", 0.0))
         nodes = np.concatenate([v, attr], axis=1) if attr is not None else v
         out = MEF(a.label, a.names, nodes, t.astype(np.int32))
         _wmef(pp.query_str("outfile", "decimated.mef"), out)

@@ -160,3 +160,49 @@ def test_mef_cli(tmp_path, monkeypatch):
     assert main(["surfMEFtoDAT", "infile=s.mef", "outfile=s.dat"]) == 0
     assert main(["surfDATtoMEF", "infile=s.dat", "outfile=s3.mef"]) == 0
     assert read_mef("s3.mef").n_nodes == sphere.n_nodes
+
+
+def test_qem_config_surface():
+    """Full qslim config surface (Tools/qslim/cmdline.cpp:25-36): placement
+    and weighting policies + meshing penalty all run and change behavior as
+    documented; endpoints placement only ever uses original vertices."""
+    import numpy as np
+    from peleanalysis_tpu.native import qem_decimate
+
+    # densely triangulated unit sphere (icosphere-ish via lat-long grid)
+    nt, np_ = 24, 48
+    th = np.linspace(1e-3, np.pi - 1e-3, nt)
+    ph = np.linspace(0, 2 * np.pi, np_, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    V = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                  np.cos(T)], -1).reshape(-1, 3)
+    quads = []
+    for i in range(nt - 1):
+        for j in range(np_):
+            a = i * np_ + j
+            b = i * np_ + (j + 1) % np_
+            c = (i + 1) * np_ + (j + 1) % np_
+            d = (i + 1) * np_ + j
+            quads += [[a, b, c], [a, c, d]]
+    F = np.asarray(quads, np.int32)
+
+    outs = {}
+    for pol in (0, 1, 2, 3):
+        v, t, _ = qem_decimate(V, F, 300, placement_policy=pol)
+        assert len(t) <= 310 and len(t) > 100
+        r = np.linalg.norm(v, axis=1)
+        assert 0.8 < r.min() and r.max() < 1.2     # stays near the sphere
+        outs[pol] = v
+    # endpoints placement: every output vertex IS an input vertex
+    dmin = np.array([np.min(np.linalg.norm(V - p, axis=1))
+                     for p in outs[0]])
+    assert dmin.max() < 1e-12
+    # optimal placement moves vertices off the original set
+    dmin3 = np.array([np.min(np.linalg.norm(V - p, axis=1))
+                      for p in outs[3]])
+    assert dmin3.max() > 1e-6
+    # weighting/penalty variants run and give valid meshes
+    for kw in (dict(weighting_policy=0), dict(weighting_policy=2),
+               dict(meshing_penalty=100.0, compactness_ratio=0.2)):
+        v, t, _ = qem_decimate(V, F, 300, **kw)
+        assert t.min() >= 0 and t.max() < len(v)
