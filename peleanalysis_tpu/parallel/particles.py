@@ -54,67 +54,87 @@ _CORNERS = np.array([(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
 
 
 def _owner(sx: jnp.ndarray, core: int, ndev: int) -> jnp.ndarray:
-    """Slab owner of grid coordinate sx = (x - plo_g)/dx (cell-edge units
+    """Block owner of grid coordinate sx = (x - plo_g)/dx (cell-edge units
     of the grown box): device d owns sx in [d*core, (d+1)*core)."""
     return jnp.clip(jnp.floor(sx / core).astype(jnp.int32), 0, ndev - 1)
 
 
-def _build_slabs(vec: np.ndarray, core: int, halo: int, ndev: int
-                 ) -> np.ndarray:
-    """[3, SX, SY, SZ] -> [ndev, 3, core+2*halo, SY, SZ] edge-padded
-    slabs.  Host-side staging: each device receives only its slab."""
-    sx = vec.shape[1]
-    padded = np.pad(vec, ((0, 0), (halo, core * ndev - sx + halo),
-                          (0, 0), (0, 0)), mode="edge")
-    return np.stack([padded[:, d * core:d * core + core + 2 * halo]
-                     for d in range(ndev)])
+def _build_slabs(vec: np.ndarray, cores, halos, nds) -> np.ndarray:
+    """[3, SX, SY, SZ] -> [*nds, 3, core_d+2*halo_d per sharded dim, ...]
+    edge-padded blocks over a 1-D/2-D/3-D block grid.  Host-side staging:
+    each device receives only its block."""
+    k = len(nds)
+    pads = [(0, 0)]
+    for d in range(3):
+        if d < k:
+            pads.append((halos[d],
+                         cores[d] * nds[d] - vec.shape[1 + d] + halos[d]))
+        else:
+            pads.append((0, 0))
+    padded = np.pad(vec, pads, mode="edge")
+    grid = list(np.ndindex(*nds))
+    blocks = []
+    for idx in grid:
+        sl = [slice(None)]
+        for d in range(3):
+            if d < k:
+                o = idx[d] * cores[d]
+                sl.append(slice(o, o + cores[d] + 2 * halos[d]))
+            else:
+                sl.append(slice(None))
+        blocks.append(padded[tuple(sl)])
+    out = np.stack(blocks)
+    return out.reshape(tuple(nds) + out.shape[1:])
 
 
 class _HashableMesh:
     """Static-arg wrapper so the jitted entry can rebuild the Mesh."""
 
-    def __init__(self, devices, axis):
+    def __init__(self, devices, axes, shape):
         self.devices = tuple(devices)
-        self.axis = axis
+        self.axes = tuple(axes)
+        self.shape = tuple(shape)
 
     def build(self) -> Mesh:
-        return Mesh(np.array(self.devices), (self.axis,))
+        return Mesh(np.array(self.devices).reshape(self.shape), self.axes)
 
     def __hash__(self):
-        return hash((self.devices, self.axis))
+        return hash((self.devices, self.axes, self.shape))
 
     def __eq__(self, other):
         return (isinstance(other, _HashableMesh)
-                and self.devices == other.devices and self.axis == other.axis)
+                and self.devices == other.devices
+                and self.axes == other.axes and self.shape == other.shape)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "core", "halo", "cap",
+@partial(jax.jit, static_argnames=("n_steps", "cores", "halos", "cap",
                                    "scap", "mesh_"))
 def _migrate_march(slabs, plo_loc, pos0, pdir0, pid0, used0,
                    plo_g, dx, gshape, h,
-                   n_steps: int, core: int, halo: int, cap: int,
+                   n_steps: int, cores, halos, cap: int,
                    scap: int, mesh_: _HashableMesh):
-    """shard_map'd RK4 march with per-step neighbor migration.
+    """shard_map'd RK4 march with per-step neighbor migration over a
+    1-D/2-D/3-D block grid (dimension-ordered routing: after the RK step,
+    movers hop along each mesh axis in turn — a corner-crossing particle
+    reaches its diagonal neighbor in two in-step hops, the Redistribute()
+    analog for a multi-axis DistributionMapping).
 
-    slabs     [ndev, 3, core+2h, SY, SZ]  P(AXIS)
-    plo_loc   [ndev, 3]                   P(AXIS)   slab-local grown-box lo
-    pos0      [ndev, cap, 3]              P(AXIS)
-    pdir0     [ndev, cap]   ±1            P(AXIS)
-    pid0      [ndev, cap]   int32, -1 = empty slot
-    used0     [ndev, cap]   bool
+    slabs     [*nds, 3, per-dim core+2h, ...]  P(*axes)
+    plo_loc   [*nds, 3]                        P(*axes)  block grown-box lo
+    pos0      [*nds, cap, 3]; pdir0/pid0/used0 likewise
     plo_g/dx/gshape/h: replicated scalars of the GLOBAL grown box.
     Returns (ids [n_steps, ndev*cap], pos [n_steps, ndev*cap, 3],
              used [n_steps, ndev*cap], overflow [ndev]).
     """
     mesh = mesh_.build()
-    ndev = mesh.devices.size
-    fwd = [(i, i + 1) for i in range(ndev - 1)]
-    bwd = [(i + 1, i) for i in range(ndev - 1)]
+    axes = mesh_.axes
+    nds = mesh_.shape
+    k = len(axes)
 
     def shard_fn(slab, plo_l, pos0, pdir0, pid0, used0, plo_g, dx, gshape,
                  h):
-        slab = slab[0]          # [3, SLX, SY, SZ]
-        plo_l = plo_l[0]
+        slab = slab[(0,) * k]          # [3, SLX, SLY, SZ]
+        plo_l = plo_l[(0,) * k]
         SLX, SY, SZ = slab.shape[1:]
         lshape = jnp.asarray([SLX, SY, SZ])
         flat = slab.reshape(3, -1)
@@ -144,13 +164,62 @@ def _migrate_march(slabs, plo_loc, pos0, pdir0, pid0, used0,
             return (direction[:, None] * v
                     / jnp.maximum(n, jnp.finfo(v.dtype).tiny)), ok
 
-        me = jax.lax.axis_index(AXIS)
+        mes = [jax.lax.axis_index(axes[d]) for d in range(k)]
 
-        def pack_send(mask, pos, pdir, pid):
+        def pack_send(mask, pos, pdir, pid, alive):
             order = jnp.argsort(~mask)                    # movers first
             sel = order[:scap]
             over = jnp.sum(mask) > scap
-            return (pos[sel], pdir[sel], pid[sel], mask[sel]), over
+            return (pos[sel], pdir[sel], pid[sel],
+                    mask[sel], alive[sel]), over
+
+        def route_dim(d, pos, pdir, pid, alive, used, over):
+            # movers cross at most one block per step per dim (halo bound)
+            nd = nds[d]
+            if nd == 1:
+                return pos, pdir, pid, alive, used, over
+            fwd = [(i, i + 1) for i in range(nd - 1)]
+            bwd = [(i + 1, i) for i in range(nd - 1)]
+            own = _owner((pos[:, d] - plo_g[d]) / dx[d], cores[d], nd)
+            moving = alive & (own != mes[d])
+            go_r = moving & (own > mes[d])
+            go_l = moving & (own < mes[d])
+            send_r, ov_r = pack_send(go_r, pos, pdir, pid, alive)
+            send_l, ov_l = pack_send(go_l, pos, pdir, pid, alive)
+            gone = go_r | go_l
+            used = used & ~gone
+            alive = alive & ~gone
+
+            def perm(pack, pairs):
+                return tuple(jax.lax.ppermute(a, axes[d], pairs)
+                             for a in pack)
+
+            recv_l = perm(send_r, fwd)    # arrives from the left neighbor
+            recv_r = perm(send_l, bwd)    # arrives from the right neighbor
+            rpos = jnp.concatenate([recv_l[0], recv_r[0]])
+            rdir = jnp.concatenate([recv_l[1], recv_r[1]])
+            rid = jnp.concatenate([recv_l[2], recv_r[2]])
+            rvalid = jnp.concatenate([recv_l[3], recv_r[3]])
+            ralive = jnp.concatenate([recv_l[4], recv_r[4]])
+
+            # merge received into free slots (valid arrivals first)
+            r_ord = jnp.argsort(~rvalid)
+            rpos, rdir, rid = rpos[r_ord], rdir[r_ord], rid[r_ord]
+            rvalid, ralive = rvalid[r_ord], ralive[r_ord]
+            free = jnp.argsort(used)                      # free slots first
+            if 2 * scap > cap:  # pad with the drop sentinel
+                free = jnp.concatenate(
+                    [free, jnp.full(2 * scap - cap, cap, free.dtype)])
+            nfree = cap - jnp.sum(used)
+            can = rvalid & (jnp.arange(2 * scap) < nfree)
+            tgt = jnp.where(can, free[:2 * scap], cap)
+            pos = pos.at[tgt].set(rpos, mode="drop")
+            pdir = pdir.at[tgt].set(rdir, mode="drop")
+            pid = pid.at[tgt].set(rid, mode="drop")
+            alive = alive.at[tgt].set(ralive, mode="drop")
+            used = used.at[tgt].set(True, mode="drop")
+            over = over | ov_r | ov_l | (jnp.sum(rvalid) > nfree)
+            return pos, pdir, pid, alive, used, over
 
         def step(carry, _):
             pos, pdir, pid, alive, used, over = carry
@@ -163,60 +232,29 @@ def _migrate_march(slabs, plo_loc, pos0, pdir0, pid0, used0,
             alive_n = alive & used & ok
             pos = jnp.where(alive_n[:, None], xn, pos)
 
-            # ---- Redistribute(): movers cross at most one slab per step
-            own = _owner((pos[:, 0] - plo_g[0]) / dx[0], core, ndev)
-            delta = jnp.where(alive_n, own - me, 0)
-            go_r = delta > 0
-            go_l = delta < 0
-            send_r, ov_r = pack_send(go_r, pos, pdir, pid)
-            send_l, ov_l = pack_send(go_l, pos, pdir, pid)
-            gone = go_r | go_l
-            used = used & ~gone
-            alive_n = alive_n & ~gone
-
-            def perm(pack, pairs):
-                return tuple(jax.lax.ppermute(a, AXIS, pairs) for a in pack)
-
-            recv_l = perm(send_r, fwd)    # arrives from the left neighbor
-            recv_r = perm(send_l, bwd)    # arrives from the right neighbor
-            rpos = jnp.concatenate([recv_l[0], recv_r[0]])
-            rdir = jnp.concatenate([recv_l[1], recv_r[1]])
-            rid = jnp.concatenate([recv_l[2], recv_r[2]])
-            rvalid = jnp.concatenate([recv_l[3], recv_r[3]])
-
-            # merge received into free slots (valid arrivals first)
-            r_ord = jnp.argsort(~rvalid)
-            rpos, rdir, rid = rpos[r_ord], rdir[r_ord], rid[r_ord]
-            rvalid = rvalid[r_ord]
-            free = jnp.argsort(used)                      # free slots first
-            if 2 * scap > cap:  # pad with the drop sentinel
-                free = jnp.concatenate(
-                    [free, jnp.full(2 * scap - cap, cap, free.dtype)])
-            nfree = cap - jnp.sum(used)
-            can = rvalid & (jnp.arange(2 * scap) < nfree)
-            tgt = jnp.where(can, free[:2 * scap], cap)
-            pos = pos.at[tgt].set(rpos, mode="drop")
-            pdir = pdir.at[tgt].set(rdir, mode="drop")
-            pid = pid.at[tgt].set(rid, mode="drop")
-            alive_n = alive_n.at[tgt].set(True, mode="drop")
-            used = used.at[tgt].set(True, mode="drop")
-            over = over | ov_r | ov_l | (jnp.sum(rvalid) > nfree)
+            # ---- Redistribute(): dimension-ordered per-axis hops --------
+            for d in range(k):
+                pos, pdir, pid, alive_n, used, over = route_dim(
+                    d, pos, pdir, pid, alive_n, used, over)
             return ((pos, pdir, pid, alive_n, used, over),
                     (pid, pos, used))
 
         # the overflow flag must be device-varying from the start (scan-vma)
-        over0 = jnp.any(used0[0]) & False
-        carry0 = (pos0[0], pdir0[0], pid0[0], used0[0], used0[0], over0)
+        z = (0,) * k
+        over0 = jnp.any(used0[z]) & False
+        carry0 = (pos0[z], pdir0[z], pid0[z], used0[z], used0[z], over0)
         (_, _, _, _, _, over), ys = jax.lax.scan(step, carry0, None,
                                                  length=n_steps)
         ids, pos, used = ys
-        return ids[:, None], pos[:, None], used[:, None], over[None]
+        lead = (slice(None),) + (None,) * k
+        return ids[lead], pos[lead], used[lead], over[(None,) * k]
 
+    spec = P(*axes)
+    spec_t = P(None, *axes)
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(), P(), P(), P()),
-        out_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS), P(AXIS)))
+        in_specs=(spec, spec, spec, spec, spec, spec, P(), P(), P(), P()),
+        out_specs=(spec_t, spec_t, spec_t, spec))
     ids, pos, used, over = fn(slabs, plo_loc, pos0, pdir0, pid0, used0,
                               plo_g, dx, gshape, h)
     n = ids.shape[0]
@@ -230,26 +268,36 @@ def migrate_march(vec: np.ndarray, plo_g, dx, h_phys: float,
                   send_capacity: Optional[int] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """March `seeds` (with per-seed ±1 `dirs`) n_steps RK4 steps through the
-    grown field `vec` [3, SX, SY, SZ], X-sharded over `mesh` with per-step
-    ppermute migration.  Returns (paths [nseed, n_steps+1, 3],
-    initial per-device load).  Raises on send/slot capacity overflow."""
+    grown field `vec` [3, SX, SY, SZ], block-sharded over `mesh` (1-D X
+    slabs, or 2-D/3-D blocks when the mesh has more axes) with per-step
+    dimension-ordered ppermute migration.  Returns (paths
+    [nseed, n_steps+1, 3], initial per-device load).  Raises on send/slot
+    capacity overflow."""
     vec = np.asarray(vec)
     dtype = vec.dtype
-    ndev = int(mesh.devices.size)
-    sx = vec.shape[1]
-    core = -(-sx // ndev)
+    nds = tuple(int(n) for n in mesh.devices.shape)
+    k = len(nds)
+    ndev = int(np.prod(nds))
     dx = np.asarray(dx, dtype=dtype)
-    halo = int(np.ceil(h_phys / float(dx[0]))) + 2
-    if core <= halo:
-        raise ValueError(
-            f"slab core {core} cells <= halo {halo}: fewer devices needed "
-            f"for SX={sx} at hRK reach {h_phys / float(dx[0]):.1f} cells")
-    slabs = _build_slabs(vec, core, halo, ndev)
+    cores, halos = [], []
+    for d in range(k):
+        core_d = -(-vec.shape[1 + d] // nds[d])
+        halo_d = int(np.ceil(h_phys / float(dx[d]))) + 2
+        if nds[d] > 1 and core_d <= halo_d:
+            raise ValueError(
+                f"block core {core_d} cells <= halo {halo_d} along dim {d}:"
+                f" fewer devices needed for extent {vec.shape[1 + d]}")
+        cores.append(core_d)
+        halos.append(halo_d)
+    cores, halos = tuple(cores), tuple(halos)
+    slabs = _build_slabs(vec, cores, halos, nds)
 
     seeds = np.asarray(seeds, dtype=dtype)
     nseed = len(seeds)
-    sxg = (seeds[:, 0] - plo_g[0]) / dx[0]
-    own = np.clip((sxg // core).astype(np.int64), 0, ndev - 1)
+    own_nd = [np.clip(((seeds[:, d] - plo_g[d]) / dx[d]
+                       // cores[d]).astype(np.int64), 0, nds[d] - 1)
+              for d in range(k)]
+    own = np.ravel_multi_index(own_nd, nds)
     counts = np.bincount(own, minlength=ndev)
     cap = capacity or max(8, int(2 * counts.max()))
     if counts.max() > cap:
@@ -269,22 +317,33 @@ def migrate_march(vec: np.ndarray, plo_g, dx, h_phys: float,
         used0[d, slot[d]] = True
         slot[d] += 1
 
-    plo_loc = np.stack([np.array([plo_g[0] + (d * core - halo) * dx[0],
-                                  plo_g[1], plo_g[2]], dtype=dtype)
-                        for d in range(ndev)])
-    sh = NamedSharding(mesh, P(AXIS))
+    plo_rows = []
+    for idx in np.ndindex(*nds):
+        row = [plo_g[d] + ((idx[d] * cores[d] - halos[d]) * dx[d]
+                           if d < k else 0.0) for d in range(3)]
+        for d in range(k, 3):
+            row[d] = plo_g[d]
+        plo_rows.append(np.array(row, dtype=dtype))
+    plo_loc = np.stack(plo_rows).reshape(nds + (3,))
+
+    axes = tuple(mesh.axis_names)
+    sh = NamedSharding(mesh, P(*axes))
 
     def put(a):
         return jax.device_put(a, sh)
 
-    hm = _HashableMesh(mesh.devices.flatten(), AXIS)
+    def bshape(a):
+        return a.reshape(nds + a.shape[1:])
+
+    hm = _HashableMesh(mesh.devices.flatten(), axes, nds)
     ids, pos, used, over = _migrate_march(
         put(slabs), put(plo_loc),
-        put(pos0), put(pdir0), put(pid0), put(used0),
+        put(bshape(pos0)), put(bshape(pdir0)), put(bshape(pid0)),
+        put(bshape(used0)),
         jnp.asarray(np.asarray(plo_g, dtype)), jnp.asarray(dx),
         jnp.asarray(np.asarray(vec.shape[1:], np.int32)),
         jnp.asarray(np.asarray(h_phys, dtype)),
-        n_steps, core, halo, cap, scap, hm)
+        n_steps, cores, halos, cap, scap, hm)
     if bool(np.asarray(over).any()):
         raise RuntimeError(
             "particle migration overflow: raise capacity=/send_capacity=")

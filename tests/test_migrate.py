@@ -130,3 +130,44 @@ def test_part_stream_cli_ndevices(mesh8, tmp_path, monkeypatch):
     a, b = load("res.dat"), load("mig.dat")
     assert a.shape == b.shape and a.shape[0] > 0
     np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_migrate_march_2d_mesh():
+    """2-D (4x2) block decomposition with dimension-ordered routing ==
+    the resident march (a corner-crossing mover hops x then y inside one
+    step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    from peleanalysis_tpu.parallel.particles import migrate_march
+    from peleanalysis_tpu.stream.trace import _trace_level
+
+    shape = (64, 32, 8)
+    xg = (np.arange(shape[0]) + 0.5) / shape[0]
+    yg = (np.arange(shape[1]) + 0.5) / shape[1]
+    vec = np.zeros((3,) + shape)
+    # diagonal swirl: particles cross x AND y block boundaries
+    vec[0] = 1.0
+    vec[1] = 0.8 * np.cos(2 * np.pi * xg)[:, None, None] + 0.4
+    vec[2] = 0.2 * np.sin(2 * np.pi * yg)[None, :, None]
+    plo = np.zeros(3)
+    dxm = np.array([1.0 / s for s in shape])
+    rng = np.random.default_rng(5)
+    seeds = np.stack([rng.uniform(0.15, 0.6, 24),
+                      rng.uniform(0.2, 0.8, 24),
+                      rng.uniform(0.3, 0.7, 24)], axis=1)
+    dirs = np.where(np.arange(24) % 2 == 0, 1.0, -1.0)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("bx", "by"))
+    paths, counts = migrate_march(vec, plo, dxm, 0.9 * dxm[0], seeds, 14,
+                                  dirs, mesh)
+    ref, _ = _trace_level(jnp.asarray(vec), jnp.zeros((0,) + shape),
+                          jnp.asarray(plo), jnp.asarray(dxm), 0.9 * dxm[0],
+                          jnp.asarray(seeds), 14, dirs[:, None])
+    ref = np.transpose(np.asarray(ref), (1, 0, 2))
+    assert counts.sum() == 24
+    assert np.allclose(paths, ref, atol=1e-6), np.abs(paths - ref).max()
