@@ -298,7 +298,7 @@ def main():
                 sc = np.concatenate([sc, seeds[: 4096 - len(sc)]])
             lines_c = trace_streamlines(dstate, sc, 51, 0.5,
                                         trace_field=None)
-            _ = float(fetch_s(g1)) + float(fetch_s(c1))
+            _ = float(fetch_s(list(g1) + list(c1)))   # one combined fetch
             times.append(time.perf_counter() - t0)
         chain_ms = min(times) * 1e3
     except Exception as e:
@@ -377,19 +377,24 @@ def main():
     f1 = [dstate.data[l][state.comp("temp")] for l in range(n_lev)]
     f2 = [dstate.data[l][state.comp("progress")] for l in range(n_lev)]
 
-    def _fused_dev(dl, ml, g1, g2):
+    def _fused_dev(dl, ml, g1, g2, tok):
         cm = _accumulate_all(dl, ml, ibs, ias, sweights, 300.0, 1801.0, 64,
                              False)
         jp = _jpdf_all(g1, g2, ml, svols, pair_b, 64)
-        return sum(jnp.sum(x) for x in cm) + sum(jnp.sum(x) for x in jp)
+        # tok threads a data dependency so K calls form one executed chain
+        return tok + sum(jnp.sum(x) for x in cm) \
+            + sum(jnp.sum(x) for x in jp)
 
     fused_dev = jax.jit(_fused_dev)
-    _ = float(fused_dev(list(dstate.data), smasks, f1, f2))
+    acc = fused_dev(list(dstate.data), smasks, f1, f2, jnp.zeros(()))
+    _ = float(acc)
     K = 8
     t0 = time.perf_counter()
-    devs = [fused_dev(list(dstate.data), smasks, f1, f2) for _ in range(K)]
-    _ = float(devs[-1]) + float(devs[0])
-    stats_dev_ms = max(time.perf_counter() - t0 - 2 * lat, 1e-9) / K * 1e3
+    acc = jnp.zeros(())
+    for _ in range(K):
+        acc = fused_dev(list(dstate.data), smasks, f1, f2, acc)
+    _ = float(acc)
+    stats_dev_ms = max(time.perf_counter() - t0 - lat, 1e-9) / K * 1e3
     # MXU accounting for the one-hot contractions: condMean does 2 einsums
     # (sums, sumsq) + 1 hit-sum; jpdf 3 einsums of [C,64]x[C,64] per chunk.
     # FLOPs ~ 2*cells*nbins per einsum (+ onehot build, not counted).

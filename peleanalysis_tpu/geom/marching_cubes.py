@@ -856,12 +856,12 @@ class DeferredSurface:
     Duck-types the MEF surface for downstream stages (positions/elements/
     names/n_nodes/n_elts)."""
 
-    def __init__(self, packed_dev, decode_kw, counts, xyz_fn):
+    def __init__(self, packed_dev, decode_kw, counts, xyz_rows=None):
         self._packed = packed_dev
         self._kw = decode_kw
         self._mef = None
         self._xyz = None
-        self._xyz_fn = xyz_fn
+        self._xyz_rows = xyz_rows    # cap-padded f32 rows, pre-fetched
         self.n_nodes = int(counts[0])
         self.n_elts = int(counts[1])
         self.names = ["X", "Y", "Z"] + list(decode_kw["names"])
@@ -871,7 +871,7 @@ class DeferredSurface:
             return self._mef.positions()
         if self._xyz is None:
             kw = self._kw
-            rows = np.asarray(self._xyz_fn(self._packed))
+            rows = self._xyz_rows
             parts, p = [], 0
             for lev in range(kw["nl"]):
                 parts.append(rows[p: p + kw["n_nod"][lev]])
@@ -981,6 +981,20 @@ def _xyz_slice(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1):
     return rows[:, :3]
 
 
+@partial(jax.jit, static_argnames=("node_caps", "tri_cap", "ne", "nl",
+                                  "want_eids", "words", "nfm1"))
+def _head_xyz(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1):
+    """Count header + bitcast node xyz columns as ONE int32 vector — one
+    tunnel transfer covers both the cap check and the seed positions a
+    downstream stream stage needs (a second fetch costs a full latency).
+    xyz ships in the state's native float width (exactness preserved)."""
+    head = packed[: 2 + ne + nl + ne]
+    xyz = _xyz_slice(packed, node_caps, tri_cap, ne, nl, want_eids, words,
+                     nfm1)
+    xb = jax.lax.bitcast_convert_type(xyz, jnp.int32)
+    return jnp.concatenate([head, xb.reshape(-1)])
+
+
 def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
                             iso_val: float,
                             extra_names: Sequence[str] = (),
@@ -1054,8 +1068,13 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
         packed_dev = fns[key](data_levels, masks, inlev_devs,
                               ok_devs, iso_val)
         if defer:
-            # fetch the count header only; the payload stays on device
-            head = np.asarray(packed_dev[: 2 + ne + nl + ne])
+            # one small fetch: count header + bitcast xyz columns; the
+            # full payload stays on device
+            hx = np.asarray(_head_xyz(packed_dev, node_caps, tri_cap, ne,
+                                      nl, want_eids, words, nf - 1))
+            head = hx[: 2 + ne + nl + ne]
+            xyz_rows = hx[2 + ne + nl + ne:].view(
+                np.float64 if words == 2 else np.float32).reshape(-1, 3)
             packed = None
         else:
             packed = np.asarray(packed_dev)
@@ -1086,11 +1105,8 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
                      nf=nf, names=names, iso_val=iso_val, label=label,
                      lmeta=dstate.lmeta, n_nod=n_nod, n_tri=n_tri)
     if defer:
-        def xyz_fn(p):
-            return _xyz_slice(p, node_caps, tri_cap, ne, nl, want_eids,
-                              words, nf - 1)
         surf = DeferredSurface(packed_dev, decode_kw,
-                               (n_uniq, n_tri), xyz_fn)
+                               (n_uniq, n_tri), xyz_rows=xyz_rows)
         if want_eids:
             return surf, None, None, tri_ns
         return surf

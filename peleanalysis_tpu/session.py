@@ -142,8 +142,13 @@ class Session:
     def get_surface(self, name: str):
         return self.surfaces.get(name)
 
-    def put_lines(self, name: str, names, lines, elements) -> None:
-        self.lines[name] = (names, lines, elements)
+    def put_lines(self, name: str, names, lines, get_elts, meta) -> None:
+        """Register a stream stage's output: (var names, [nline, station,
+        3+nf] array, LAZY connectivity thunk, AmrMeta) — downstream
+        StreamData consumers (stream2plt, sampleStreamlines, streamSub,
+        streamScatter, streamTubeStats) resolve it without a disk
+        round-trip."""
+        self.lines[name] = (names, lines, get_elts, meta)
 
     # -- driver ---------------------------------------------------------------
 
@@ -193,6 +198,23 @@ def dense_state(args: dict, st: AmrState) -> DenseAmrState:
         from .parallel.dense_shard import pad_state_to
         ds = pad_state_to(ds, (bucket,) * 3)
     return ds
+
+
+def read_stream(args: dict, path: str):
+    """Session-aware StreamData read: a registered upstream stream stage
+    resolves by output name; otherwise the on-disk format is parsed."""
+    s = get_session(args)
+    if s is not None and path in s.lines:
+        import numpy as np
+
+        from .io.stream_data import StreamData, compute_inside_nodes
+        names, lines, get_elts, meta = s.lines[path]
+        inside = compute_inside_nodes(meta,
+                                      lines[:, lines.shape[1] // 2, :3])
+        return StreamData(names, np.asarray(get_elts(), np.int32),
+                          inside, lines)
+    from .io.stream_data import read_stream_data
+    return read_stream_data(path)
 
 
 def stage_writes(args: dict) -> bool:

@@ -339,12 +339,24 @@ def trace_streamlines(
                     # The SEED station ships exact; the host reconstructs
                     # outward from the center, so drift is <= n_half
                     # quantization steps (~2e-4 h), not 2*n_half.
+                    # Everything packs into ONE int32 vector — a tuple
+                    # fetch pays one tunnel latency PER LEAF.
                     d = path[:, 1:] - path[:, :-1]
                     q = jnp.round(
                         d * (32000.0 / h_phys)).astype(jnp.int16)
+                    qf = q.ravel()
+                    if qf.size % 2:
+                        qf = jnp.concatenate(
+                            [qf, jnp.zeros(1, jnp.int16)])
+                    parts = [jax.lax.bitcast_convert_type(
+                                 path[:, n_half].astype(jnp.float32),
+                                 jnp.int32).ravel(),
+                             jax.lax.bitcast_convert_type(
+                                 qf.reshape(-1, 2), jnp.int32).ravel()]
                     if nf:
-                        return path[:, n_half], q, vals
-                    return path[:, n_half], q
+                        parts.append(jax.lax.bitcast_convert_type(
+                            vals.astype(jnp.float32), jnp.int32).ravel())
+                    return jnp.concatenate(parts)
                 if nf:
                     return jnp.concatenate([path, vals], axis=-1)
                 return path
@@ -359,8 +371,13 @@ def trace_streamlines(
                                  plo_g, dx, use_pallas)
         res = cache[key](all_data, masks, jnp.asarray(seeds[sel]), h_phys)
         if compress:
-            parts = jax.device_get(res)
-            pc, q = parts[0].astype(np.float64), parts[1]
+            packed = np.asarray(res)
+            ns2 = len(sel)
+            nq = ns2 * 2 * n_half * 3
+            pc = packed[: ns2 * 3].view(np.float32).reshape(
+                ns2, 3).astype(np.float64)
+            q = packed[ns2 * 3: ns2 * 3 + (nq + 1) // 2].view(
+                np.int16)[:nq].reshape(ns2, 2 * n_half, 3)
             d = q.astype(np.float64) * (h_phys / 32000.0)
             # stations ..n_half-1 | n_half (exact seed) | n_half+1..
             fwd = pc[:, None] + np.cumsum(d[:, n_half:], axis=1)
@@ -369,7 +386,9 @@ def trace_streamlines(
             out[sel, :, :3] = np.concatenate(
                 [bwd, pc[:, None], fwd], axis=1)
             if nf:
-                out[sel, :, 3:] = parts[2]
+                vb = packed[ns2 * 3 + (nq + 1) // 2:]
+                out[sel, :, 3:] = vb.view(np.float32).reshape(
+                    ns2, 2 * n_half + 1, nf)
         else:
             out[sel] = np.asarray(res)
     return out

@@ -125,6 +125,21 @@ def accumulate_conditional_mean(
             np.asarray(mins, np.float64), np.asarray(maxs, np.float64))
 
 
+@partial(jax.jit, static_argnames=("ib", "ia", "weights", "bin_min",
+                                   "bin_max", "nbins", "i1", "i2", "vols",
+                                   "pair_bounds", "pair_nbins"))
+def _stats_fused_jit(data_list, mask_list, ib, ia, weights, bin_min,
+                     bin_max, nbins, i1, i2, vols, pair_bounds, pair_nbins):
+    """Module-level jit (closure jits retrace per call — NOTES.md)."""
+    from .jpdf import _jpdf_all
+    cm = _accumulate_all(data_list, mask_list, ib, ia, weights,
+                         bin_min, bin_max, nbins, False)
+    f1 = [d[i1] for d in data_list]
+    f2 = [d[i2] for d in data_list]
+    jp = _jpdf_all(f1, f2, mask_list, vols, pair_bounds, pair_nbins)
+    return cm, jp
+
+
 def accumulate_stats_fused(dstate, bin_name: str, avg_names: Sequence[str],
                            nbins: int, bin_min: float, bin_max: float,
                            pair, pair_bounds, pair_nbins: int):
@@ -138,10 +153,7 @@ def accumulate_stats_fused(dstate, bin_name: str, avg_names: Sequence[str],
     (b, bx1, bx2)) with the standalone paths' float64 host reconstructions
     (identical numerics — the jitted accumulators are simply inlined into
     one program)."""
-    import jax.numpy as jnp
-
     from ..ops.stats import reconstruct_moments
-    from .jpdf import _jpdf_all
 
     meta = dstate.meta
     ndim = 2 if getattr(meta, "ndim2", False) else 3
@@ -154,18 +166,11 @@ def accumulate_stats_fused(dstate, bin_name: str, avg_names: Sequence[str],
     vols = tuple(float(np.prod(meta.geoms[lev].dx))
                  for lev in range(meta.n_levels))
 
-    @jax.jit
-    def fused(data_list, mask_list):
-        cm = _accumulate_all(data_list, mask_list, ib, ia, weights,
-                             float(bin_min), float(bin_max), nbins, False)
-        f1 = [d[i1] for d in data_list]
-        f2 = [d[i2] for d in data_list]
-        jp = _jpdf_all(f1, f2, mask_list, vols,
-                       tuple(float(v) for v in pair_bounds), pair_nbins)
-        return cm, jp
-
     (hits, sums_s, sumsq_s, shift), (b, bx1_s, bx2_s, c1, c2) = \
-        jax.device_get(fused(list(dstate.data), masks))
+        jax.device_get(_stats_fused_jit(
+            list(dstate.data), masks, ib, ia, weights,
+            float(bin_min), float(bin_max), nbins, i1, i2, vols,
+            tuple(float(v) for v in pair_bounds), pair_nbins))
     sums, sumsq = reconstruct_moments(hits, sums_s, sumsq_s, shift)
     b64 = np.asarray(b, np.float64)
     bx1 = np.asarray(bx1_s, np.float64) + np.float64(c1) * b64

@@ -110,7 +110,8 @@ def main(args: dict) -> None:
     pp = ParmParse(args)
     plotfile = pp.get_str("plotfile")
     path_file = pp.get_str("pathFile")
-    sd = read_stream_data(path_file)
+    from ..session import read_stream
+    sd = read_stream(args, path_file)
 
     r = PlotfileReader(plotfile)
     if pp.contains("comps"):

@@ -154,7 +154,7 @@ def main(args: dict) -> None:
         out_name = (pp.query_str("streamFile", None)
                     or pp.query_str("outFile", None))
         if out_name:
-            sess.put_lines(out_name, names, lines, get_elts)
+            sess.put_lines(out_name, names, lines, get_elts, st.meta)
     writes = stage_writes(args)
     if pp.contains("streamFile") and writes:
         inside = compute_inside_nodes(st.meta, lines[:, (lines.shape[1] // 2), :3])

@@ -81,7 +81,8 @@ def main(args: dict) -> None:
     pp = ParmParse(args)
     infile = pp.get_str("infile")
     outfile = pp.get_str("outfile")
-    sd = read_stream_data(infile)
+    from ..session import read_stream
+    sd = read_stream(args, infile)
     if pp.contains("comps"):
         names = [sd.names[int(c)] if c.isdigit() else c
                  for c in pp.get_str_list("comps")]

@@ -29,7 +29,8 @@ def main(args: dict) -> None:
     condValMoreThan= condValLessThan= [outfileBase=]"""
     pp = ParmParse(args)
     infile = pp.get_str("infile")
-    sd = read_stream_data(infile)
+    from ..session import read_stream
+    sd = read_stream(args, infile)
     var_names = [sd.names[int(v)] if v.isdigit() else v
                  for v in pp.get_str_list("vars")]
     if pp.contains("condVar") and pp.get_str("condVar"):

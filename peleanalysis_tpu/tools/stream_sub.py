@@ -17,7 +17,8 @@ def main(args: dict) -> None:
     pp = ParmParse(args)
     infile = pp.get_str("infile")
     outfile = pp.query_str("outfile", infile + "_new")
-    sd = read_stream_data(infile)
+    from ..session import read_stream
+    sd = read_stream(args, infile)
 
     if pp.contains("eltIDs"):
         elt_ids = np.array(pp.get_int_list("eltIDs"))

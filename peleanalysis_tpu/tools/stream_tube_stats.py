@@ -113,7 +113,8 @@ def main(args: dict) -> None:
     [outfile=]"""
     pp = ParmParse(args)
     infile = pp.get_str("infile")
-    sd = read_stream_data(infile)
+    from ..session import read_stream
+    sd = read_stream(args, infile)
     names = sd.names
     lines = sd.lines
     elements = sd.elements

@@ -444,7 +444,9 @@ def test_fetch_compress_roundtrip(tmp_path):
     # the exact seed station: drift <= n_half steps (x2 safety)
     bound = n_half * 0.5 * h / 32000.0 * 2 + 1e-12
     assert np.abs(exact[..., :3] - comp[..., :3]).max() < bound
-    # the seed station ships exact (f32)
-    np.testing.assert_array_equal(exact[:, n_half, :3], comp[:, n_half, :3])
+    # the seed station ships unquantized (f32; the two graphs differ by
+    # XLA fusion so the march itself regroups FMAs at the ulp level)
+    np.testing.assert_allclose(exact[:, n_half, :3], comp[:, n_half, :3],
+                               atol=1e-6)
     # the drift is ~50x below the accepted bf16-march deviation (0.01 cell)
     assert bound < 0.01 * ds.meta.geoms[-1].dx[0]
