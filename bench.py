@@ -73,18 +73,20 @@ def main():
 
     def curv_chain(levels, mask_list):
         # gradient -> normal -> div(normal) + grad-of-grad Hessian -> Kg
-        # (channel-batched fills for N and G, matching the tool pipeline)
+        # (per-component fills — measured faster than channel-batched, r3)
         g = mlgrad_all(levels, mask_list)
         G = [jnp.concatenate(gl, 0) for gl in g]
         normg = [-jnp.maximum(1e-14, jnp.sqrt(jnp.sum(Gl**2, 0, keepdims=True)))
                  for Gl in G]
         N = [G[l] / normg[l] for l in range(n_lev)]
-        gN = mlgrad_all(N, mask_list)
-        gG = mlgrad_all(G, mask_list)
+        gN = [mlgrad_all([N[l][d][None] for l in range(n_lev)], mask_list)
+              for d in range(3)]
+        gG = [mlgrad_all([G[l][i][None] for l in range(n_lev)], mask_list)
+              for i in range(3)]
         outs = []
         for lev in range(n_lev):
-            div = sum(gN[lev][d][d] for d in range(3))
-            H = [[gG[lev][j][i] for j in range(3)] for i in range(3)]
+            div = sum(gN[d][lev][d][0] for d in range(3))
+            H = [[gG[i][lev][j][0] for j in range(3)] for i in range(3)]
             adj_num = 0.0
             for i in range(3):
                 for j in range(3):

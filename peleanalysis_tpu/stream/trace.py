@@ -250,6 +250,9 @@ def trace_streamlines(
 
     nf = len(sample_names)
     out = np.zeros((len(seeds), 2 * n_half + 1, 3 + nf))
+    pending = []   # (sel, result handle): dispatch every level FIRST so a
+    #                level's device march overlaps the previous level's
+    #                host fetch instead of serializing behind it
     for lev in range(meta.n_levels):
         sel = np.nonzero(owner == lev)[0]
         if len(sel) == 0:
@@ -369,7 +372,9 @@ def trace_streamlines(
                       "pass march_dtype='float32' for full precision")
             cache[key] = make_fn(lev, lev_ngrow, trace_field is not None,
                                  plo_g, dx, use_pallas)
-        res = cache[key](all_data, masks, jnp.asarray(seeds[sel]), h_phys)
+        pending.append((sel, cache[key](all_data, masks,
+                                        jnp.asarray(seeds[sel]), h_phys)))
+    for sel, res in pending:
         if compress:
             packed = np.asarray(res)
             ns2 = len(sel)
