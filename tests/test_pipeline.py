@@ -149,3 +149,28 @@ def test_pipeline_stats_stage(plt, tmp_path, monkeypatch):
                  "avgComps=density", "nBins=16", "binMin=300",
                  "binMax=1800"]) == 0
     assert os.path.exists("CM_temp.dat")
+
+
+def test_pipeline_streamdata_handoff(plt, tmp_path, monkeypatch):
+    """stream write=0 -> streamTubeStats + stream2plt resolve the
+    StreamData from the session (no folder on disk), matching the
+    file-chained run."""
+    monkeypatch.chdir(tmp_path)
+    # file-chained reference
+    assert main(["isosurface", f"infile={plt}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=iso"]) == 0
+    assert main(["stream", f"plotfile={plt}", "isoFile=iso.mef",
+                 "nRKsteps=11", "streamFile=sd_ref"]) == 0
+    assert main(["streamTubeStats", "infile=sd_ref",
+                 "outfile=ref_tubes"]) == 0
+    # pipelined, stream kept in-session
+    assert main(["pipeline",
+                 "stream", f"plotfile={plt}", "isoFile=iso.mef",
+                 "nRKsteps=11", "streamFile=sd_mem", "write=0",
+                 "--",
+                 "streamTubeStats", "infile=sd_mem",
+                 "outfile=mem_tubes"]) == 0
+    assert not os.path.exists("sd_mem")
+    a = open("ref_tubes.mef", "rb").read()
+    b = open("mem_tubes.mef", "rb").read()
+    assert a == b
