@@ -32,38 +32,54 @@ def main(args: dict) -> None:
     FIRST listed file that has it)."""
     pp = ParmParse(args)
     import numpy as np
-    if pp.contains("infiles"):
+
+    from ..session import get_session, load_state, stage_writes
+    sess = get_session(args)
+
+    def _vars_of(f):
+        # in-session outputs of earlier pipeline stages shadow the path
+        if sess is not None and f in sess.plotfiles:
+            return sess.plotfiles[f].names
         from ..io.plotfile import PlotfileReader
+        return PlotfileReader(f).var_names
+
+    if pp.contains("infiles"):
         files = pp.get_str_list("infiles")
         remaining = list(pp.get_str_list("vars"))
         finest = pp.query_int("finestLevel", None)
         pp.query_int_list("is_per", [1, 1, 1])   # accepted; metadata-only
         sts = []
         for f in files:
-            have = [v for v in remaining
-                    if v in PlotfileReader(f).var_names]
+            have = [v for v in remaining if v in _vars_of(f)]
             if have:
-                sts.append(AmrState.from_plotfile(
-                    f, names=have, dtype=np.float64, max_level=finest))
+                # a session-registered state may carry MORE comps than
+                # requested: keep the selected list alongside
+                sts.append((load_state(args, f, names=have,
+                                       dtype=np.float64,
+                                       max_level=finest), have))
                 remaining = [v for v in remaining if v not in have]
         if remaining:
             raise ValueError("combinePlts: comps not found: "
                              + " ".join(remaining))
-        out = sts[0]
-        for st2 in sts[1:]:
-            out = combine(out, st2, out.names, st2.names)
+        out, sel0 = sts[0]
+        if list(out.names) != list(sel0):       # crop to the selection
+            idx = np.asarray([out.comp(n) for n in sel0])
+            out = out.with_data(list(sel0), [d[:, idx] for d in out.data])
+        for st2, sel2 in sts[1:]:
+            out = combine(out, st2, out.names, sel2)
         outfile = pp.get_str("outfile")
+    else:
+        f1 = pp.get_str("infile1")
+        f2 = pp.get_str("infile2")
+        st1 = load_state(args, f1, dtype=np.float64)
+        st2 = load_state(args, f2, dtype=np.float64)
+        comps1 = pp.query_str_list("comps1", st1.names)
+        comps2 = pp.query_str_list("comps2", [n for n in st2.names
+                                              if n not in comps1])
+        out = combine(st1, st2, comps1, comps2)
+        outfile = pp.query_str("outfile", f1 + "_comb")
+    if sess is not None:
+        sess.put_plotfile(outfile, out)
+    if stage_writes(args):
         out.to_plotfile(outfile)
         print(f"wrote {outfile}")
-        return
-    f1 = pp.get_str("infile1")
-    f2 = pp.get_str("infile2")
-    st1 = AmrState.from_plotfile(f1, dtype=np.float64)
-    st2 = AmrState.from_plotfile(f2, dtype=np.float64)
-    comps1 = pp.query_str_list("comps1", st1.names)
-    comps2 = pp.query_str_list("comps2", [n for n in st2.names
-                                          if n not in comps1])
-    out = combine(st1, st2, comps1, comps2)
-    outfile = pp.query_str("outfile", f1 + "_comb")
-    out.to_plotfile(outfile)
-    print(f"wrote {outfile}")

@@ -174,3 +174,22 @@ def test_pipeline_streamdata_handoff(plt, tmp_path, monkeypatch):
     a = open("ref_tubes.mef", "rb").read()
     b = open("mem_tubes.mef", "rb").read()
     assert a == b
+
+
+def test_pipeline_combine_plts_stage(plt, tmp_path, monkeypatch):
+    """combinePlts consumes two earlier write=0 stages' plotfile outputs
+    straight from the session."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["pipeline",
+                 "grad", f"infile={plt}", "gradVar=temp", "outfile=g",
+                 "write=0",
+                 "--",
+                 "curvature", f"infile={plt}", "progressName=temp",
+                 "outfile=K", "write=0",
+                 "--",
+                 "combinePlts", "infiles=g K",
+                 "vars=||gradtemp|| MeanCurvature_temp",
+                 "outfile=comb"]) == 0
+    assert not os.path.exists("g") and not os.path.exists("K")
+    st = AmrState.from_plotfile("comb", dtype=np.float64)
+    assert st.names == ["||gradtemp||", "MeanCurvature_temp"]
