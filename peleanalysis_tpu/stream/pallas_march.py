@@ -70,7 +70,7 @@ def _block_bases(pos, plo, dx, S, C):
 
 
 def _round_kernel(C: int, L: int, K: int, S: Tuple[int, int, int],
-                  plo, dx, h):
+                  plo, dx, h, block_dtype=jnp.float32):
     """Kernel body for one K-step round."""
     tiny = float(np.finfo(np.float32).tiny)
 
@@ -153,7 +153,10 @@ def _round_kernel(C: int, L: int, K: int, S: Tuple[int, int, int],
             # of VMEM at compile; the two-pass form compiles and runs)
             acc = None                                     # x-contract
             for i in range(ilo, ihi + 1):
-                term = blocks[:, i] * wx[:, i][:, None, None]  # [L,BY,BZL]
+                # bf16 blocks halve the VMEM read bytes (the kernel's
+                # bound); the multiply upconverts to f32 on the VPU
+                blk = blocks[:, i].astype(jnp.float32)
+                term = blk * wx[:, i][:, None, None]           # [L,BY,BZL]
                 acc = term if acc is None else acc + term
             acc2 = None                                    # y-contract
             for j in range(jlo, jhi + 1):
@@ -208,9 +211,9 @@ def _round_kernel(C: int, L: int, K: int, S: Tuple[int, int, int],
 def _march_round(field_zc, pos, alive, bases, dirs, K: int, L: int,
                  consts, interpret: bool = False):
     """One K-step round over all lines (grid over L-line chunks)."""
-    S, plo, dx, h, C = consts
+    S, plo, dx, h, C, bdt = consts
     N = pos.shape[0]
-    kernel = _round_kernel(C, L, K, S, plo, dx, h)
+    kernel = _round_kernel(C, L, K, S, plo, dx, h, bdt)
     grid = (N // L,)
 
     def blockL(*tail):
@@ -237,7 +240,7 @@ def _march_round(field_zc, pos, alive, bases, dirs, K: int, L: int,
             jax.ShapeDtypeStruct((N, 3), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((L, BX, BY, BZL), jnp.float32),
+            pltpu.VMEM((L, BX, BY, BZL), jnp.dtype(bdt)),
             pltpu.SemaphoreType.DMA((L,)),
         ],
         interpret=interpret,
@@ -247,11 +250,15 @@ def _march_round(field_zc, pos, alive, bases, dirs, K: int, L: int,
 
 def march_pallas(vec: jnp.ndarray, plo, dx, h, seeds: jnp.ndarray,
                  n_steps: int, dirs: jnp.ndarray,
-                 L: int = 32, interpret: bool = False) -> jnp.ndarray:
+                 L: int = 32, interpret: bool = False,
+                 block_dtype=jnp.float32) -> jnp.ndarray:
     """March seeds n_steps (RK4, normalized vector = arclength steps).
 
     vec: [C, SX, SY, SZ] traced vector field; seeds [N,3]; dirs [N] (+-1).
     Returns pos [n_steps+1, N, 3] matching _trace_level's layout.
+    block_dtype=jnp.bfloat16 stores the resident VMEM blocks (and DMAs)
+    in bf16 — half the bytes on the kernel's VMEM-read bound; the same
+    accuracy class as the XLA path's default bfloat16 field marching.
     """
     C, SX, SY, SZ = vec.shape
     S = (SX, SY, SZ)
@@ -262,7 +269,7 @@ def march_pallas(vec: jnp.ndarray, plo, dx, h, seeds: jnp.ndarray,
     # edge-padded so bases never clip (pad values are read only with weight
     # exactly 0, but must be finite — edge mode guarantees it)
     field_zc = jnp.transpose(vec, (1, 2, 3, 0)).reshape(
-        SX, SY, SZ * C).astype(jnp.float32)
+        SX, SY, SZ * C).astype(block_dtype)
     field_zc = jnp.pad(field_zc, (PADX, PADY, PADZ), mode="edge")
     N = seeds.shape[0]
     pad = (-N) % L
@@ -281,7 +288,8 @@ def march_pallas(vec: jnp.ndarray, plo, dx, h, seeds: jnp.ndarray,
             "margin (3 cells/round); use the XLA engine for this step size")
     K = max(int(np.floor(3.0 / h_cells - 1.0 + 1e-9)), 1)
     consts = (S, tuple(float(v) for v in plo),
-              tuple(float(v) for v in dx), float(h), C)
+              tuple(float(v) for v in dx), float(h), C,
+              jnp.dtype(block_dtype).name)
 
     bases = _block_bases(seeds32, consts[1], consts[2], S, C)
     pos = seeds32

@@ -320,10 +320,16 @@ def trace_streamlines(
                 dirs = jnp.concatenate([jnp.ones(ns), -jnp.ones(ns)])
                 if _use_pallas:
                     from .pallas_march import march_pallas
+                    # bf16 resident blocks when the march is lossy anyway
+                    # (the default): half the VMEM-read bytes — the
+                    # kernel's measured bound
+                    bdt = (jnp.bfloat16 if march_dtype == "bfloat16"
+                           else jnp.float32)
                     pos2 = march_pallas(
                         vec, tuple(float(v) for v in plo_np),
                         tuple(float(v) for v in _dx), h_phys,
-                        jnp.concatenate([sseeds, sseeds]), n_half, dirs)
+                        jnp.concatenate([sseeds, sseeds]), n_half, dirs,
+                        block_dtype=bdt)
                     pos2 = pos2.astype(grown.dtype)
                 else:
                     if march_dtype:

@@ -450,3 +450,33 @@ def test_fetch_compress_roundtrip(tmp_path):
                                atol=1e-6)
     # the drift is ~50x below the accepted bf16-march deviation (0.01 cell)
     assert bound < 0.01 * ds.meta.geoms[-1].dx[0]
+
+
+def test_pallas_march_bf16_blocks(tmp_path):
+    """bf16 resident blocks (the default when the march is lossy) stay
+    within the accepted bf16-march deviation of the f32 blocks."""
+    import jax.numpy as jnp
+    from peleanalysis_tpu.stream.pallas_march import march_pallas
+    rng = np.random.default_rng(2)
+    S = (24, 20, 90)
+    xs = [np.linspace(0, 1, s) for s in S]
+    X, Y, Z = np.meshgrid(*xs, indexing="ij")
+    vec = jnp.asarray(np.stack([
+        -(Y - 0.5) + 0.05 * np.sin(6 * Z),
+        (X - 0.5) + 0.05 * np.cos(5 * Z),
+        0.1 * np.sin(4 * X)]), jnp.float32)
+    plo = np.zeros(3)
+    dx = np.array([1 / 23, 1 / 19, 1 / 89])
+    h = float(0.5 * dx.min())
+    n = 8
+    seeds = np.stack([0.35 + 0.3 * rng.random(n) for _ in range(3)], 1)
+    dirs = np.where(rng.random(n) > 0.5, 1.0, -1.0)
+    f32 = march_pallas(vec, plo, dx, h, jnp.asarray(seeds), 9,
+                       jnp.asarray(dirs), L=8, interpret=True)
+    b16 = march_pallas(vec, plo, dx, h, jnp.asarray(seeds), 9,
+                       jnp.asarray(dirs), L=8, interpret=True,
+                       block_dtype=jnp.bfloat16)
+    d = np.abs(np.asarray(f32) - np.asarray(b16)).max()
+    # same acceptance bound as the XLA bf16 default (~0.01 finest cell/step
+    # accumulated); dx.min()=1/89
+    assert d < 0.2 * dx.min(), d
