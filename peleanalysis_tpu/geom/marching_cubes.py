@@ -322,6 +322,10 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # isosurface.cpp:834-873).
 # ---------------------------------------------------------------------------
 _TRI_TABLE_DEV = jnp.asarray(TRI_TABLE[:, :15].reshape(256, 5, 3))
+_TRI_COUNT_DEV = jnp.asarray(TRI_COUNT)
+# states above this cell count pay a counts-probe before the first big
+# enum build (see extract_isosurface_enum); tests lower it to force the path
+_PROBE_MIN_CELLS = 1 << 22
 _PAIR_A = tuple(int(v) for v in CORNER_PAIRS[:, 0])
 _PAIR_B = tuple(int(v) for v in CORNER_PAIRS[:, 1])
 _I32MAX = np.int32(np.iinfo(np.int32).max)
@@ -636,7 +640,7 @@ def _coarsen_edge_mask(m: jnp.ndarray, a: int, r: int, gbox_lo, cshape,
 
 def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
                    tri_cap, unwraps, spans_all, emit_levels=None,
-                   want_eids=False):
+                   want_eids=False, counts_only=False):
     """Jitted fill->classify->enumerate->emit over the whole hierarchy;
     returns ONE packed int32 vector
     [counts | elements | (eids) | bitcast(nodes)].
@@ -707,6 +711,21 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
                                         for a in range(3)])
                        for lev in range(n_levels)]
         n_nodes_lev = [jnp.sum(f).astype(jnp.int32) for f in flat_levels]
+
+        if counts_only:
+            # capacity probe: exact per-level active/node counts + the
+            # exact triangle total WITHOUT the gather/emission phases —
+            # a much smaller graph that compiles fast, so the big engine
+            # compiles ONCE with the right caps instead of re-compiling
+            # through the adaptation loop (the r3 cold-compile lever)
+            n_act = [jnp.sum(acts[lev]).astype(jnp.int32)
+                     for lev in emit_levels]
+            n_tri = sum(
+                jnp.sum(jnp.where(acts[lev], _TRI_COUNT_DEV[cis[lev]], 0))
+                for lev in emit_levels).astype(jnp.int32)
+            return jnp.concatenate(
+                [jnp.stack(n_act),
+                 jnp.stack(n_nodes_lev).astype(jnp.int32), n_tri[None]])
         rank_vols = []
         inc_levels = []                     # inclusive cumsums, reused by the
         offset = jnp.asarray(0, jnp.int32)  # node compaction searchsorted
@@ -1056,6 +1075,30 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
     # payload is the tunnel-bound part of the tool), bigger gran = fewer
     # recompiles across surfaces; 2048 rows is ~24 KB of payload per step
     gran = 2048
+    tot_cells = sum(int(np.prod(dstate.lmeta[lev].bbox.shape))
+                    for lev in range(nl))
+    if (not caps_d or not ncaps_d) and tot_cells > _PROBE_MIN_CELLS:
+        # first extraction on a LARGE state: probe the exact counts with a
+        # small (fast-compiling) graph, so the big engine compiles ONCE
+        # with the right caps — cold compiles used to pay 2-4 full builds
+        # through the adaptation loop (measured r3: each is 30-130 s at
+        # 128^3-512^3 scale through the remote compile service).  Small
+        # states skip the probe: their full build is cheap enough that the
+        # extra probe graph isn't worth it.
+        pkey = ("counts", len(names), bc, str(dtype), emit)
+        if pkey not in fns:
+            fns[pkey] = _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
+                                       3, None, None, None, unwraps,
+                                       spans_all, emit, counts_only=True)
+        pc = np.asarray(fns[pkey](data_levels, masks, inlev_devs, ok_devs,
+                                  iso_val))
+        for k, lev in enumerate(emit):
+            caps_d[lev] = _pad_gran(max(int(pc[k]), 1), gran, gran)
+        for lev in range(nl):
+            ncaps_d[lev] = _pad_gran(max(int(pc[ne + lev]), 1), gran, gran)
+        tri_cap = dstate._mc_enum_tricap = _pad_gran(
+            max(int(pc[ne + nl]), 1), gran, gran)
+
     for _attempt in range(4):
         caps = tuple(caps_d.get(lev, 1 << 14) for lev in range(nl))
         node_caps = tuple(ncaps_d.get(lev, 1 << 14) for lev in range(nl))

@@ -298,3 +298,30 @@ def test_isosurface_cli_sharded_matches(tmp_path, monkeypatch):
     a, b = read_mef("a.mef"), read_mef("b.mef")
     np.testing.assert_allclose(a.nodes, b.nodes, atol=0)
     np.testing.assert_array_equal(a.elements, b.elements)
+
+
+def test_counts_probe_sets_exact_caps(tmp_path, monkeypatch):
+    """The counts probe (first extraction on a large state) sets caps so
+    the big engine compiles once with exact capacities and the surface is
+    identical to the non-probed path."""
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.amr.hierarchy import AmrState
+    from peleanalysis_tpu.geom import marching_cubes as mc
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2)
+    ds_a = DenseAmrState.from_batched(AmrState.from_plotfile(path))
+    ds_b = DenseAmrState.from_batched(AmrState.from_plotfile(path))
+    ref = mc.extract_isosurface(ds_a, "temp", 800.0, classify="enum")
+    monkeypatch.setattr(mc, "_PROBE_MIN_CELLS", 0)
+    got = mc.extract_isosurface(ds_b, "temp", 800.0, classify="enum")
+    import numpy as np
+    np.testing.assert_array_equal(ref.nodes, got.nodes)
+    np.testing.assert_array_equal(ref.elements, got.elements)
+    # the probe ran (its compiled fn is cached) and the caps it set were
+    # exact: the engine's observed counts fit them on the first attempt,
+    # so only ONE big fn exists in the cache
+    keys = list(ds_b._mc_enum_fns)
+    assert any(k[0] == "counts" for k in keys)
+    assert sum(1 for k in keys if k[0] != "counts") == 1
