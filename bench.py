@@ -15,6 +15,7 @@ compaction), like a user running the tool.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -171,7 +172,8 @@ def main():
     iso_dev_ms = None
     try:
         from peleanalysis_tpu.geom import marching_cubes as _mc
-        fn = dstate._mc_enum_fns[list(dstate._mc_enum_fns.keys())[-1]]
+        fn = dstate._mc_enum_fns[
+            [k for k in dstate._mc_enum_fns if k[0] != "counts"][-1]]
         coord = _mc._coord_levels(dstate)
         dls = [jnp.concatenate([coord[l],
                                 dstate.data[l][np.asarray([ic])]], axis=0)
@@ -306,6 +308,59 @@ def main():
     except Exception as e:
         print(f"# chain bench skipped: {e!r}")
 
+    # ---- CLI-level: file-chained tools vs pipeline mode --------------------
+    # the user-facing win of `pipeline ... -- ...`: shared plotfile loads,
+    # dense conversions and engine builds, in-session intermediate artifacts.
+    # Measured on a real on-disk plotfile (32^3 x 3 levels, ~2.4M cells).
+    cli_seq_ms = cli_pipe_ms = None
+    try:
+        import shutil
+        import tempfile
+
+        from peleanalysis_tpu.cli import main as cli_main
+        from peleanalysis_tpu.testing import write_synthetic_plotfile
+        td = tempfile.mkdtemp()
+        pltf = os.path.join(td, "plt")
+        write_synthetic_plotfile(pltf, n_cell=32, n_levels=3)
+
+        def run_seq(tag):
+            b = os.path.join(td, tag)
+            cli_main(["grad", f"infile={pltf}", "gradVar=temp",
+                      f"outfile={b}_g"])
+            cli_main(["curvature", f"infile={pltf}", "progressName=temp",
+                      f"outfile={b}_K"])
+            cli_main(["isosurface", f"infile={pltf}", "isoCompName=temp",
+                      "isoVal=800", f"outfile_base={b}_iso"])
+            cli_main(["stream", f"plotfile={pltf}", "traceAlongV=1",
+                      f"isoFile={b}_iso.mef", "nRKsteps=21",
+                      f"outFile={b}_lines.dat"])
+
+        def run_pipe(tag):
+            b = os.path.join(td, tag)
+            cli_main(["pipeline",
+                      "grad", f"infile={pltf}", "gradVar=temp",
+                      f"outfile={b}_g", "--",
+                      "curvature", f"infile={pltf}", "progressName=temp",
+                      f"outfile={b}_K", "--",
+                      "isosurface", f"infile={pltf}", "isoCompName=temp",
+                      "isoVal=800", f"outfile_base={b}_iso", "write=0",
+                      "--",
+                      "stream", f"plotfile={pltf}", "traceAlongV=1",
+                      f"isoFile={b}_iso.mef", "nRKsteps=21",
+                      f"outFile={b}_lines.dat"])
+
+        run_seq("w1")        # warm compiles/caches for both paths
+        run_pipe("w2")
+        t0 = time.perf_counter()
+        run_seq("s")
+        cli_seq_ms = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        run_pipe("p")
+        cli_pipe_ms = (time.perf_counter() - t0) * 1e3
+        shutil.rmtree(td, ignore_errors=True)
+    except Exception as e:
+        print(f"# cli pipeline bench skipped: {e!r}")
+
     def numpy_trace(field, plo, dxs, seeds, n_half, h):
         pos = seeds.copy()
         out = [pos.copy()]
@@ -437,6 +492,10 @@ def main():
             "stream_4096lines_ms": round(stream_ms, 1),
             "pipeline_chain_ms": (round(chain_ms, 1)
                                   if chain_ms is not None else None),
+            "cli_sequential_ms": (round(cli_seq_ms, 1)
+                                  if cli_seq_ms is not None else None),
+            "cli_pipeline_ms": (round(cli_pipe_ms, 1)
+                                if cli_pipe_ms is not None else None),
             "condmean_jpdf_ms": round(stats_ms, 1),
             "cpu_grad_ms": round(cpu_grad * 1e3, 1),
             "cpu_curvature_ms": round(cpu_curv * 1e3, 1),
