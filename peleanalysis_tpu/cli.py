@@ -100,8 +100,8 @@ def main(argv=None, session=None) -> int:
                 cur.append(tok)
         if cur:
             stages.append(cur)
-        if not stages:
-            print("pipeline: no stages (usage: pipeline <tool> k=v ... "
+        if not stages or any(not s for s in stages):
+            print("pipeline: empty stage (usage: pipeline <tool> k=v ... "
                   "-- <tool> k=v ...)")
             return 2
         for stage in stages:
@@ -167,7 +167,10 @@ def main(argv=None, session=None) -> int:
     # the reference silently ignores unknown ParmParse keys; a typo'd key
     # costs real debugging time, so warn (stderr, non-fatal)
     touched = set().union(*(pp.touched for pp in _ACTIVE)) if _ACTIVE else set()
-    unused = set(args) - touched - {"_tool", "dtype", "_session", "write"}
+    unused = set(args) - touched - {"_tool", "dtype", "_session"}
+    if session is not None:
+        unused -= {"write"}   # pipeline-mode key; outside a pipeline an
+        #                       ignored write= should WARN like any typo
     if unused:
         print(f"warning: unused input keys (typo?): {' '.join(sorted(unused))}",
               file=sys.stderr)

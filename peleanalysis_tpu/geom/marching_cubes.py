@@ -890,19 +890,16 @@ class DeferredSurface:
             return self._mef.positions()
         if self._xyz is None:
             kw = self._kw
-            rows = self._xyz_rows
-            parts, p = [], 0
-            for lev in range(kw["nl"]):
-                parts.append(rows[p: p + kw["n_nod"][lev]])
-                p += kw["node_caps"][lev]
-            self._xyz = (np.concatenate(parts) if parts
-                         else np.zeros((0, 3)))
+            self._xyz = _valid_node_rows(self._xyz_rows, kw["node_caps"],
+                                         kw["n_nod"], 3)
         return np.asarray(self._xyz, np.float64)
 
     def to_mef(self) -> MEF:
         if self._mef is None:
             self._mef = _decode_packed(np.asarray(self._packed),
                                        **self._kw)[0]
+            self._packed = None      # free the device buffer (it can be
+            #                          tens of MB of HBM per surface)
         return self._mef
 
     @property
@@ -914,7 +911,18 @@ class DeferredSurface:
         return self.to_mef().nodes
 
 
-def _decode_packed(packed: np.ndarray, *, nl, ne, caps, node_caps, tri_cap,
+def _valid_node_rows(rows, node_caps, n_nod, width):
+    """Slice the TRUE per-level prefixes out of cap-padded node rows."""
+    parts, p = [], 0
+    for lev in range(len(node_caps)):
+        parts.append(rows[p: p + n_nod[lev]])
+        p += node_caps[lev]
+    return (np.concatenate(parts) if parts
+            else np.zeros((0, width), rows.dtype if hasattr(rows, "dtype")
+                          else np.float64))
+
+
+def _decode_packed(packed: np.ndarray, *, nl, ne, node_caps, tri_cap,
                    want_eids, words, nf, names, iso_val, label, lmeta,
                    n_nod, n_tri):
     """Host-side decode of the enum engine's packed result vector."""
@@ -965,11 +973,7 @@ def _decode_packed(packed: np.ndarray, *, nl, ne, caps, node_caps, tri_cap,
                       else np.float32).reshape(sum(node_caps), nf - 1)
     # valid node rows are per-level cap-padded prefixes; global node ids are
     # dense ranks over the TRUE per-level counts -> slice and concatenate
-    parts, p = [], 0
-    for lev in range(nl):
-        parts.append(rows[p: p + n_nod[lev]])
-        p += node_caps[lev]
-    shipped = np.concatenate(parts) if parts else np.zeros((0, nf - 1))
+    shipped = _valid_node_rows(rows, node_caps, n_nod, nf - 1)
     nodes = np.empty((len(shipped), nf), shipped.dtype)
     nodes[:, :3] = shipped[:, :3]
     nodes[:, 3] = iso_val                  # iso comp re-inserted (comp 3)
@@ -1143,7 +1147,7 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
                              "use classify='device' for larger extractions")
         if ok:
             break
-    decode_kw = dict(nl=nl, ne=ne, caps=caps, node_caps=node_caps,
+    decode_kw = dict(nl=nl, ne=ne, node_caps=node_caps,
                      tri_cap=tri_cap, want_eids=want_eids, words=words,
                      nf=nf, names=names, iso_val=iso_val, label=label,
                      lmeta=dstate.lmeta, n_nod=n_nod, n_tri=n_tri)

@@ -51,6 +51,11 @@ def make_spatial_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs).reshape(shape), SPATIAL_AXES[: len(shape)])
 
 
+def mesh_from_pp(pp, ndev: int) -> Mesh:
+    """Mesh from the shared CLI keys: ndevices=N [mesh_shape=a b [c]]."""
+    return make_spatial_mesh(ndev, pp.query_int_list("mesh_shape", None))
+
+
 def _dim_axes(mesh: Mesh) -> List[Optional[str]]:
     """Mesh axis name (or None) per spatial dim 0..2."""
     names: List[Optional[str]] = [None, None, None]

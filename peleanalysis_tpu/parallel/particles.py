@@ -166,12 +166,13 @@ def _migrate_march(slabs, plo_loc, pos0, pdir0, pid0, used0,
 
         mes = [jax.lax.axis_index(axes[d]) for d in range(k)]
 
-        def pack_send(mask, pos, pdir, pid, alive):
+        def pack_send(mask, pos, pdir, pid):
+            # movers are alive by construction (moving = alive & ...), so
+            # no alive flag ships — arrivals are set alive=True directly
             order = jnp.argsort(~mask)                    # movers first
             sel = order[:scap]
             over = jnp.sum(mask) > scap
-            return (pos[sel], pdir[sel], pid[sel],
-                    mask[sel], alive[sel]), over
+            return (pos[sel], pdir[sel], pid[sel], mask[sel]), over
 
         def route_dim(d, pos, pdir, pid, alive, used, over):
             # movers cross at most one block per step per dim (halo bound)
@@ -184,8 +185,8 @@ def _migrate_march(slabs, plo_loc, pos0, pdir0, pid0, used0,
             moving = alive & (own != mes[d])
             go_r = moving & (own > mes[d])
             go_l = moving & (own < mes[d])
-            send_r, ov_r = pack_send(go_r, pos, pdir, pid, alive)
-            send_l, ov_l = pack_send(go_l, pos, pdir, pid, alive)
+            send_r, ov_r = pack_send(go_r, pos, pdir, pid)
+            send_l, ov_l = pack_send(go_l, pos, pdir, pid)
             gone = go_r | go_l
             used = used & ~gone
             alive = alive & ~gone
@@ -200,12 +201,11 @@ def _migrate_march(slabs, plo_loc, pos0, pdir0, pid0, used0,
             rdir = jnp.concatenate([recv_l[1], recv_r[1]])
             rid = jnp.concatenate([recv_l[2], recv_r[2]])
             rvalid = jnp.concatenate([recv_l[3], recv_r[3]])
-            ralive = jnp.concatenate([recv_l[4], recv_r[4]])
 
             # merge received into free slots (valid arrivals first)
             r_ord = jnp.argsort(~rvalid)
             rpos, rdir, rid = rpos[r_ord], rdir[r_ord], rid[r_ord]
-            rvalid, ralive = rvalid[r_ord], ralive[r_ord]
+            rvalid = rvalid[r_ord]
             free = jnp.argsort(used)                      # free slots first
             if 2 * scap > cap:  # pad with the drop sentinel
                 free = jnp.concatenate(
@@ -216,7 +216,7 @@ def _migrate_march(slabs, plo_loc, pos0, pdir0, pid0, used0,
             pos = pos.at[tgt].set(rpos, mode="drop")
             pdir = pdir.at[tgt].set(rdir, mode="drop")
             pid = pid.at[tgt].set(rid, mode="drop")
-            alive = alive.at[tgt].set(ralive, mode="drop")
+            alive = alive.at[tgt].set(True, mode="drop")
             used = used.at[tgt].set(True, mode="drop")
             over = over | ov_r | ov_l | (jnp.sum(rvalid) > nfree)
             return pos, pdir, pid, alive, used, over

@@ -54,7 +54,11 @@ class Session:
 
     def __init__(self) -> None:
         self._states: Dict[Tuple, AmrState] = {}
-        self._dense: Dict[int, DenseAmrState] = {}
+        self._dense: Dict[Tuple, DenseAmrState] = {}
+        # retain every state we keyed by id(): without this, a replaced
+        # registry entry could be GC'd and its id recycled by a NEW state,
+        # making _dense serve another state's cached arrays
+        self._retain: Dict[int, AmrState] = {}
         self.plotfiles: Dict[str, AmrState] = {}   # output name -> state
         self.surfaces: Dict[str, object] = {}      # output name -> MEF
         self.lines: Dict[str, tuple] = {}          # name -> (names, lines,
@@ -65,13 +69,43 @@ class Session:
     def load(self, path: str, names: Optional[Sequence[str]] = None,
              max_level=None, is_periodic=None, dtype=None) -> AmrState:
         """Cached AmrState.from_plotfile; extends the comp set in place."""
-        # a previous stage's in-memory output shadows the path
+        # a previous stage's in-memory output shadows the path — but only
+        # when the requested load options match what the producer built
+        # (else the consumer would silently get the wrong geometry/levels/
+        # precision); a mismatch falls back to the on-disk file
         if path in self.plotfiles:
             st = self.plotfiles[path]
-            if names is None or all(n in st.names for n in names):
+            import jax.numpy as jnp
+
+            from . import config
+            per_ok = (is_periodic is None
+                      or tuple(bool(p) for p in is_periodic)
+                      == tuple(bool(p) for p in st.meta.geoms[0].is_periodic))
+            lev_ok = (max_level is None
+                      or max_level >= st.meta.n_levels - 1)
+            # a WIDER request than the registered dtype is value-preserving
+            # (a written plotfile stores f64 copies of f32 values, so the
+            # file-chained run would read the identical values); only a
+            # narrowing request forces the disk fallback
+            req = jnp.zeros((), dtype or config.compute_dtype).dtype
+            dt_ok = np.dtype(req).itemsize >= st.data[0].dtype.itemsize
+            comp_ok = (names is None
+                       or all(n in st.names for n in names))
+            if per_ok and lev_ok and dt_ok and comp_ok:
                 return st
-            # fall through: the registered output lacks a needed comp but
-            # the file may have been written with more — reload from disk
+            import os
+            if not os.path.isdir(path):
+                missing = ([] if comp_ok else
+                           [n for n in names if n not in st.names])
+                raise ValueError(
+                    f"pipeline stage needs '{path}' with "
+                    + (f"comps {missing}" if missing else
+                       "different load options (periodicity/levels/dtype)")
+                    + f", but the registered in-session output doesn't "
+                    f"match and the stage that produced it ran with "
+                    f"write=0 (no file on disk). Re-run the producer "
+                    f"with write=1 or align the options.")
+            # fall through: reload the richer on-disk file
         key = _state_key(path, max_level, is_periodic, dtype)
         st = self._states.get(key)
         if st is None:
@@ -125,6 +159,7 @@ class Session:
                 from .parallel.dense_shard import pad_state_to
                 ds = pad_state_to(ds, (bucket,) * 3)
             self._dense[(id(st), bucket)] = ds
+            self._retain[id(st)] = st
         return ds
 
     # -- artifact registry ----------------------------------------------------

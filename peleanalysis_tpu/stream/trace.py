@@ -424,6 +424,7 @@ def trace_streamlines_sparse(
     march_dtype: Optional[str] = None,
     march_engine: str = "auto",
     ngrow: Optional[int] = None,
+    fetch_compress: Optional[bool] = None,
 ) -> np.ndarray:
     """Sparse-refinement trace: the finest level is processed as dense
     CLUSTERS (amr/cluster.py) so HBM scales with cluster bboxes instead of
@@ -471,7 +472,7 @@ def trace_streamlines_sparse(
     out = np.zeros((len(seeds), 2 * n_half + 1, 3 + nf))
     kw = dict(trace_field=trace_field, sample_names=sample_names, bc=bc,
               march_dtype=march_dtype, march_engine=march_engine,
-              ngrow=ngrow)
+              ngrow=ngrow, fetch_compress=fetch_compress)
     coarse_sel = np.nonzero(~on_fine)[0]
     if len(coarse_sel):
         out[coarse_sel] = trace_streamlines(

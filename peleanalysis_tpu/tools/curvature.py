@@ -441,9 +441,9 @@ def main(args: dict) -> None:
     dstate = dense_state(args, state)
     ndev = pp.query_int("ndevices", 1)
     if ndev > 1:
-        from ..parallel.dense_shard import (make_spatial_mesh,
+        from ..parallel.dense_shard import (mesh_from_pp,
                                             shard_dense_state)
-        dstate = shard_dense_state(dstate, make_spatial_mesh(ndev, pp.query_int_list("mesh_shape", None)))
+        dstate = shard_dense_state(dstate, mesh_from_pp(pp, ndev))
     out = compute_curvature_dense(
         dstate, progress_name,
         do_strain=do_strain, do_velnormal=do_velnormal,

@@ -201,9 +201,9 @@ def main(args: dict) -> None:
     if ndev > 1:
         # spatial SPMD over a device mesh (DistributionMapping analog,
         # grad.cpp:160-163); non-divisible levels are padded
-        from ..parallel.dense_shard import (make_spatial_mesh,
+        from ..parallel.dense_shard import (mesh_from_pp,
                                             shard_dense_state)
-        dstate = shard_dense_state(dstate, make_spatial_mesh(ndev, pp.query_int_list("mesh_shape", None)))
+        dstate = shard_dense_state(dstate, mesh_from_pp(pp, ndev))
     out = compute_grad_dense(
         dstate, var, aux=tuple(aux), sym_dir=sym_dir,
         interp=pp.query_str("cf_interp", "quadratic"),

@@ -67,9 +67,9 @@ def main(args: dict) -> None:
         ds = None if sparse else dense_state(args, st)
         ndev = pp.query_int("ndevices", 1)
         if ds is not None and ndev > 1:
-            from ..parallel.dense_shard import (make_spatial_mesh,
+            from ..parallel.dense_shard import (mesh_from_pp,
                                                 shard_dense_state)
-            ds = shard_dense_state(ds, make_spatial_mesh(ndev, pp.query_int_list("mesh_shape", None)))
+            ds = shard_dense_state(ds, mesh_from_pp(pp, ndev))
     if st.meta.ndim2:
         # DIM=2 plotfile: marching squares -> polyline contour MEF
         from ..geom.marching_squares import extract_isolines

@@ -137,7 +137,8 @@ def main(args: dict) -> None:
                 trace_field=None if trace_along_v else progress_name,
                 sample_names=sample,
                 march_engine=pp.query_str("marchEngine", "auto"),
-                ngrow=pp.query_int("nGrow", None))
+                ngrow=pp.query_int("nGrow", None),
+                fetch_compress=fcomp)
         else:
             lines = trace_streamlines(
                 ds, seeds, n_rk, h_rk,

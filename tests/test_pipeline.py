@@ -193,3 +193,23 @@ def test_pipeline_combine_plts_stage(plt, tmp_path, monkeypatch):
     assert not os.path.exists("g") and not os.path.exists("K")
     st = AmrState.from_plotfile("comb", dtype=np.float64)
     assert st.names == ["||gradtemp||", "MeanCurvature_temp"]
+
+
+def test_pipeline_rejects_empty_stage(plt):
+    assert main(["pipeline", "--", "grad", f"infile={plt}"]) == 2
+    assert main(["pipeline"]) == 2
+
+
+def test_session_output_option_mismatch_errors(plt, tmp_path, monkeypatch):
+    """Consuming a write=0 output with load options the producer didn't use
+    (or comps it doesn't have) raises a clear error instead of crashing in
+    the plotfile reader."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises((ValueError, RuntimeError)) as ei:
+        main(["pipeline",
+              "grad", f"infile={plt}", "gradVar=temp", "outfile=g",
+              "write=0",
+              "--",
+              "curvature", "infile=g", "progressName=density",
+              "outfile=K"])
+    assert "write=1" in str(ei.value)
