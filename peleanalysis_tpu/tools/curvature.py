@@ -111,10 +111,10 @@ def compute_curvature_dense(
     if prog_min >= prog_max:
         raise ValueError("progMin must be less than progMax")
 
-    def pipeline(data_list, mask_list):
+    def pipeline(data_list, mask_list, pmin, pmax):
         scal = [d[ic : ic + 1] for d in data_list]
-        inv = 1.0 / (prog_max - prog_min)
-        prog = [jnp.asarray((s - prog_min) * inv, s.dtype) for s in scal]
+        inv = 1.0 / (pmax - pmin)
+        prog = [jnp.asarray((s - pmin) * inv, s.dtype) for s in scal]
 
         # -- smoothing solve ---------------------------------------------------
         from ..ops.stencil import laplacian
@@ -266,7 +266,22 @@ def compute_curvature_dense(
             outs.append(jnp.concatenate(comps, axis=0))
         return outs
 
-    out_levels = jax.jit(pipeline)(list(dstate.data), masks)
+    # jitted pipeline cached ON the state (closure jits retrace per call —
+    # they dominated the warm CLI wall-clock, measured r3); progress bounds
+    # enter as traced scalars so a new file scan doesn't retrace
+    cache = getattr(dstate, "_tool_fn_cache", None)
+    if cache is None:
+        cache = dstate._tool_fn_cache = {}
+    key = ("curvature", ic, tuple(iv) if iv else None, bc, interp,
+           do_smooth, smooth_composite, smooth_iters, smooth_rtol,
+           smooth_time, do_gauss, do_strain, get_strain_tensor,
+           do_velnormal, do_threshold, threshold, replicate_strain_bug)
+    if key not in cache:
+        cache[key] = jax.jit(pipeline)
+    dt0 = dstate.data[0].dtype
+    out_levels = cache[key](list(dstate.data), masks,
+                            jnp.asarray(prog_min, dt0),
+                            jnp.asarray(prog_max, dt0))
 
     names = [progress_name]
     if need_vel:

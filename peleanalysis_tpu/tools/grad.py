@@ -62,6 +62,9 @@ def compute_grad_dense(dstate, var: str,
     ic = dstate.comp(var)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
+    # covered masks stay closure-captured: flux_matched_gradient derives
+    # host-side index plans from them (cannot trace); they're static per
+    # state, so the cached jit below stays valid
     covered = ([dstate.covered_mask(l) for l in range(meta.n_levels)]
                if flux_match else None)
 
@@ -73,7 +76,8 @@ def compute_grad_dense(dstate, var: str,
             # MLMG-style: c-f interface faces take the restricted fine flux
             # (grad.cpp:178-219 composite apply + getFluxes)
             from ..ops.restrict import flux_matched_gradient
-            gall = flux_matched_gradient(meta, dstate.lmeta, grown, covered)
+            gall = flux_matched_gradient(meta, dstate.lmeta, grown,
+                                         covered)
             for lev in range(meta.n_levels):
                 gx, gy, gz = gall[lev]
                 outs.append(jnp.concatenate(
@@ -85,8 +89,16 @@ def compute_grad_dense(dstate, var: str,
                 [gx, gy, gz, magnitude(gx, gy, gz)], axis=0))
         return outs
 
+    # cache the jitted pipeline ON the state: a closure jit re-traces on
+    # every call, which dominated the warm CLI wall-clock (measured r3)
+    cache = getattr(dstate, "_tool_fn_cache", None)
+    if cache is None:
+        cache = dstate._tool_fn_cache = {}
+    key = ("grad", bc, interp, flux_match)
+    if key not in cache:
+        cache[key] = jax.jit(all_levels)
     scalars = [d[ic : ic + 1] for d in dstate.data]
-    gcomps = jax.jit(all_levels)(scalars, masks)
+    gcomps = cache[key](scalars, masks)
     out_levels = []
     for lev in range(meta.n_levels):
         passthrough = [dstate.data[lev][dstate.comp(n) : dstate.comp(n) + 1]
