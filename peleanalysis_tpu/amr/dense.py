@@ -198,3 +198,33 @@ def _union_mask_np(ba: BoxArray, bbox: Box) -> np.ndarray:
                    for d in range(3))
         m[sl] = True
     return m
+
+
+def hier_fingerprint(dstate) -> tuple:
+    """Structural identity of a dense hierarchy: two states with equal
+    fingerprints can share compiled engines (shapes, geoms, BoxArrays —
+    everything the engine closures bake in; the data enters as args)."""
+    meta = dstate.meta
+    return (meta.n_levels, tuple(meta.ref_ratio),
+            tuple((tuple(lm.bbox.lo), tuple(lm.bbox.hi))
+                  for lm in dstate.lmeta),
+            tuple((tuple(g.domain.lo), tuple(g.domain.hi),
+                   tuple(g.prob_lo), tuple(g.prob_hi),
+                   tuple(bool(p) for p in g.is_periodic))
+                  for g in meta.geoms),
+            tuple(tuple((tuple(b.lo), tuple(b.hi)) for b in ba)
+                  for ba in meta.bas))
+
+
+def shared_engine(registry: dict, cap: int, dstate, key, build):
+    """LRU-capped cross-instance engine cache: re-TRACING a big jitted
+    engine costs seconds warm, and repeated CLI runs over a time series
+    build a fresh state per plotfile (measured r3)."""
+    gkey = (hier_fingerprint(dstate), key)
+    fn = registry.pop(gkey, None)
+    if fn is None:
+        fn = build()
+    registry[gkey] = fn                      # move-to-end (LRU)
+    while len(registry) > cap:
+        registry.pop(next(iter(registry)))
+    return fn

@@ -326,6 +326,19 @@ _TRI_COUNT_DEV = jnp.asarray(TRI_COUNT)
 # states above this cell count pay a counts-probe before the first big
 # enum build (see extract_isosurface_enum); tests lower it to force the path
 _PROBE_MIN_CELLS = 1 << 22
+
+# jitted enum engines shared ACROSS DenseAmrState instances with the same
+# hierarchy (fingerprint below): a repeated single-tool CLI run over a time
+# series builds a fresh state per plotfile, and re-TRACING the 1500-line
+# engine cost ~2 s warm per invocation (measured r3).  Keyed by the full
+# structural identity; LRU-capped.
+_GLOBAL_ENUM_FNS = {}
+
+
+def _enum_fn_shared(dstate, key, build):
+    """Per-instance cache backed by the cross-instance one."""
+    from ..amr.dense import shared_engine
+    return shared_engine(_GLOBAL_ENUM_FNS, 32, dstate, key, build)
 _PAIR_A = tuple(int(v) for v in CORNER_PAIRS[:, 0])
 _PAIR_B = tuple(int(v) for v in CORNER_PAIRS[:, 1])
 _I32MAX = np.int32(np.iinfo(np.int32).max)
@@ -1091,9 +1104,11 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
         # extra probe graph isn't worth it.
         pkey = ("counts", len(names), bc, str(dtype), emit)
         if pkey not in fns:
-            fns[pkey] = _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
+            fns[pkey] = _enum_fn_shared(
+                dstate, pkey,
+                lambda: _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
                                        3, None, None, None, unwraps,
-                                       spans_all, emit, counts_only=True)
+                                       spans_all, emit, counts_only=True))
         pc = np.asarray(fns[pkey](data_levels, masks, inlev_devs, ok_devs,
                                   iso_val))
         for k, lev in enumerate(emit):
@@ -1109,9 +1124,11 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
         key = (len(names), bc, caps, node_caps, tri_cap, str(dtype),
                emit, want_eids)
         if key not in fns:
-            fns[key] = _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
-                                      3, caps, node_caps, tri_cap, unwraps,
-                                      spans_all, emit, want_eids)
+            fns[key] = _enum_fn_shared(
+                dstate, key,
+                lambda: _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
+                                       3, caps, node_caps, tri_cap, unwraps,
+                                       spans_all, emit, want_eids))
         packed_dev = fns[key](data_levels, masks, inlev_devs,
                               ok_devs, iso_val)
         if defer:

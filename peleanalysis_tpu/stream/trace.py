@@ -37,6 +37,11 @@ from ..ops.dense_fill import fill_dense_arrays, fill_dense_multilevel
 from ..ops.stencil import centered_gradient
 
 # corner order of the trilinear stencil (i,j,k offsets)
+# cross-instance cache of the per-level jitted march engines (see
+# amr/dense.py shared_engine): repeated CLI runs over a time series stop
+# re-tracing the fill+march graph per plotfile
+_GLOBAL_TRACE_FNS = {}
+
 CORNER_OFFSETS_S = np.array(
     [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
      (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)], dtype=np.int64)
@@ -203,6 +208,8 @@ def trace_streamlines(
         raise ValueError(f"march_engine={march_engine!r}: "
                          "expected auto, pallas or xla")
     meta = dstate.meta
+    lmeta_cl = dstate.lmeta   # closures must not capture dstate (the
+    #                           cross-instance cache would pin its data)
     bf16_default = False
     if march_dtype is None and dstate.data[0].dtype == jnp.float32:
         march_dtype = "bfloat16"
@@ -299,7 +306,7 @@ def trace_streamlines(
 
         def make_fn(_lev, _g, _grad_mode, _plo_g, _dx, _use_pallas):
             def fn(dl, ml, sseeds, h):
-                grown = fill_dense_arrays(meta, dstate.lmeta, dl, ml, _lev,
+                grown = fill_dense_arrays(meta, lmeta_cl, dl, ml, _lev,
                                           _g, bc, "linear")
                 if _grad_mode:
                     gx, gy, gz = centered_gradient(grown[0][None],
@@ -376,8 +383,11 @@ def trace_streamlines(
                 print("trace_streamlines: float32 state -> bfloat16 field "
                       "marching (max ~0.01 finest-cell path deviation); "
                       "pass march_dtype='float32' for full precision")
-            cache[key] = make_fn(lev, lev_ngrow, trace_field is not None,
-                                 plo_g, dx, use_pallas)
+            from ..amr.dense import shared_engine
+            cache[key] = shared_engine(
+                _GLOBAL_TRACE_FNS, 32, dstate, key,
+                lambda: make_fn(lev, lev_ngrow, trace_field is not None,
+                                plo_g, dx, use_pallas))
         pending.append((sel, cache[key](all_data, masks,
                                         jnp.asarray(seeds[sel]), h_phys)))
     for sel, res in pending:

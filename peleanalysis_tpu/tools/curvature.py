@@ -48,6 +48,10 @@ from .grad import grad_bc
 D = 3
 
 
+# cross-instance jitted-pipeline cache (see amr/dense.py shared_engine)
+_GLOBAL_CURV_FNS = {}
+
+
 def _grad_multilevel(meta, lmeta, field_list, mask_list, bc, interp):
     """Per-level gradients of a multi-level scalar field, each level's ghosts
     filled from the coarser level of the SAME derived field (the reference's
@@ -92,6 +96,11 @@ def compute_curvature_dense(
                          f"(x/y/z_velocity); plotfile has {dstate.names}")
     iv = [dstate.comp(n) for n in vel_names] if need_vel else None
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+    # hoisted so the pipeline closure does NOT capture dstate (the
+    # cross-instance cache would pin the instance's device data alive)
+    valid_masks = [jnp.asarray(dstate.valid_mask(l))[None]
+                   for l in range(meta.n_levels)]
+    covered_masks = [dstate.covered_mask(l) for l in range(meta.n_levels)]
 
     # progress min/max scan over valid (uncovered, in-box) cells.  With
     # use_file_minmax (the reference default, curvature.cpp:139-148) the file
@@ -124,10 +133,8 @@ def compute_curvature_dense(
             # covered coarse cells track the fine solution via average_down,
             # ghosts couple fine to coarse via the fill — both directions
             # inside the operator
-            valid = [jnp.asarray(dstate.valid_mask(l))[None]
-                     for l in range(meta.n_levels)]
-            covered = [dstate.covered_mask(l)
-                       for l in range(meta.n_levels)]
+            valid = valid_masks
+            covered = covered_masks
             vols = [meta.geoms[l].cell_volume()
                     for l in range(meta.n_levels)]
 
@@ -269,6 +276,7 @@ def compute_curvature_dense(
     # jitted pipeline cached ON the state (closure jits retrace per call —
     # they dominated the warm CLI wall-clock, measured r3); progress bounds
     # enter as traced scalars so a new file scan doesn't retrace
+    from ..amr.dense import shared_engine
     cache = getattr(dstate, "_tool_fn_cache", None)
     if cache is None:
         cache = dstate._tool_fn_cache = {}
@@ -277,7 +285,8 @@ def compute_curvature_dense(
            smooth_time, do_gauss, do_strain, get_strain_tensor,
            do_velnormal, do_threshold, threshold, replicate_strain_bug)
     if key not in cache:
-        cache[key] = jax.jit(pipeline)
+        cache[key] = shared_engine(_GLOBAL_CURV_FNS, 8, dstate, key,
+                                   lambda: jax.jit(pipeline))
     dt0 = dstate.data[0].dtype
     out_levels = cache[key](list(dstate.data), masks,
                             jnp.asarray(prog_min, dt0),

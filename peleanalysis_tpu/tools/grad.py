@@ -27,6 +27,10 @@ from ..ops.fill import FOEXTRAP, REFLECT_EVEN, FillPlan, apply_fill, get_fill_pl
 from ..ops.stencil import centered_gradient, magnitude
 
 
+# cross-instance jitted-pipeline cache (see amr/dense.py shared_engine)
+_GLOBAL_GRAD_FNS = {}
+
+
 def grad_bc(is_per: Sequence[bool], sym_dir: Optional[Sequence[int]] = None):
     ndim = len(is_per)
     bc = []
@@ -58,6 +62,9 @@ def compute_grad_dense(dstate, var: str,
     from ..ops.dense_fill import fill_dense_multilevel
 
     meta = dstate.meta
+    lmeta = dstate.lmeta     # closure must NOT capture dstate itself: the
+    #                          cross-instance cache would pin the whole
+    #                          instance (its device data) alive
     bc = grad_bc([False] * meta.ndim, sym_dir)
     ic = dstate.comp(var)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
@@ -69,14 +76,14 @@ def compute_grad_dense(dstate, var: str,
                if flux_match else None)
 
     def all_levels(data_list, mask_list):
-        grown = fill_dense_multilevel(meta, dstate.lmeta, data_list,
+        grown = fill_dense_multilevel(meta, lmeta, data_list,
                                       mask_list, 1, bc, interp)
         outs = []
         if flux_match:
             # MLMG-style: c-f interface faces take the restricted fine flux
             # (grad.cpp:178-219 composite apply + getFluxes)
             from ..ops.restrict import flux_matched_gradient
-            gall = flux_matched_gradient(meta, dstate.lmeta, grown,
+            gall = flux_matched_gradient(meta, lmeta, grown,
                                          covered)
             for lev in range(meta.n_levels):
                 gx, gy, gz = gall[lev]
@@ -89,14 +96,17 @@ def compute_grad_dense(dstate, var: str,
                 [gx, gy, gz, magnitude(gx, gy, gz)], axis=0))
         return outs
 
-    # cache the jitted pipeline ON the state: a closure jit re-traces on
-    # every call, which dominated the warm CLI wall-clock (measured r3)
+    # cache the jitted pipeline ON the state AND across instances with the
+    # same hierarchy (a closure jit re-traces per call; a fresh state per
+    # time-series plotfile re-traced per run — both measured r3)
+    from ..amr.dense import shared_engine
     cache = getattr(dstate, "_tool_fn_cache", None)
     if cache is None:
         cache = dstate._tool_fn_cache = {}
     key = ("grad", bc, interp, flux_match)
     if key not in cache:
-        cache[key] = jax.jit(all_levels)
+        cache[key] = shared_engine(_GLOBAL_GRAD_FNS, 8, dstate, key,
+                                   lambda: jax.jit(all_levels))
     scalars = [d[ic : ic + 1] for d in dstate.data]
     gcomps = cache[key](scalars, masks)
     out_levels = []
