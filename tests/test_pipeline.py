@@ -213,3 +213,21 @@ def test_session_output_option_mismatch_errors(plt, tmp_path, monkeypatch):
               "curvature", "infile=g", "progressName=density",
               "outfile=K"])
     assert "write=1" in str(ei.value)
+
+
+def test_pipeline_2d_plotfile(tmp_path, monkeypatch):
+    """The session machinery is dimension-agnostic: a DIM=2 plotfile chains
+    isosurface (marching squares) -> scaleMEF through the session."""
+    monkeypatch.chdir(tmp_path)
+    p2 = str(tmp_path / "plt2d")
+    write_synthetic_plotfile(p2, n_cell=32, n_levels=2, ndim=2)
+    assert main(["pipeline",
+                 "isosurface", f"infile={p2}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=c2", "write=0",
+                 "--",
+                 "scaleMEF", "infile=c2.mef", "comps=temp", "factors=0.5",
+                 "outfile=s2.mef"]) == 0
+    from peleanalysis_tpu.io.mef import read_mef
+    m = read_mef("s2.mef")
+    assert not os.path.exists("c2.mef") and m.n_elts > 0
+    np.testing.assert_allclose(m.nodes[:, m.names.index("temp")], 400.0)
