@@ -187,6 +187,19 @@ class Session:
 
     # -- driver ---------------------------------------------------------------
 
+    def reset(self) -> None:
+        """Drop every cached state and registered artifact (frees the
+        device arrays).  Long-lived Python-API sessions processing many
+        plotfiles should reset between files they no longer need; the
+        cross-instance ENGINE caches (amr/dense.shared_engine) survive, so
+        the next file still skips the re-trace."""
+        self._states.clear()
+        self._dense.clear()
+        self._retain.clear()
+        self.plotfiles.clear()
+        self.surfaces.clear()
+        self.lines.clear()
+
     def run(self, tool: str, **kw) -> None:
         """Run one tool with this session attached (Python-API pipeline)."""
         from .cli import main as cli_main

@@ -231,3 +231,22 @@ def test_pipeline_2d_plotfile(tmp_path, monkeypatch):
     m = read_mef("s2.mef")
     assert not os.path.exists("c2.mef") and m.n_elts > 0
     np.testing.assert_allclose(m.nodes[:, m.names.index("temp")], 400.0)
+
+
+def test_session_reset_frees_but_engines_survive(plt):
+    """Session.reset drops cached states/artifacts; the next file still
+    reuses the cross-instance compiled engines (time-series API pattern)."""
+    import time
+    from peleanalysis_tpu.session import Session
+    s = Session()
+    s.run("curvature", infile=plt, progressName="temp", outfile="K0",
+          write=0)
+    assert s.plotfiles and s._states
+    s.reset()
+    assert not s.plotfiles and not s._states and not s._dense
+    t0 = time.perf_counter()
+    s.run("curvature", infile=plt, progressName="temp", outfile="K1",
+          write=0)
+    # engine reuse: far under a fresh trace (which costs seconds)
+    assert time.perf_counter() - t0 < 2.0
+    assert "K1" in s.plotfiles
