@@ -21,7 +21,10 @@ from ..parmparse import ParmParse
 def main(args: dict) -> None:
     """CLI: isosurface infile= [isoCompName=temp] [isoVal=1000]
     [comps=<extra node fields>] [finestLevel=] [is_per=0 0 0]
-    [writeSurf=1] [surfFormat=MEF|DAT] [outfile_base=] [computeArea=0]"""
+    [writeSurf=1] [surfFormat=MEF|DAT|XDMF] [outfile_base=]
+    [computeArea=0] [engine=enum|device|fused|numpy]
+    [build_distance_function=0 dmax= dist_outfile=] [surface_is_large=0]
+    [ndevices=1 mesh_shape=] [shape_bucket=0]"""
     from ..io.plotfile import PlotfileReader
     from ..utils import phase, report
 

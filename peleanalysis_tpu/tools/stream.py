@@ -56,6 +56,14 @@ def write_tecplot_lines(path: str, names, lines: np.ndarray) -> None:
 
 
 def main(args: dict) -> None:
+    """CLI: stream plotfile= (isoFile=<MEF> | seedLoc=x y z |
+    seedRakeL=.. seedRakeR=.. [seedRakeNum=10]) [progressName=temp |
+    traceAlongV=1] [nRKsteps=51] [hRK=0.1] [aux_comps=...] [nGrow=]
+    [bounds=lo..hi..] [marchEngine=auto|pallas|xla]
+    [fetch_precision=auto|exact|compressed] (streamFile=<StreamData out>
+    and/or outFile=<Tecplot out>) [sd_version=0|1.0] [buildAltSurf=1
+    altVal= dt= thickCompName= thickLo= thickHi= strainCompName=
+    TCompName= TVal= addAngle= altIsoFile=]"""
     from ..utils import phase, report
 
     pp = ParmParse(args)
