@@ -216,15 +216,24 @@ def hier_fingerprint(dstate) -> tuple:
                   for ba in meta.bas))
 
 
+_ENGINE_LOCK = __import__("threading").Lock()
+
+
 def shared_engine(registry: dict, cap: int, dstate, key, build):
     """LRU-capped cross-instance engine cache: re-TRACING a big jitted
     engine costs seconds warm, and repeated CLI runs over a time series
-    build a fresh state per plotfile (measured r3)."""
+    build a fresh state per plotfile (measured r3).  Thread-safe: the
+    sparse path builds per-cluster engines from a thread pool (the remote
+    compile service parallelizes ~10x, measured r3)."""
     gkey = (hier_fingerprint(dstate), key)
-    fn = registry.pop(gkey, None)
+    with _ENGINE_LOCK:
+        fn = registry.pop(gkey, None)
+        if fn is not None:
+            registry[gkey] = fn              # move-to-end (LRU)
     if fn is None:
         fn = build()
-    registry[gkey] = fn                      # move-to-end (LRU)
-    while len(registry) > cap:
-        registry.pop(next(iter(registry)))
+        with _ENGINE_LOCK:
+            fn = registry.setdefault(gkey, fn)
+            while len(registry) > cap:
+                registry.pop(next(iter(registry)))
     return fn

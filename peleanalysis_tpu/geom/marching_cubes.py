@@ -1512,11 +1512,20 @@ def extract_isosurface_sparse(state, iso_name: str, iso_val: float,
     all_nodes, all_eid, all_tris = [], [], []
     names = None
     fin = state.meta.n_levels - 1
-    for k, sub in enumerate(subs):
+
+    def run_one(k):
         emit = None if k == 0 else (fin,)
-        mef, nlev, neid, _ = extract_isosurface_enum(
-            sub, iso_name, iso_val, extra_names, bc, label,
+        return extract_isosurface_enum(
+            subs[k], iso_name, iso_val, extra_names, bc, label,
             emit_levels=emit, want_eids=True)
+
+    # per-cluster engines compile CONCURRENTLY: the remote compile service
+    # parallelizes ~10x (measured r3: 12-cluster cold extraction was 438 s
+    # serial); device execution still serializes, but it is milliseconds
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(len(subs), 8)) as ex:
+        results = list(ex.map(run_one, range(len(subs))))
+    for k, (mef, nlev, neid, _) in enumerate(results):
         names = mef.names
         all_nodes.append(mef.nodes)
         all_eid.append(neid)        # global (lev, axis, cell) packed keys
