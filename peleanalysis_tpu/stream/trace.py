@@ -484,12 +484,23 @@ def trace_streamlines_sparse(
               march_dtype=march_dtype, march_engine=march_engine,
               ngrow=ngrow, fetch_compress=fetch_compress)
     coarse_sel = np.nonzero(~on_fine)[0]
+    jobs = []
     if len(coarse_sel):
-        out[coarse_sel] = trace_streamlines(
-            subs[0], seeds[coarse_sel], n_rk_steps, h_rk, **kw)
+        jobs.append((0, coarse_sel))
     for gi in range(len(groups)):
         sel = np.nonzero(cluster_of == gi)[0]
         if len(sel):
-            out[sel] = trace_streamlines(
-                subs[gi], seeds[sel], n_rk_steps, h_rk, **kw)
+            jobs.append((gi, sel))
+    # per-cluster marches run threaded: their engine compiles overlap on
+    # the remote compile service (measured r3; see marching_cubes sparse)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_one(job):
+        gi, sel = job
+        return sel, trace_streamlines(subs[gi], seeds[sel], n_rk_steps,
+                                      h_rk, **kw)
+
+    with ThreadPoolExecutor(max_workers=min(max(len(jobs), 1), 8)) as ex:
+        for sel, lines in ex.map(run_one, jobs):
+            out[sel] = lines
     return out

@@ -407,9 +407,12 @@ def main(args: dict) -> None:
                                   else max(kwargs["prog_max"], hi))
         # bounds are now resolved globally; stop per-sub rescans
         kwargs["use_file_minmax"] = False
-        outs = [compute_curvature_dense(
-            sub, progress_name, do_strain=do_strain,
-            do_velnormal=do_velnormal, **kwargs) for sub in subs]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(len(subs), 8)) as ex:
+            outs = list(ex.map(
+                lambda sub: compute_curvature_dense(
+                    sub, progress_name, do_strain=do_strain,
+                    do_velnormal=do_velnormal, **kwargs), subs))
         out_names = list(outs[0].names) + aux_names
         aux_ic = np.asarray([state.comp(n) for n in aux_names], np.int64)
 

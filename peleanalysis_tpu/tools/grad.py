@@ -192,9 +192,12 @@ def main(args: dict) -> None:
         print("grad: sparse refinement detected -> clustered path")
         interp = pp.query_str("cf_interp", "quadratic")
         groups, subs, base = cluster_substates(state)
-        outs = [compute_grad_dense(sub, var, aux=tuple(aux),
-                                   sym_dir=sym_dir, interp=interp)
-                for sub in subs]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(len(subs), 8)) as ex:
+            outs = list(ex.map(
+                lambda sub: compute_grad_dense(sub, var, aux=tuple(aux),
+                                               sym_dir=sym_dir,
+                                               interp=interp), subs))
         from ..io.plotfile import write_plotfile
         meta = state.meta
         fin = meta.n_levels - 1
