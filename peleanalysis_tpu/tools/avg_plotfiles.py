@@ -108,7 +108,8 @@ def main(args: dict) -> None:
     infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     itype = pp.query_int("interp_type", 2)
     interp = "pc" if itype == 1 else "linear"
-    states = [AmrState.from_plotfile(f, dtype=np.float64) for f in infiles]
+    from ..session import load_state
+    states = [load_state(args, f, dtype=np.float64) for f in infiles]
     names = (pp.query_str_list("variables", None)
              or pp.query_str_list("vars", None))
     if names is None:

@@ -51,7 +51,8 @@ def main(args: dict) -> None:
     [same_fgr_all_levels=1] [vars=all]"""
     pp = ParmParse(args)
     infile = pp.get_str("infile")
-    st = AmrState.from_plotfile(
+    from ..session import load_state
+    st = load_state(args, 
         infile, max_level=pp.query_int("max_filter_level", None))
     ds = DenseAmrState.from_batched(st)
     names = pp.query_str_list(
@@ -69,5 +70,10 @@ def main(args: dict) -> None:
         same_fgr_all_levels=pp.query_bool("same_fgr_all_levels", False),
         names=names)
     outfile = pp.query_str("outfile", infile + "_filt")
-    out.to_plotfile(outfile)
-    print(f"wrote {outfile}")
+    from ..session import get_session, stage_writes
+    sess = get_session(args)
+    if sess is not None:
+        sess.put_plotfile(outfile, out)
+    if stage_writes(args):
+        out.to_plotfile(outfile)
+        print(f"wrote {outfile}")

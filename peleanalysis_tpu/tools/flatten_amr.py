@@ -50,7 +50,8 @@ def main(args: dict) -> None:
     [output_max_grid_size=32] [interp=linear|pc]"""
     pp = ParmParse(args)
     infile = pp.get_str("infile")
-    st = AmrState.from_plotfile(infile, dtype=np.float64)
+    from ..session import load_state
+    st = load_state(args, infile, dtype=np.float64)
     lev = pp.query_int("output_level", st.meta.n_levels - 1)
     mgs = pp.query_int("output_max_grid_size", 32)
     dense = np.asarray(flatten_to_level(st, lev,

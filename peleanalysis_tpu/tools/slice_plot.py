@@ -50,7 +50,8 @@ def main(args: dict) -> None:
     var = pp.query_str("varname", None) or pp.query_str("var", "temp")
     direction = pp.query_int("slicedir", pp.query_int("dir", 2))
     finest = pp.query_int("finestLevel", None)
-    st = AmrState.from_plotfile(infile, names=[var], max_level=finest)
+    from ..session import load_state
+    st = load_state(args, infile, names=[var], max_level=finest)
     lev = st.meta.n_levels - 1
     geom = st.meta.geoms[lev]
     if pp.contains("sliceloc"):

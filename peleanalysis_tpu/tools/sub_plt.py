@@ -58,7 +58,8 @@ def main(args: dict) -> None:
     pp = ParmParse(args)
     infile = pp.get_str("infile")
     b = pp.get_int_list("box")
-    st = AmrState.from_plotfile(infile, dtype=np.float64,
+    from ..session import load_state
+    st = load_state(args, infile, dtype=np.float64,
                                 max_level=pp.query_int("finestLevel", None))
     if getattr(st.meta, "ndim2", False) and len(b) == 4:
         # 2-D plotfile: box=lox loy hix hiy (z promoted to the unit cell)
