@@ -358,8 +358,11 @@ def trace_streamlines(
                     # Everything packs into ONE int32 vector — a tuple
                     # fetch pays one tunnel latency PER LEAF.
                     d = path[:, 1:] - path[:, :-1]
-                    q = jnp.round(
-                        d * (32000.0 / h_phys)).astype(jnp.int16)
+                    # scale by the TRACED step h (an argument), NOT the
+                    # closure h_phys: a cached engine reused with a
+                    # different hRK would otherwise decode with a
+                    # mismatched scale (caught in r3 self-review)
+                    q = jnp.round(d * (32000.0 / h)).astype(jnp.int16)
                     qf = q.ravel()
                     if qf.size % 2:
                         qf = jnp.concatenate(

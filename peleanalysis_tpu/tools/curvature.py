@@ -96,11 +96,12 @@ def compute_curvature_dense(
                          f"(x/y/z_velocity); plotfile has {dstate.names}")
     iv = [dstate.comp(n) for n in vel_names] if need_vel else None
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
-    # hoisted so the pipeline closure does NOT capture dstate (the
-    # cross-instance cache would pin the instance's device data alive)
-    valid_masks = [jnp.asarray(dstate.valid_mask(l))[None]
-                   for l in range(meta.n_levels)]
-    covered_masks = [dstate.covered_mask(l) for l in range(meta.n_levels)]
+    # passed as jit ARGUMENTS (not closure-captured): the cross-instance
+    # engine cache must never pin an instance's device masks in HBM
+    valid_masks_in = [jnp.asarray(dstate.valid_mask(l))[None]
+                      for l in range(meta.n_levels)]
+    covered_masks_in = [dstate.covered_mask(l)
+                        for l in range(meta.n_levels)]
 
     # progress min/max scan over valid (uncovered, in-box) cells.  With
     # use_file_minmax (the reference default, curvature.cpp:139-148) the file
@@ -120,7 +121,8 @@ def compute_curvature_dense(
     if prog_min >= prog_max:
         raise ValueError("progMin must be less than progMax")
 
-    def pipeline(data_list, mask_list, pmin, pmax):
+    def pipeline(data_list, mask_list, pmin, pmax, valid_masks,
+                 covered_masks):
         scal = [d[ic : ic + 1] for d in data_list]
         inv = 1.0 / (pmax - pmin)
         prog = [jnp.asarray((s - pmin) * inv, s.dtype) for s in scal]
@@ -285,12 +287,13 @@ def compute_curvature_dense(
            smooth_time, do_gauss, do_strain, get_strain_tensor,
            do_velnormal, do_threshold, threshold, replicate_strain_bug)
     if key not in cache:
-        cache[key] = shared_engine(_GLOBAL_CURV_FNS, 8, dstate, key,
+        cache[key] = shared_engine(_GLOBAL_CURV_FNS, 32, dstate, key,
                                    lambda: jax.jit(pipeline))
     dt0 = dstate.data[0].dtype
     out_levels = cache[key](list(dstate.data), masks,
                             jnp.asarray(prog_min, dt0),
-                            jnp.asarray(prog_max, dt0))
+                            jnp.asarray(prog_max, dt0),
+                            valid_masks_in, covered_masks_in)
 
     names = [progress_name]
     if need_vel:

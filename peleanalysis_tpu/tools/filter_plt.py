@@ -52,9 +52,10 @@ def main(args: dict) -> None:
     pp = ParmParse(args)
     infile = pp.get_str("infile")
     from ..session import load_state
-    st = load_state(args, 
-        infile, max_level=pp.query_int("max_filter_level", None))
-    ds = DenseAmrState.from_batched(st)
+    st = load_state(
+        args, infile, max_level=pp.query_int("max_filter_level", None))
+    from ..session import dense_state
+    ds = dense_state(args, st)
     names = pp.query_str_list(
         "variables", None) or pp.query_str_list("vars", st.names)
     # filter_type: PelePhysics integer codes (filterPlt.cpp:80; Filter.H

@@ -69,11 +69,11 @@ def compute_grad_dense(dstate, var: str,
     ic = dstate.comp(var)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
 
-    # covered masks stay closure-captured: flux_matched_gradient derives
-    # host-side index plans from them (cannot trace); they're static per
-    # state, so the cached jit below stays valid
-    covered = ([dstate.covered_mask(l) for l in range(meta.n_levels)]
-               if flux_match else None)
+    # covered masks stay closure-captured as HOST numpy: the flux plan is
+    # host-derived (cannot trace), and numpy capture means the global
+    # engine cache pins host RAM, never HBM
+    covered = ([np.asarray(dstate.covered_mask(l))
+                for l in range(meta.n_levels)] if flux_match else None)
 
     def all_levels(data_list, mask_list):
         grown = fill_dense_multilevel(meta, lmeta, data_list,
@@ -105,7 +105,7 @@ def compute_grad_dense(dstate, var: str,
         cache = dstate._tool_fn_cache = {}
     key = ("grad", bc, interp, flux_match)
     if key not in cache:
-        cache[key] = shared_engine(_GLOBAL_GRAD_FNS, 8, dstate, key,
+        cache[key] = shared_engine(_GLOBAL_GRAD_FNS, 32, dstate, key,
                                    lambda: jax.jit(all_levels))
     scalars = [d[ic : ic + 1] for d in dstate.data]
     gcomps = cache[key](scalars, masks)
