@@ -200,3 +200,23 @@ def test_flux_matched_gradient(tmp_path):
     # and it must differ from the plain centered difference (u = x*y^2 has
     # transverse curvature)
     assert abs(got - float(np.asarray(gcd[0][0][0])[ci, fy, fz])) > 1e-8
+
+
+def test_flux_match_shared_engine_across_instances(tmp_path):
+    """fluxMatch engines share across fingerprint-equal states; the
+    numpy-captured covered masks give identical results for a second
+    instance (r3 self-review: closure capture must not go stale)."""
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=2)
+    ds_a = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, names=["temp"], dtype=np.float64))
+    ds_b = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, names=["temp"], dtype=np.float64))
+    a = compute_grad_dense(ds_a, "temp", flux_match=True)
+    b = compute_grad_dense(ds_b, "temp", flux_match=True)
+    for lev in range(2):
+        np.testing.assert_array_equal(np.asarray(a.data[lev]),
+                                      np.asarray(b.data[lev]))
