@@ -373,8 +373,26 @@ def trace_streamlines(
                              jax.lax.bitcast_convert_type(
                                  qf.reshape(-1, 2), jnp.int32).ravel()]
                     if nf:
+                        # sampled fields quantize per line per comp to
+                        # uint16 over the line's own range (error 1.5e-5
+                        # of the range — below what the bf16 march's
+                        # ~0.01-cell path deviation induces via the field
+                        # gradient); (vmin, vmax) ship exact f32
+                        v32 = vals.astype(jnp.float32)   # [ns, st, nf]
+                        vmin = jnp.min(v32, axis=1)      # [ns, nf]
+                        vmax = jnp.max(v32, axis=1)
+                        rng = jnp.maximum(vmax - vmin, 1e-30)
+                        vq = jnp.round(
+                            (v32 - vmin[:, None]) / rng[:, None]
+                            * 65535.0).astype(jnp.uint16)
+                        vqf = vq.ravel()
+                        if vqf.size % 2:
+                            vqf = jnp.concatenate(
+                                [vqf, jnp.zeros(1, jnp.uint16)])
                         parts.append(jax.lax.bitcast_convert_type(
-                            vals.astype(jnp.float32), jnp.int32).ravel())
+                            jnp.stack([vmin, vmax], -1), jnp.int32).ravel())
+                        parts.append(jax.lax.bitcast_convert_type(
+                            vqf.reshape(-1, 2), jnp.int32).ravel())
                     return jnp.concatenate(parts)
                 if nf:
                     return jnp.concatenate([path, vals], axis=-1)
@@ -410,9 +428,18 @@ def trace_streamlines(
             out[sel, :, :3] = np.concatenate(
                 [bwd, pc[:, None], fwd], axis=1)
             if nf:
-                vb = packed[ns2 * 3 + (nq + 1) // 2:]
-                out[sel, :, 3:] = vb.view(np.float32).reshape(
-                    ns2, 2 * n_half + 1, nf)
+                base = ns2 * 3 + (nq + 1) // 2
+                st_n = 2 * n_half + 1
+                mm = packed[base: base + ns2 * nf * 2].view(
+                    np.float32).reshape(ns2, nf, 2)
+                base += ns2 * nf * 2
+                nv = ns2 * st_n * nf
+                vq = packed[base: base + (nv + 1) // 2].view(
+                    np.uint16)[:nv].reshape(ns2, st_n, nf)
+                rngv = np.maximum(mm[:, :, 1] - mm[:, :, 0], 1e-30)
+                out[sel, :, 3:] = (mm[:, None, :, 0]
+                                   + vq.astype(np.float64) / 65535.0
+                                   * rngv[:, None])
         else:
             out[sel] = np.asarray(res)
     return out

@@ -480,3 +480,29 @@ def test_pallas_march_bf16_blocks(tmp_path):
     # same acceptance bound as the XLA bf16 default (~0.01 finest cell/step
     # accumulated); dx.min()=1/89
     assert d < 0.2 * dx.min(), d
+
+
+def test_fetch_compress_sampled_fields_roundtrip(tmp_path):
+    """Quantized sampled-field payload (uint16 over per-line range)
+    reconstructs within 2e-5 of the line's own range."""
+    import numpy as np
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.amr.hierarchy import AmrState
+    from peleanalysis_tpu.stream.trace import trace_streamlines
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    path = str(tmp_path / "plt")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2)
+    ds = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float32))
+    rng = np.random.default_rng(4)
+    seeds = 0.5 + 0.2 * (rng.random((32, 3)) - 0.5)
+    kw = dict(trace_field="progress", sample_names=("temp", "density"),
+              march_dtype="float32")
+    exact = trace_streamlines(ds, seeds, 21, 0.5, fetch_compress=False,
+                              **kw)
+    comp = trace_streamlines(ds, seeds, 21, 0.5, fetch_compress=True, **kw)
+    for c in (3, 4):
+        rngs = exact[:, :, c].max(axis=1) - exact[:, :, c].min(axis=1)
+        err = np.abs(exact[:, :, c] - comp[:, :, c]).max(axis=1)
+        assert (err <= 2e-5 * np.maximum(rngs, 1e-30) + 1e-7).all()
