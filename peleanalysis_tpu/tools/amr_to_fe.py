@@ -156,8 +156,9 @@ def main(args: dict) -> None:
     [box=lo... hi...] [finestLevel=] outfile="""
     pp = ParmParse(args)
     infile = pp.get_str("infile")
-    st = AmrState.from_plotfile(infile,
-                                max_level=pp.query_int("finestLevel", None))
+    from ..session import load_state
+    st = load_state(args, infile,
+                    max_level=pp.query_int("finestLevel", None))
     names = pp.query_str_list(
         "comps", None) or pp.query_str_list("vars", st.names)
     if pp.contains("sComp") or pp.contains("nComp"):

@@ -28,7 +28,8 @@ def main(args: dict) -> None:
     fmt = pp.query_str("format", "fab")
     base = pp.query_str("outfile_base", infile + "_avgplane")
 
-    st = AmrState.from_plotfile(infile, names=var_names)
+    from ..session import load_state
+    st = load_state(args, infile, names=var_names)
     ds = DenseAmrState.from_batched(st)
     coords, w, fields = integrate_along(ds, var_names, [direction], avg=True)
     for n, v in zip(var_names, fields):

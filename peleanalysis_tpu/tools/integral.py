@@ -218,7 +218,8 @@ def main(args: dict) -> None:
     base = pp.query_str("outfile_base", infile + "_int")
 
     load = list(var_names) + ([c_name] if c_name else [])
-    st = AmrState.from_plotfile(infile, names=load, max_level=finest)
+    from ..session import load_state
+    st = load_state(args, infile, names=load, max_level=finest)
     ds = DenseAmrState.from_batched(st)
 
     if idim == 1:

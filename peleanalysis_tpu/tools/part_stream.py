@@ -47,7 +47,8 @@ def main(args: dict) -> None:
     from ..io.plotfile import PlotfileReader
     vel = [v for v in ("x_velocity", "y_velocity", "z_velocity")
            if v in PlotfileReader(infile).var_names]
-    st = AmrState.from_plotfile(infile, names=vel,
+    from ..session import load_state
+    st = load_state(args, infile, names=vel,
                                 max_level=pp.query_int("finestLevel", None),
                                 dtype=np.float64)
     from ..amr.cluster import needs_clustering

@@ -50,7 +50,8 @@ def main(args: dict) -> None:
         if len(vel) < 2:
             raise ValueError(f"{plt}: no velocity components found "
                              f"(have {avail})")
-        st = AmrState.from_plotfile(plt, names=vel, max_level=finest)
+        from ..session import load_state
+        st = load_state(args, plt, names=vel, max_level=finest)
         ds = DenseAmrState.from_batched(st)
         rows.append((st.meta.time, rms_velocity(ds)))
     with open(out, "w") as f:

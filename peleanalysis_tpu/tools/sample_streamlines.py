@@ -128,7 +128,8 @@ def main(args: dict) -> None:
     sampled = []
     for i in range(0, len(names), per_pass):
         grp = names[i : i + per_pass]
-        st = AmrState.from_plotfile(plotfile, names=grp,
+        from ..session import load_state
+        st = load_state(args, plotfile, names=grp,
                                     max_level=pp.query_int("finestLevel",
                                                            None),
                                     is_periodic=[bool(p) for p in
