@@ -34,14 +34,23 @@ def _grow_axis(a: jnp.ndarray, d: int, g: int, lo_mode: str, hi_mode: str,
                periodic: bool) -> jnp.ndarray:
     """Extend array by g ghost layers along spatial dim d (level-0 BC fill).
     Assumes the array spans the full domain along periodic dims."""
-    if g == 0:
+    return _grow_axis_asym(a, d, g, g, lo_mode, hi_mode, periodic)
+
+
+def _grow_axis_asym(a: jnp.ndarray, d: int, g_lo: int, g_hi: int,
+                    lo_mode: str, hi_mode: str,
+                    periodic: bool) -> jnp.ndarray:
+    """Like _grow_axis but with independent lo/hi ghost widths (used to grow
+    a shape-bucket/mesh-padded level 0 from the TRUE domain edge: pad
+    positions then carry exact BC/wrap values — see _grow_level0)."""
+    if g_lo == 0 and g_hi == 0:
         return a
     ax = _ax(a, d)
     if periodic:
-        lo = _slc(a, d, slice(-g, None))
-        hi = _slc(a, d, slice(0, g))
+        lo = _slc(a, d, slice(-g_lo, None)) if g_lo else None
+        hi = _slc(a, d, slice(0, g_hi)) if g_hi else None
     else:
-        def side(mode, is_lo):
+        def side(mode, g, is_lo):
             if mode == FOEXTRAP:
                 edge = _slc(a, d, slice(0, 1) if is_lo else slice(-1, None))
                 reps = [1] * a.ndim
@@ -53,9 +62,35 @@ def _grow_axis(a: jnp.ndarray, d: int, g: int, lo_mode: str, hi_mode: str,
                 return -blk if mode == REFLECT_ODD else blk
             raise ValueError(f"unknown BC mode {mode}")
 
-        lo = side(lo_mode, True)
-        hi = side(hi_mode, False)
-    return jnp.concatenate([lo, a, hi], axis=ax)
+        lo = side(lo_mode, g_lo, True) if g_lo else None
+        hi = side(hi_mode, g_hi, False) if g_hi else None
+    parts = [p for p in (lo, a, hi) if p is not None]
+    return jnp.concatenate(parts, axis=ax) if len(parts) > 1 else a
+
+
+def _grow_level0(data: jnp.ndarray, bbox: Box, geom: Geometry, g: int,
+                 bc: BCSpec) -> jnp.ndarray:
+    """Grow a level-0 array by g ghost layers, honouring a bucket/mesh-padded
+    bbox (pad_state_to): the array is sliced back to the true domain first
+    and grown from the REAL edges, so every position beyond the domain —
+    pad cells and ghost cells alike — receives the exact BC value (foextrap/
+    reflect copy, or wrap for periodic dims).  The stored pad cells are
+    edge-copy placeholders with in_level False; outputs never read them, but
+    stencils at real boundary cells read the filled positions this produces.
+    Result covers bbox.grow(g)."""
+    dom = geom.domain
+    out = data
+    for d in range(3):
+        pad_lo = dom.lo[d] - bbox.lo[d]
+        pad_hi = bbox.hi[d] - dom.hi[d]
+        if pad_lo < 0 or pad_hi < 0:
+            raise ValueError("level 0 must cover the domain")
+        if pad_lo or pad_hi:
+            ax = _ax(out, d)
+            out = _slc(out, d, slice(pad_lo, out.shape[ax] - pad_hi))
+        out = _grow_axis_asym(out, d, g + pad_lo, g + pad_hi,
+                              bc[d][0], bc[d][1], geom.is_periodic[d])
+    return out
 
 
 def _upsample_axis(c: jnp.ndarray, d: int, r: int, interp) -> jnp.ndarray:
@@ -201,12 +236,8 @@ def fill_dense_multilevel(meta, lmeta, data_list, mask_list, ngrow,
         need[lev - 1] = max(need[lev - 1], gc)
 
     grown = [None] * L
-    geom0 = meta.geoms[0]
-    out0 = data_list[0]
-    for d in range(3):
-        out0 = _grow_axis(out0, d, need[0], bc[d][0], bc[d][1],
-                          geom0.is_periodic[d])
-    grown[0] = out0
+    grown[0] = _grow_level0(data_list[0], lmeta[0].bbox, meta.geoms[0],
+                            need[0], bc)
     for lev in range(1, L):
         grown[lev] = _combine_two_level(meta, lmeta, lev, need[lev],
                                         data_list[lev], mask_list[lev],
@@ -243,13 +274,7 @@ def fill_dense_arrays(meta, lmeta, data_list, mask_list, lev: int, ngrow: int,
     bbox = lmeta[lev].bbox
 
     if lev == 0:
-        if bbox != geom.domain:
-            raise ValueError("level 0 must cover the domain")
-        out = data
-        for d in range(3):
-            out = _grow_axis(out, d, ngrow, bc[d][0], bc[d][1],
-                             geom.is_periodic[d])
-        return out
+        return _grow_level0(data, bbox, geom, ngrow, bc)
 
     r = meta.ref_ratio[lev - 1]
     stencil = 1 if interp in ("linear", "quadratic") else 0

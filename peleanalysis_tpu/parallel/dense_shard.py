@@ -17,12 +17,12 @@ Levels whose extents do not divide the mesh are PADDED, not replicated:
   * lev > 0: the bounding box grows on the hi side of each sharded dim and
     the pad cells are ordinary "hole" cells (in_level False), which ghost
     fills overwrite with coarse upsampled values — semantically exact.
-  * lev == 0 (spans the domain, no coarser level): pads are EDGE COPIES of
-    the boundary plane, exactly the foextrap ghost value a stencil at the
-    last real plane expects; pad cells themselves are masked out
-    (in_level False).  A PERIODIC non-divisible dim at level 0 would need
-    wrap values that move with the data, so that level stays replicated
-    (rare: level-0 extents are nearly always powers of two).
+  * lev == 0 (spans the domain, no coarser level): pad cells are edge-copy
+    placeholders masked out (in_level False); every ghost fill re-grows
+    level 0 from the TRUE domain edge (ops/dense_fill._grow_level0), so pad
+    positions carry exact BC values — foextrap/reflect copies, or wrap for
+    periodic dims (wrap values are computed at fill time from the real
+    edge, so they move with the data under any sharding).
 """
 from __future__ import annotations
 
@@ -111,12 +111,6 @@ def pad_state_to(dstate, sizes: Sequence[int]):
         arr = dstate.data[lev]
         bbox = dstate.lmeta[lev].bbox
         pads = [(-arr.shape[1 + d]) % sizes[d] for d in range(3)]
-        if lev == 0 and any(
-                pads[d] and meta.geoms[0].is_periodic[d] for d in range(3)):
-            # periodic level-0 pad would need wrap values: stay replicated
-            new_data.append(arr)
-            new_lmeta.append(dstate.lmeta[lev])
-            continue
         if not any(pads):
             new_data.append(arr)
             new_lmeta.append(dstate.lmeta[lev])

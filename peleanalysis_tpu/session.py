@@ -37,6 +37,8 @@ from .amr.hierarchy import AmrState
 
 
 def _state_key(path: str, max_level, is_periodic, dtype) -> Tuple:
+    import os
+
     import jax.numpy as jnp
 
     from . import config
@@ -46,7 +48,14 @@ def _state_key(path: str, max_level, is_periodic, dtype) -> Tuple:
     # float32 arrays when x64 is off, identical to a float32 load — sharing
     # the cache entry is exact, not approximate
     dt = jnp.zeros((), dtype or config.compute_dtype).dtype.name
-    return (path, max_level, per, dt)
+    # Header mtime: a long-lived Session (or a pipeline whose stage rewrites
+    # an input path) must not serve stale device arrays after the plotfile
+    # changed on disk
+    try:
+        mtime = os.path.getmtime(os.path.join(path, "Header"))
+    except OSError:
+        mtime = None
+    return (path, max_level, per, dt, mtime)
 
 
 class Session:

@@ -199,10 +199,15 @@ def trace_streamlines(
     pallas on TPU for float32 states when the level is big enough.
     fetch_compress: ship positions as seed-f32 + int16 station DELTAS and
     reconstruct host-side — an RK4 station moves at most h_phys, so the
-    quantization error is <= n_half*h/64000 ~ 4e-4*h, 50x below the bf16
-    march deviation.  Halves the line-payload fetch (the e2e bottleneck
-    through a slow link).  Default: ON exactly when the march itself is
-    lossy (bfloat16 default); full-precision marches ship exact f32.
+    quantization error is <= n_half*h/64000 ~ 4e-4*h at the default 51
+    stations.  Halves the line-payload fetch (the e2e bottleneck through a
+    slow link).  LOSSY: written StreamData/Tecplot files carry the
+    quantized stations and uint16 range-quantized sampled fields.
+    Default: ON exactly when the march itself is lossy (bfloat16 default)
+    AND the worst-case drift bound n_half*h/32000 stays below the bf16
+    march deviation (n_half <= 320); long lines and full-precision marches
+    ship exact f32.  (The default is the same in and out of pipeline mode
+    on purpose: pipelined and file-chained runs are byte-parity-tested.)
     """
     if march_engine not in ("auto", "pallas", "xla"):
         raise ValueError(f"march_engine={march_engine!r}: "
@@ -216,12 +221,14 @@ def trace_streamlines(
         bf16_default = True
     if march_dtype in ("float32", "float64", "none"):
         march_dtype = None
-    # compressed line fetch: default exactly when the march is lossy anyway
-    compress = (march_dtype == "bfloat16" if fetch_compress is None
-                else bool(fetch_compress))
     # reference convention: nRKh = (nRKsteps-1)/2 (stream.cpp:701-702), so
     # StreamData written here has the same station count as reference files
     n_half = (n_rk_steps - 1) // 2
+    # compressed line fetch: default exactly when the march is lossy anyway
+    # AND the reconstruction drift bound (n_half quantization steps of
+    # h/32000) stays below the bf16 march's ~0.01-cell path deviation
+    compress = (march_dtype == "bfloat16" and n_half <= 320
+                if fetch_compress is None else bool(fetch_compress))
     if n_rk_steps % 2 == 0:
         print(f"trace_streamlines: even nRKsteps={n_rk_steps} rounds to "
               f"{2 * n_half + 1} stations (reference nRKh=(nRKsteps-1)/2)")
@@ -362,7 +369,11 @@ def trace_streamlines(
                     # closure h_phys: a cached engine reused with a
                     # different hRK would otherwise decode with a
                     # mismatched scale (caught in r3 self-review)
-                    q = jnp.round(d * (32000.0 / h)).astype(jnp.int16)
+                    # clamp: bf16 normalization rounding can overshoot h by
+                    # ~1% (q ~ 32320); out-of-range f32->int16 is undefined
+                    # in XLA and would silently corrupt reconstructed lines
+                    q = jnp.clip(jnp.round(d * (32000.0 / h)),
+                                 -32767.0, 32767.0).astype(jnp.int16)
                     qf = q.ravel()
                     if qf.size % 2:
                         qf = jnp.concatenate(

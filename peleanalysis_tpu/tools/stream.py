@@ -60,7 +60,11 @@ def main(args: dict) -> None:
     seedRakeL=.. seedRakeR=.. [seedRakeNum=10]) [progressName=temp |
     traceAlongV=1] [nRKsteps=51] [hRK=0.1] [aux_comps=...] [nGrow=]
     [bounds=lo..hi..] [marchEngine=auto|pallas|xla]
-    [fetch_precision=auto|exact|compressed] (streamFile=<StreamData out>
+    [fetch_precision=auto|exact|compressed — auto is LOSSY when the march
+    is bfloat16 and nRKsteps<=641: written stations are int16-delta
+    quantized (drift <= nRKh*hRK/32000 cells) and sampled fields uint16
+    range-quantized; pass exact for full-f32 artifacts]
+    (streamFile=<StreamData out>
     and/or outFile=<Tecplot out>) [sd_version=0|1.0] [buildAltSurf=1
     altVal= dt= thickCompName= thickLo= thickHi= strainCompName=
     TCompName= TVal= addAngle= altIsoFile=]"""
