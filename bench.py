@@ -4,7 +4,10 @@ levels) vs the CPU reference numerics (numpy float64, single process — one
 rank of the reference's MPI build).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = TPU composite wall-clock (ms); vs_baseline = cpu_ms / tpu_ms.
+value = TPU composite wall-clock (ms); vs_baseline = cpu_ms / tpu_ms, where
+cpu_ms comes from the PINNED oracle timings in BASELINE_CPU.json (the live
+numbers swing 2-3x with container host load; PELE_BENCH_LIVE_CPU=1
+re-measures them — detail.cpu_source says which was used).
 
 Timing notes: this container's tunnel runtime executes lazily with ~30 ms
 fetch latency, so device phases are timed as K-step on-device dependency
@@ -192,39 +195,55 @@ def main():
         pass
     tpu_ms = grad_ms + curv_ms + iso_ms
 
-    # ---- CPU baseline: same numerics in numpy float64 ----------------------
-    plans = []
-    for lev in range(n_lev):
-        ba_c = meta.bas[lev - 1] if lev > 0 else None
-        ps_c = meta.pad_shape(lev - 1) if lev > 0 else None
-        ratio = meta.ref_ratio[lev - 1] if lev > 0 else 2
-        plans.append(get_fill_plan(meta.bas[lev], meta.geoms[lev], 1,
-                                   meta.pad_shape(lev), ba_c, ps_c, ratio,
-                                   None, "linear"))
-    np_t, np_p = [], []
-    for lev in range(n_lev):
-        for arrs, comp in ((np_t, ic), (np_p, ip)):
-            a = np.zeros((len(meta.bas[lev]), 1) + meta.pad_shape(lev))
-            for i, f in enumerate(raw[lev]):
-                sl = (i, 0) + tuple(slice(0, s) for s in f.shape[1:])
-                a[sl] = f[comp]
-            arrs.append(a)
-    dxs = [meta.geoms[lev].dx for lev in range(n_lev)]
+    # ---- CPU baseline: PINNED by default (VERDICT r3 #9) -------------------
+    # the live numpy numbers swing 2-3x with container host load, which made
+    # vs_baseline noise; BASELINE_CPU.json pins the min-across-rounds oracle
+    # timings of the identical numerics.  PELE_BENCH_LIVE_CPU=1 re-measures.
+    pinned = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_CPU.json")) as f:
+            pinned = json.load(f)
+    except Exception:
+        pass
+    live_cpu = os.environ.get("PELE_BENCH_LIVE_CPU") == "1" or pinned is None
+    if live_cpu:
+        plans = []
+        for lev in range(n_lev):
+            ba_c = meta.bas[lev - 1] if lev > 0 else None
+            ps_c = meta.pad_shape(lev - 1) if lev > 0 else None
+            ratio = meta.ref_ratio[lev - 1] if lev > 0 else 2
+            plans.append(get_fill_plan(meta.bas[lev], meta.geoms[lev], 1,
+                                       meta.pad_shape(lev), ba_c, ps_c, ratio,
+                                       None, "linear"))
+        np_t, np_p = [], []
+        for lev in range(n_lev):
+            for arrs, comp in ((np_t, ic), (np_p, ip)):
+                a = np.zeros((len(meta.bas[lev]), 1) + meta.pad_shape(lev))
+                for i, f in enumerate(raw[lev]):
+                    sl = (i, 0) + tuple(slice(0, s) for s in f.shape[1:])
+                    a[sl] = f[comp]
+                arrs.append(a)
+        dxs = [meta.geoms[lev].dx for lev in range(n_lev)]
 
-    t0 = time.perf_counter()
-    for lev in range(n_lev):
-        numpy_grad_level(plans[lev], np_t[lev],
-                         np_t[lev - 1] if lev > 0 else None, dxs[lev])
-    cpu_grad = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    numpy_curvature(plans, np_p, dxs)
-    cpu_curv = time.perf_counter() - t0
-    # warm once so the device->host transfer of the filled arrays (cached on
-    # the state) doesn't count against the CPU engine's compute time
-    extract_isosurface(dstate, "temp", 1000.0, classify="numpy")
-    t0 = time.perf_counter()
-    extract_isosurface(dstate, "temp", 1000.0, classify="numpy")
-    cpu_iso = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for lev in range(n_lev):
+            numpy_grad_level(plans[lev], np_t[lev],
+                             np_t[lev - 1] if lev > 0 else None, dxs[lev])
+        cpu_grad = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        numpy_curvature(plans, np_p, dxs)
+        cpu_curv = time.perf_counter() - t0
+        # warm once so the device->host transfer of the filled arrays (cached
+        # on the state) doesn't count against the CPU engine's compute time
+        extract_isosurface(dstate, "temp", 1000.0, classify="numpy")
+        t0 = time.perf_counter()
+        extract_isosurface(dstate, "temp", 1000.0, classify="numpy")
+        cpu_iso = time.perf_counter() - t0
+    else:
+        cpu_grad = pinned["cpu_grad_ms"] / 1e3
+        cpu_curv = pinned["cpu_curvature_ms"] / 1e3
+        cpu_iso = pinned["cpu_isosurface_ms"] / 1e3
     cpu_ms = (cpu_grad + cpu_curv + cpu_iso) * 1e3
 
     # ---- BASELINE configs 4 & 5 (informational detail) ----------------------
@@ -402,20 +421,23 @@ def main():
             out.append(pos.copy())
         return np.stack(out)
 
-    fin = n_lev - 1
-    geom_f = meta.geoms[fin]
-    vel = np.asarray(dstate.data[fin][
-        np.asarray([state.comp(n) for n in
-                    ("x_velocity", "y_velocity", "z_velocity")])],
-        dtype=np.float64)
-    bboxf = dstate.lmeta[fin].bbox
-    plo_f = (np.array(geom_f.prob_lo)
-             + (np.array(bboxf.lo) - np.array(geom_f.domain.lo))
-             * np.array(geom_f.dx))
-    t0 = time.perf_counter()
-    numpy_trace(vel, plo_f, np.array(geom_f.dx), seeds, 25,
-                0.5 * geom_f.dx[0])
-    cpu_stream_ms = (time.perf_counter() - t0) * 1e3
+    if live_cpu:
+        fin = n_lev - 1
+        geom_f = meta.geoms[fin]
+        vel = np.asarray(dstate.data[fin][
+            np.asarray([state.comp(n) for n in
+                        ("x_velocity", "y_velocity", "z_velocity")])],
+            dtype=np.float64)
+        bboxf = dstate.lmeta[fin].bbox
+        plo_f = (np.array(geom_f.prob_lo)
+                 + (np.array(bboxf.lo) - np.array(geom_f.domain.lo))
+                 * np.array(geom_f.dx))
+        t0 = time.perf_counter()
+        numpy_trace(vel, plo_f, np.array(geom_f.dx), seeds, 25,
+                    0.5 * geom_f.dx[0])
+        cpu_stream_ms = (time.perf_counter() - t0) * 1e3
+    else:
+        cpu_stream_ms = pinned["cpu_stream_ms"]
 
     # conditionalMean + jpdf: ONE fused dispatch + ONE fetch (r3 measured:
     # each standalone tool is ~5 ms device + ~30 ms tunnel latency, so the
@@ -469,20 +491,23 @@ def main():
         "pct_mxu_f32_peak": round(100 * stats_gflop * 1e9
                                   / (stats_dev_ms * 1e-3) / MXU_F32_PEAK,
                                   2)}
-    t0 = time.perf_counter()
-    w = refweights = [64, 8, 1]
-    for lev in range(n_lev):
-        p = np.asarray(dstate.data[lev][state.comp("temp")])
-        d = np.asarray(dstate.data[lev][state.comp("density")])
-        m = np.asarray(dstate.valid_mask(lev))
-        idx = np.clip(((p - 300.0) / 1501.0 * 64).astype(int), 0, 63)
-        np.add.at(np.zeros(64), idx[m], w[lev])
-        np.add.at(np.zeros(64), idx[m], w[lev] * d[m])
-        q = np.asarray(dstate.data[lev][state.comp("progress")])
-        i2 = np.clip(((q + 0.1) / 1.2 * 64).astype(int), 0, 63)
-        flat = idx[m] * 64 + i2[m]
-        np.add.at(np.zeros(64 * 64), flat, 1.0)
-    cpu_stats_ms = (time.perf_counter() - t0) * 1e3
+    if live_cpu:
+        t0 = time.perf_counter()
+        w = [64, 8, 1]
+        for lev in range(n_lev):
+            p = np.asarray(dstate.data[lev][state.comp("temp")])
+            d = np.asarray(dstate.data[lev][state.comp("density")])
+            m = np.asarray(dstate.valid_mask(lev))
+            idx = np.clip(((p - 300.0) / 1501.0 * 64).astype(int), 0, 63)
+            np.add.at(np.zeros(64), idx[m], w[lev])
+            np.add.at(np.zeros(64), idx[m], w[lev] * d[m])
+            q = np.asarray(dstate.data[lev][state.comp("progress")])
+            i2 = np.clip(((q + 0.1) / 1.2 * 64).astype(int), 0, 63)
+            flat = idx[m] * 64 + i2[m]
+            np.add.at(np.zeros(64 * 64), flat, 1.0)
+        cpu_stats_ms = (time.perf_counter() - t0) * 1e3
+    else:
+        cpu_stats_ms = pinned["cpu_condmean_jpdf_ms"]
 
     print(json.dumps({
         "metric": "grad_curv_iso_3level_ms",
@@ -506,6 +531,7 @@ def main():
             "cpu_isosurface_ms": round(cpu_iso * 1e3, 1),
             "cpu_stream_ms": round(cpu_stream_ms, 1),
             "cpu_condmean_jpdf_ms": round(cpu_stats_ms, 1),
+            "cpu_source": "live" if live_cpu else "pinned",
             "roofline": roofline,
         },
     }))
