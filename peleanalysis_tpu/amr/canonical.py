@@ -1,0 +1,326 @@
+"""Position-independent (canonical-frame) cluster substates.
+
+The sparse-refinement cluster path (amr/cluster.py) processes each finest-
+level cluster as a dense patch.  Through round 3 every per-cluster engine
+baked ABSOLUTE positions into its jaxpr — fill slice offsets, enum-engine
+gbox los — so equal-shaped clusters at different positions compiled
+separately (scattered-512^3 cold isosurface: 328 s for 12 clusters,
+NOTES.md r3).  The reference never pays this: its per-box kernels are
+position-independent by construction (DistributionMapping + MFIter loops,
+/root/reference/Src/grad.cpp:160-163).
+
+This module restores that property the TPU way: each cluster is TRANSLATED
+to a canonical frame —
+
+  * the cluster's fine bbox is aligned DOWN to the total refinement ratio
+    (so every coarse translation is integral and all c-f phases are
+    preserved) and its extents padded UP to a bucket granule;
+  * every coarser level enters as a translated WINDOW (the exact region the
+    tool's fills read, sized by ``ngrow_max`` + interp stencil + an
+    ``extra_margin`` for chained stencil stages) instead of the global
+    coarse level;
+  * the canonical geometry/lmeta/BoxArrays are identical for every cluster
+    in the same bucket, so ``hier_fingerprint`` matches and ALL equal-bucket
+    clusters share ONE compiled engine (amr/dense.shared_engine); the
+    position enters only through traced data (window contents, masks,
+    coordinate fields) and through host-side re-translation of outputs.
+
+Exactness: window contents are crops of the global dense arrays; hole cells
+are refilled from the window's own coarser level exactly as the global fill
+would (values are pure functions of the same coarse data); cluster
+separation (cluster_boxes ``dist``) keeps other clusters' fine data out of
+reach.  Clusters whose windows would cross the physical domain boundary are
+NOT canonicalized (the boundary distance would re-enter the graph) — they
+fall back to the round-3 exact per-cluster path, flagged in the returned
+infos.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+from .box import Box, BoxArray
+from .cluster import cluster_boxes
+from .geometry import Geometry
+
+
+@dataclasses.dataclass
+class CanonInfo:
+    canonical: bool                    # False -> legacy (boundary) substate
+    shift: Optional[np.ndarray]        # fine-level cells: global = canon + shift
+    windows: Optional[List[Box]]       # GLOBAL window box per level
+
+
+def _ceil_to(v: int, g: int) -> int:
+    return ((v + g - 1) // g) * g
+
+
+def _floor_align(v: int, a: int) -> int:
+    return (v // a) * a if v >= 0 else -((-v + a - 1) // a) * a
+
+
+def _crop_np(arr: np.ndarray, src_box: Box, dst_box: Box,
+             fill=False) -> np.ndarray:
+    """Crop dst_box out of a host array covering src_box; out-of-range
+    regions take ``fill``."""
+    out_shape = arr.shape[:-3] + dst_box.shape
+    out = np.full(out_shape, fill, dtype=arr.dtype)
+    isect = src_box.intersect(dst_box)
+    if isect.is_empty():
+        return out
+    ssl = tuple(slice(isect.lo[d] - src_box.lo[d],
+                      isect.hi[d] - src_box.lo[d] + 1) for d in range(3))
+    dsl = tuple(slice(isect.lo[d] - dst_box.lo[d],
+                      isect.hi[d] - dst_box.lo[d] + 1) for d in range(3))
+    pre = (slice(None),) * (arr.ndim - 3)
+    out[pre + dsl] = arr[pre + ssl]
+    return out
+
+
+def _crop_dev_fn():
+    import jax
+
+    @partial(jax.jit, static_argnames=("size",))
+    def crop(arr, starts, size):
+        import jax.numpy as jnp
+        s = [jnp.asarray(starts[d], jnp.int32) for d in range(3)]
+        return jax.lax.dynamic_slice(
+            arr, (jnp.zeros((), jnp.int32),) + tuple(s),
+            (arr.shape[0],) + size)
+
+    return crop
+
+
+_CROP_DEV = None
+
+
+def _crop_dev(arr, starts, size):
+    """dynamic_slice with TRACED starts: one compile serves every cluster's
+    window crop of the same (global, window) shape pair."""
+    global _CROP_DEV
+    if _CROP_DEV is None:
+        _CROP_DEV = _crop_dev_fn()
+    return _CROP_DEV(arr, np.asarray(starts, np.int32), tuple(size))
+
+
+def canonical_cluster_substates(state, ngrow_max: int = 1,
+                                interp_stencil: int = 1,
+                                extra_margin: int = 0,
+                                waste_factor: float = 4.0, dist: int = 2,
+                                granule: int = 32):
+    """(groups, subs, base, infos): canonical-frame DenseAmrStates for the
+    finest level's clusters (see module docstring).  ``ngrow_max`` is the
+    largest ghost width the tool fills at any level; ``extra_margin`` adds
+    coarse-window validity layers for tools that CHAIN stencil stages
+    (each derived-field fill consumes one layer of window validity).
+    Ineligible clusters (windows crossing the domain boundary, or a
+    single-level hierarchy) come back as legacy global-coarse substates
+    with infos[i].canonical False — exactly round 3's behavior."""
+    import jax.numpy as jnp
+
+    from .cluster import cluster_substates
+    from .dense import DenseAmrState, DenseLevelMeta, _assemble_dense
+    from .hierarchy import AmrMeta
+
+    meta = state.meta
+    fin = meta.n_levels - 1
+    groups = cluster_boxes(meta.bas[fin], waste_factor, dist)
+    base = DenseAmrState.from_batched_coarse_only(state)
+    boxes = list(meta.bas[fin])
+    if fin == 0:
+        legacy_g, legacy_s, legacy_b = cluster_substates(
+            state, waste_factor, dist)
+        return (legacy_g, legacy_s, legacy_b,
+                [CanonInfo(False, None, None) for _ in legacy_g])
+
+    # fine-cells-per-level-l-cell and alignment for integral translations
+    F = [int(np.prod(meta.ref_ratio[l:fin])) for l in range(fin + 1)]
+    R0 = F[0]
+    gran = _ceil_to(max(granule, R0), R0)
+    dom_f = meta.geoms[fin].domain
+
+    # ---- bucketed, aligned, domain-fitted fine frames ----------------------
+    frames = []                        # (shift (3,), ext_b (3,)) per group
+    for g in groups:
+        lo = np.min([boxes[i].lo for i in g], axis=0)
+        hi = np.max([boxes[i].hi for i in g], axis=0)
+        shift, ext = [], []
+        for d in range(3):
+            lo_al = _floor_align(int(lo[d]), R0)
+            eb = _ceil_to(int(hi[d]) - lo_al + 1, gran)
+            # bucket padding may poke past the domain hi: slide the frame
+            # down (keeping R0 alignment) when a fit exists
+            over = lo_al + eb - 1 - dom_f.hi[d]
+            if over > 0:
+                slide = _ceil_to(over, R0)
+                if lo_al - slide >= dom_f.lo[d]:
+                    lo_al -= slide
+            shift.append(lo_al)
+            ext.append(eb)
+        frames.append((np.asarray(shift), tuple(ext)))
+
+    # ---- canonical windows per bucket (ext_b) ------------------------------
+    def windows_canonical(ext_b):
+        W = [None] * (fin + 1)
+        W[fin] = Box((0, 0, 0), tuple(e - 1 for e in ext_b))
+        for lev in range(fin, 0, -1):
+            cb = (W[lev].grow(ngrow_max).coarsen(meta.ref_ratio[lev - 1])
+                  .grow(interp_stencil + extra_margin))
+            W[lev - 1] = cb
+        return W
+
+    win_cache = {}
+
+    def eligible(shift, W_c):
+        for lev in range(fin + 1):
+            wg = W_c[lev].shift(tuple(int(shift[d]) // F[lev]
+                                      for d in range(3)))
+            if not meta.geoms[lev].domain.contains_box(wg.grow(ngrow_max)):
+                return False
+        return True
+
+    # ---- legacy fallback builder (round-3 path) ----------------------------
+    def legacy_sub(g):
+        ba_g = BoxArray([boxes[i] for i in g])
+        meta_g = AmrMeta(meta.geoms, meta.bas[:fin] + [ba_g],
+                         meta.ref_ratio, meta.time, meta.level_steps,
+                         meta.ndim2)
+        bbox_g = ba_g.minimal_box()
+        lmeta_g = base.lmeta[:fin] + [DenseLevelMeta(
+            bbox_g, meta.geoms[fin], ba_g.total_cells() / bbox_g.size)]
+        data_g = list(base.data[:fin]) + [_assemble_dense(
+            state.data[fin][np.asarray(g)], ba_g, bbox_g)]
+        sub = DenseAmrState(meta_g, state.names, data_g, lmeta_g)
+        for lev in range(fin):
+            sub._in_level[lev] = base.in_level_mask(lev)
+            sub._covered[lev] = base.covered_mask(lev)
+        return sub
+
+    # ---- canonical geoms/lmeta shared per bucket ---------------------------
+    dx0 = meta.geoms[0].dx
+
+    def canon_geoms(W_c):
+        g0 = Geometry(W_c[0], (0.0, 0.0, 0.0),
+                      tuple(W_c[0].shape[d] * dx0[d] for d in range(3)),
+                      (False, False, False))
+        gs = [g0]
+        for lev in range(1, fin + 1):
+            gs.append(gs[-1].refine(meta.ref_ratio[lev - 1]))
+        return gs
+
+    # hoist per-level host mask sources once (np; avoids re-fetching)
+    inlev_np = [np.asarray(base.in_level_mask(lev)) for lev in range(fin)]
+    cov_np = [np.asarray(base.covered_mask(lev)) for lev in range(fin)]
+    # pre-pad global coarse arrays so every window crop is in range (the
+    # out-of-bbox region is hole cells the canonical fill recomputes)
+    pad_data = list(base.data[:fin])
+    pad_boxes = [base.lmeta[lev].bbox for lev in range(fin)]
+
+    def ensure_pad(lev, need_box):
+        nonlocal pad_data, pad_boxes
+        pb = pad_boxes[lev]
+        lo_p = [max(0, pb.lo[d] - need_box.lo[d]) for d in range(3)]
+        hi_p = [max(0, need_box.hi[d] - pb.hi[d]) for d in range(3)]
+        if any(lo_p) or any(hi_p):
+            pad_data[lev] = jnp.pad(
+                pad_data[lev],
+                [(0, 0)] + [(lo_p[d], hi_p[d]) for d in range(3)])
+            pad_boxes[lev] = Box(
+                tuple(pb.lo[d] - lo_p[d] for d in range(3)),
+                tuple(pb.hi[d] + hi_p[d] for d in range(3)))
+
+    subs, infos = [], []
+    for gi, g in enumerate(groups):
+        shift, ext_b = frames[gi]
+        key = ext_b
+        if key not in win_cache:
+            win_cache[key] = windows_canonical(ext_b)
+        W_c = win_cache[key]
+        if not eligible(shift, W_c):
+            subs.append(legacy_sub(g))
+            infos.append(CanonInfo(False, None, None))
+            continue
+        W_g = [W_c[lev].shift(tuple(int(shift[d]) // F[lev]
+                                    for d in range(3)))
+               for lev in range(fin + 1)]
+        geoms_c = canon_geoms(W_c)
+        # bas must be CANONICAL for fingerprint-equality (engine sharing);
+        # the true translated fine layout enters only through the pre-set
+        # in_level mask (traced data) and the assembly below
+        bas_c = [BoxArray([W_c[lev]]) for lev in range(fin + 1)]
+        ba_t = BoxArray([boxes[i].shift(tuple(-shift)) for i in g])
+        meta_g = AmrMeta(geoms_c, bas_c, meta.ref_ratio, meta.time,
+                         None, meta.ndim2)
+        lmeta_g = [DenseLevelMeta(W_c[lev], geoms_c[lev], 1.0)
+                   for lev in range(fin)]
+        lmeta_g.append(DenseLevelMeta(
+            W_c[fin], geoms_c[fin], ba_t.total_cells() / W_c[fin].size))
+        # window data: traced dynamic_slice crops (one compile per shape)
+        data_g = []
+        for lev in range(fin):
+            ensure_pad(lev, W_g[lev])
+            starts = [W_g[lev].lo[d] - pad_boxes[lev].lo[d]
+                      for d in range(3)]
+            data_g.append(_crop_dev(pad_data[lev], starts, W_c[lev].shape))
+        data_g.append(_assemble_dense(state.data[fin][np.asarray(g)],
+                                      ba_t, W_c[fin]))
+        sub = DenseAmrState(meta_g, state.names, data_g, lmeta_g)
+        for lev in range(fin):
+            bb = base.lmeta[lev].bbox
+            sub._in_level[lev] = jnp.asarray(
+                _crop_np(inlev_np[lev], bb, W_g[lev]))
+            sub._covered[lev] = jnp.asarray(
+                _crop_np(cov_np[lev], bb, W_g[lev]))
+        # fine in_level = union of the TRANSLATED true boxes (canonical bas
+        # would say all-true); covered(fin) has no finer level -> lazy zeros
+        from .dense import _union_mask_np
+        sub._in_level[fin] = jnp.asarray(_union_mask_np(ba_t, W_c[fin]))
+        sub._canon_shift = shift
+        sub._canon_windows = W_g
+        subs.append(sub)
+        infos.append(CanonInfo(True, shift, W_g))
+    return groups, subs, base, infos
+
+
+def global_frame(out_state, info: CanonInfo):
+    """Relabel a canonical-frame RESULT state with its GLOBAL window lmeta,
+    so host-side merges can slice it by global box coordinates (the data
+    arrays are shared, only the bbox labels change)."""
+    if not info.canonical:
+        return out_state
+    from .dense import DenseAmrState, DenseLevelMeta
+
+    lmeta = [DenseLevelMeta(info.windows[lev], lm.geom, lm.fill_frac)
+             for lev, lm in enumerate(out_state.lmeta)]
+    st = DenseAmrState(out_state.meta, out_state.names, out_state.data,
+                       lmeta)
+    st._in_level = out_state._in_level
+    st._covered = out_state._covered
+    return st
+
+
+def coarse_only_state(state, base=None):
+    """Global dense hierarchy of levels 0..fin-1 (for the coarse pass that
+    complements canonical fine-cluster runs), with the level-(fin-1) covered
+    mask taken from the FULL hierarchy so fine-covered cells are excluded
+    exactly as in a global run."""
+    from .dense import DenseAmrState
+    from .hierarchy import AmrMeta
+
+    meta = state.meta
+    fin = meta.n_levels - 1
+    if base is None:
+        base = DenseAmrState.from_batched_coarse_only(state)
+    meta_c = AmrMeta(meta.geoms[:fin], meta.bas[:fin],
+                     meta.ref_ratio[:fin - 1], meta.time,
+                     meta.level_steps[:fin] if meta.level_steps else None,
+                     meta.ndim2)
+    ds = DenseAmrState(meta_c, state.names, list(base.data[:fin]),
+                       list(base.lmeta[:fin]))
+    for lev in range(fin):
+        ds._in_level[lev] = base.in_level_mask(lev)
+        ds._covered[lev] = base.covered_mask(lev)
+    return ds

@@ -151,6 +151,15 @@ def main(argv=None, session=None) -> int:
         else:
             print(f"unknown dtype '{name}' (float32|float64)")
             return 2
+    else:
+        # each main() is one tool invocation: a prior dtype=float64 run in
+        # the same process (tests, pipeline, server) must not leak into a
+        # default-precision run (x64 stays enabled — only the compute dtype
+        # selects what loads/engines produce)
+        import jax.numpy as jnp
+
+        from . import config
+        config.set_compute_dtype(jnp.float32)
     from .parmparse import _ACTIVE
     _ACTIVE.clear()
     # PELE_PROFILE=<dir>: wrap the tool in a jax.profiler trace (the TPU

@@ -1031,28 +1031,11 @@ def _head_xyz(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1):
     return jnp.concatenate([head, xb.reshape(-1)])
 
 
-def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
-                            iso_val: float,
-                            extra_names: Sequence[str] = (),
-                            bc=None, label: Optional[str] = None,
-                            emit_levels=None, want_eids: bool = False,
-                            defer: bool = False):
-    """Sort-free single-dispatch single-fetch extraction (enum engine).
-    With want_eids, returns (MEF, node_lev [n], node_eid [n],
-    tri_lev_counts) for the sparse per-cluster merge.  With defer=True the
-    packed result stays on device (only the count header is fetched) and a
-    :class:`DeferredSurface` is returned — the pipeline-mode path where a
-    downstream stage consumes seeds without the full surface payload."""
-    if defer and want_eids:
-        raise ValueError("defer is not supported with want_eids (the "
-                         "sparse merge needs the decoded edge ids)")
+def _enum_prep(dstate: DenseAmrState, names, bc):
+    """Shared device-input prep for the enum engine (also used by the
+    sparse driver's counts probe)."""
     meta = dstate.meta
-    names = [iso_name] + [n for n in extra_names if n != iso_name]
     comps = [dstate.comp(n) for n in names]
-    if bc is None:
-        bc = default_bc(3)
-    nf = 3 + len(names)
-
     data_levels = _data_levels_cached(dstate, comps)
     masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
     ok_devs = [_ok_mask_dev(dstate, lev)[0] for lev in range(meta.n_levels)]
@@ -1070,7 +1053,68 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
             (bool(geom.is_periodic[d])
              and bbox.shape[d] == geom.domain.shape[d],
              geom.domain.shape[d]) for d in range(3)))
-    spans_all = tuple(spans_all)
+    return (data_levels, masks, ok_devs, inlev_devs, consts, unwraps,
+            tuple(spans_all))
+
+
+def enum_probe_counts(dstate: DenseAmrState, iso_name: str, iso_val: float,
+                      extra_names: Sequence[str] = (), bc=None,
+                      emit_levels=None) -> np.ndarray:
+    """Counts-only probe: exact per-level active/node counts + triangle
+    total from the small (fast-compiling) counts graph.  The sparse driver
+    probes every cluster with ONE shared engine, then pins every cluster's
+    caps to the maxima so the big engine compiles once."""
+    meta = dstate.meta
+    names = [iso_name] + [n for n in extra_names if n != iso_name]
+    if bc is None:
+        bc = default_bc(3)
+    nf = 3 + len(names)
+    (data_levels, masks, ok_devs, inlev_devs, consts, unwraps,
+     spans_all) = _enum_prep(dstate, names, bc)
+    emit = (tuple(range(meta.n_levels)) if emit_levels is None
+            else tuple(emit_levels))
+    dtype = data_levels[0].dtype
+    pkey = ("counts", len(names), bc, str(dtype), emit)
+    fns = getattr(dstate, "_mc_enum_fns", None)
+    if fns is None:
+        fns = dstate._mc_enum_fns = {}
+    if pkey not in fns:
+        fns[pkey] = _enum_fn_shared(
+            dstate, pkey,
+            lambda: _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
+                                   3, None, None, None, unwraps,
+                                   spans_all, emit, counts_only=True))
+    return np.asarray(fns[pkey](data_levels, masks, inlev_devs, ok_devs,
+                                iso_val))
+
+
+def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
+                            iso_val: float,
+                            extra_names: Sequence[str] = (),
+                            bc=None, label: Optional[str] = None,
+                            emit_levels=None, want_eids: bool = False,
+                            defer: bool = False, decode_lmeta=None):
+    """Sort-free single-dispatch single-fetch extraction (enum engine).
+    With want_eids, returns (MEF, node_lev [n], node_eid [n],
+    tri_lev_counts) for the sparse per-cluster merge.  With defer=True the
+    packed result stays on device (only the count header is fetched) and a
+    :class:`DeferredSurface` is returned — the pipeline-mode path where a
+    downstream stage consumes seeds without the full surface payload.
+    decode_lmeta overrides the lmeta used for the HOST-side eid decode:
+    a canonical-frame cluster run passes its GLOBAL window lmeta (equal
+    shapes, translated los) so merge keys come out in global coordinates
+    (amr/canonical.py)."""
+    if defer and want_eids:
+        raise ValueError("defer is not supported with want_eids (the "
+                         "sparse merge needs the decoded edge ids)")
+    meta = dstate.meta
+    names = [iso_name] + [n for n in extra_names if n != iso_name]
+    if bc is None:
+        bc = default_bc(3)
+    nf = 3 + len(names)
+
+    (data_levels, masks, ok_devs, inlev_devs, consts, unwraps,
+     spans_all) = _enum_prep(dstate, names, bc)
     dtype = data_levels[0].dtype
     words = 2 if dtype == jnp.float64 else 1
 
@@ -1167,7 +1211,8 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
     decode_kw = dict(nl=nl, ne=ne, node_caps=node_caps,
                      tri_cap=tri_cap, want_eids=want_eids, words=words,
                      nf=nf, names=names, iso_val=iso_val, label=label,
-                     lmeta=dstate.lmeta, n_nod=n_nod, n_tri=n_tri)
+                     lmeta=decode_lmeta or dstate.lmeta, n_nod=n_nod,
+                     n_tri=n_tri)
     if defer:
         surf = DeferredSurface(packed_dev, decode_kw,
                                (n_uniq, n_tri), xyz_rows=xyz_rows)
@@ -1497,34 +1542,113 @@ def _cluster_substates(state, waste_factor: float = 4.0):
     return subs, base
 
 
+def _window_coords(meta, windows, dtype):
+    """TRUE physical cell-center coordinate fields for canonical-frame
+    windows (the canonical geoms carry prob_lo=0; positions enter the
+    engine as traced data, so node xyz come out globally correct with no
+    per-cluster constants in the graph)."""
+    out = []
+    for lev, wb in enumerate(windows):
+        geom = meta.geoms[lev]
+        cs = [geom.prob_lo[d]
+              + (np.arange(wb.lo[d], wb.hi[d] + 1)
+                 - geom.domain.lo[d] + 0.5) * geom.dx[d] for d in range(3)]
+        X, Y, Z = np.meshgrid(*cs, indexing="ij")
+        out.append(jnp.asarray(np.stack([X, Y, Z]), dtype))
+    return out
+
+
 def extract_isosurface_sparse(state, iso_name: str, iso_val: float,
                               extra_names: Sequence[str] = (),
                               bc=None, label: Optional[str] = None,
                               waste_factor: float = 4.0) -> MEF:
     """Sparse-refinement extraction: the finest level is processed as dense
-    CLUSTERS (amr/cluster.py) so HBM scales with valid cells instead of the
-    union bounding box (the reference gets this for free from per-rank box
-    ownership; isosurface.cpp:1531 MFIter).  Run 0 emits all levels'
-    triangles for its cluster; runs k>0 emit only their fine cluster's.
-    Node identity is the canonical (level, edge-id) pair, so the cross-run
-    merge is EXACT integer dedup, not positional."""
-    subs, base = _cluster_substates(state, waste_factor)
-    all_nodes, all_eid, all_tris = [], [], []
-    names = None
-    fin = state.meta.n_levels - 1
+    CLUSTERS so HBM scales with valid cells instead of the union bounding
+    box (the reference gets this for free from per-rank box ownership;
+    isosurface.cpp:1531 MFIter).  One GLOBAL COARSE pass emits levels
+    0..fin-1 (fine-covered cells excluded via the full hierarchy's covered
+    mask); each cluster run emits only its fine triangles in a CANONICAL
+    translated frame (amr/canonical.py), so every equal-bucket cluster
+    shares ONE compiled engine — the r3 cold-compile killer (328 s for 12
+    clusters, one compile each).  Node identity is the canonical
+    (level, edge-id) pair in GLOBAL coordinates (decode_lmeta), so the
+    cross-run merge stays EXACT integer dedup."""
+    from ..amr.canonical import (canonical_cluster_substates,
+                                 coarse_only_state, _crop_np)
+    from ..amr.dense import DenseLevelMeta
 
-    def run_one(k):
-        emit = None if k == 0 else (fin,)
+    meta = state.meta
+    fin = meta.n_levels - 1
+    groups, subs, base, infos = canonical_cluster_substates(
+        state, ngrow_max=1, interp_stencil=0, waste_factor=waste_factor)
+    dtype = state.data[0].dtype
+
+    for sub, info in zip(subs, infos):
+        sub._mc_masks = {}
+        sub._mc_okdev = {}
+        if info.canonical:
+            for lev in range(fin):
+                cov_b, inl_b = _grown_masks(base, lev)
+                gb = base.lmeta[lev].bbox.grow(1)
+                wb = info.windows[lev].grow(1)
+                sub._mc_masks[lev] = (_crop_np(cov_b, gb, wb),
+                                      _crop_np(inl_b, gb, wb))
+            sub._mc_coords = _window_coords(meta, info.windows, dtype)
+        else:
+            # round-3 exact fallback (boundary clusters): global coarse
+            # arrays, global masks
+            for lev in range(fin):
+                sub._mc_masks[lev] = _grown_masks(base, lev)
+                sub._mc_okdev[lev] = _ok_mask_dev(base, lev)
+
+    # ---- pin caps across canonical runs: probe with ONE shared small
+    # engine, set every cluster's caps to the maxima so the big engine
+    # compiles ONCE (per-run shrink-refits stay private per instance) ------
+    can_idx = [i for i, inf in enumerate(infos) if inf.canonical]
+    nl = fin + 1
+    if len(can_idx) > 1:
+        pcs = [enum_probe_counts(subs[i], iso_name, iso_val, extra_names,
+                                 bc, (fin,)) for i in can_idx]
+        mx = np.max(np.stack(pcs), axis=0)
+        gran = 2048
+        for i in can_idx:
+            subs[i]._mc_enum_caps = {fin: _pad_gran(int(mx[0]), gran, gran)}
+            subs[i]._mc_enum_ncaps = {
+                lev: _pad_gran(int(mx[1 + lev]), gran, gran)
+                for lev in range(nl)}
+            subs[i]._mc_enum_tricap = _pad_gran(int(mx[1 + nl]), gran, gran)
+
+    def run_cluster(k):
+        dl = None
+        if infos[k].canonical:
+            dl = [DenseLevelMeta(infos[k].windows[lev], meta.geoms[lev], 1.0)
+                  for lev in range(nl)]
         return extract_isosurface_enum(
             subs[k], iso_name, iso_val, extra_names, bc, label,
-            emit_levels=emit, want_eids=True)
+            emit_levels=(fin,), want_eids=True, decode_lmeta=dl)
 
-    # per-cluster engines compile CONCURRENTLY: the remote compile service
-    # parallelizes ~10x (measured r3: 12-cluster cold extraction was 438 s
-    # serial); device execution still serializes, but it is milliseconds
+    results = []
+    if fin > 0:
+        cds = coarse_only_state(state, base)
+        cds._mc_masks = {}
+        cds._mc_okdev = {}
+        for lev in range(fin):
+            # masks from the FULL hierarchy: fine-covered coarse cells must
+            # not emit (the coarse meta alone cannot know them)
+            cds._mc_masks[lev] = _grown_masks(base, lev)
+            cds._mc_okdev[lev] = _ok_mask_dev(base, lev)
+        results.append(extract_isosurface_enum(
+            cds, iso_name, iso_val, extra_names, bc, label,
+            want_eids=True))
+    # legacy (boundary) engines still compile CONCURRENTLY: the remote
+    # compile service parallelizes ~10x (measured r3); canonical runs hit
+    # the shared engine after the first
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(len(subs), 8)) as ex:
-        results = list(ex.map(run_one, range(len(subs))))
+        results += list(ex.map(run_cluster, range(len(subs))))
+
+    all_nodes, all_eid, all_tris = [], [], []
+    names = None
     for k, (mef, nlev, neid, _) in enumerate(results):
         names = mef.names
         all_nodes.append(mef.nodes)

@@ -380,10 +380,15 @@ def main(args: dict) -> None:
                         do_strain, do_velnormal, infile):
         import jax.numpy as jnp
 
-        from ..amr.cluster import cluster_substates
+        from ..amr.canonical import (canonical_cluster_substates,
+                                     coarse_only_state, global_frame)
         from ..io.plotfile import write_plotfile
 
-        groups, subs, base = cluster_substates(state)
+        # canonical frames share one compiled engine across equal-bucket
+        # clusters (amr/canonical.py); extra_margin=2 keeps the chained
+        # grad->N->Hessian stencil stages clear of the coarse-window edge
+        groups, subs, base, infos = canonical_cluster_substates(
+            state, ngrow_max=1, interp_stencil=1, extra_margin=2)
         meta = state.meta
         fin = meta.n_levels - 1
         kwargs = _cli_kwargs(pp)
@@ -394,29 +399,33 @@ def main(args: dict) -> None:
             # each cluster differently.  useFileMinMax combines user bounds
             # with the file scan (min/max), matching curvature.cpp:139-148.
             lo, hi = np.inf, -np.inf
-            for si, sub in enumerate(subs):
-                # coarse levels are the SAME shared arrays in every sub —
-                # scan them once; the finest is per-cluster
-                levs = (range(meta.n_levels) if si == 0
-                        else [meta.n_levels - 1])
-                for lev in levs:
-                    v = sub.data[lev][ic]
-                    m = sub.valid_mask(lev)
-                    lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
-                    hi = max(hi, float(jnp.max(jnp.where(m, v, -np.inf))))
+            for lev in range(fin):
+                v = base.data[lev][ic]
+                m = base.valid_mask(lev)
+                lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
+                hi = max(hi, float(jnp.max(jnp.where(m, v, -np.inf))))
+            for sub in subs:
+                v = sub.data[fin][ic]
+                m = sub.valid_mask(fin)
+                lo = min(lo, float(jnp.min(jnp.where(m, v, np.inf))))
+                hi = max(hi, float(jnp.max(jnp.where(m, v, -np.inf))))
             kwargs["prog_min"] = (lo if kwargs["prog_min"] is None
                                   else min(kwargs["prog_min"], lo))
             kwargs["prog_max"] = (hi if kwargs["prog_max"] is None
                                   else max(kwargs["prog_max"], hi))
         # bounds are now resolved globally; stop per-sub rescans
         kwargs["use_file_minmax"] = False
+        coarse_out = compute_curvature_dense(
+            coarse_only_state(state, base), progress_name,
+            do_strain=do_strain, do_velnormal=do_velnormal, **kwargs)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(len(subs), 8)) as ex:
             outs = list(ex.map(
-                lambda sub: compute_curvature_dense(
-                    sub, progress_name, do_strain=do_strain,
-                    do_velnormal=do_velnormal, **kwargs), subs))
-        out_names = list(outs[0].names) + aux_names
+                lambda si: global_frame(compute_curvature_dense(
+                    subs[si], progress_name, do_strain=do_strain,
+                    do_velnormal=do_velnormal, **kwargs), infos[si]),
+                range(len(subs))))
+        out_names = list(coarse_out.names) + aux_names
         aux_ic = np.asarray([state.comp(n) for n in aux_names], np.int64)
 
         def box_fab(src, lev, b, aux_dense=None):
@@ -433,7 +442,7 @@ def main(args: dict) -> None:
         for lev in range(fin):
             aux_dense = np.asarray(base.data[lev]) if aux_names else None
             level_data.append([
-                box_fab(outs[0], lev, b, aux_dense)
+                box_fab(coarse_out, lev, b, aux_dense)
                 for b in meta.bas[lev]])
         # finest level: each box from its cluster's dense output
         boxes = list(meta.bas[fin])
@@ -447,7 +456,9 @@ def main(args: dict) -> None:
         outfile = pp.query_str("outfile", infile + "_K")
         write_plotfile(outfile, out_names, meta.time, list(meta.geoms),
                        list(meta.ref_ratio), list(meta.bas), level_data)
-        print(f"wrote {outfile} ({len(groups)} clusters)")
+        n_can = sum(1 for i in infos if i.canonical)
+        print(f"wrote {outfile} ({len(groups)} clusters, "
+              f"{n_can} canonical-frame)")
 
     do_smooth = pp.query_bool("do_smooth", False)
     force_dense = pp.query_bool("force_dense", False)

@@ -188,16 +188,26 @@ def main(args: dict) -> None:
         # quadratic c-f interpolation works unlike the gather-plan path —
         # the reference gets this scaling from per-rank ownership,
         # grad.cpp:160-163)
-        from ..amr.cluster import cluster_substates
+        from ..amr.canonical import (canonical_cluster_substates,
+                                     coarse_only_state, global_frame)
         print("grad: sparse refinement detected -> clustered path")
         interp = pp.query_str("cf_interp", "quadratic")
-        groups, subs, base = cluster_substates(state)
+        # canonical frames: equal-bucket clusters share ONE compiled engine
+        # (amr/canonical.py); coarse-level outputs come from a single global
+        # coarse pass (fills never read finer levels, so coarse gradients
+        # are identical to the full run's)
+        groups, subs, base, infos = canonical_cluster_substates(
+            state, ngrow_max=1, interp_stencil=1)
+        coarse_out = compute_grad_dense(coarse_only_state(state, base),
+                                        var, aux=tuple(aux),
+                                        sym_dir=sym_dir, interp=interp)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(len(subs), 8)) as ex:
             outs = list(ex.map(
-                lambda sub: compute_grad_dense(sub, var, aux=tuple(aux),
-                                               sym_dir=sym_dir,
-                                               interp=interp), subs))
+                lambda si: global_frame(
+                    compute_grad_dense(subs[si], var, aux=tuple(aux),
+                                       sym_dir=sym_dir, interp=interp),
+                    infos[si]), range(len(subs))))
         from ..io.plotfile import write_plotfile
         meta = state.meta
         fin = meta.n_levels - 1
@@ -208,7 +218,7 @@ def main(args: dict) -> None:
                        for d in range(3))
             return np.asarray(src.data[lev][(slice(None),) + sl])
 
-        level_data = [[box_fab(outs[0], lev, b) for b in meta.bas[lev]]
+        level_data = [[box_fab(coarse_out, lev, b) for b in meta.bas[lev]]
                       for lev in range(fin)]
         boxes = list(meta.bas[fin])
         fine_fabs = [None] * len(boxes)
@@ -216,10 +226,12 @@ def main(args: dict) -> None:
             for i in g:
                 fine_fabs[i] = box_fab(outs[gi], fin, boxes[i])
         level_data.append(fine_fabs)
-        write_plotfile(outfile, list(outs[0].names), meta.time,
+        write_plotfile(outfile, list(coarse_out.names), meta.time,
                        list(meta.geoms), list(meta.ref_ratio),
                        list(meta.bas), level_data)
-        print(f"wrote {outfile} ({len(groups)} clusters)")
+        n_can = sum(1 for i in infos if i.canonical)
+        print(f"wrote {outfile} ({len(groups)} clusters, "
+              f"{n_can} canonical-frame)")
         return
     dstate = dense_state(args, state)
     ndev = pp.query_int("ndevices", 1)

@@ -1,0 +1,167 @@
+"""Position-independent (canonical-frame) cluster engines (amr/canonical.py).
+
+The r3 sparse path compiled one engine PER CLUSTER because the graphs baked
+absolute positions (NOTES.md: scattered-512^3 cold isosurface 328 s).  These
+tests pin the r4 fix: equal-bucket interior clusters share ONE fingerprint
+(=> one compiled engine via amr/dense.shared_engine) and the results stay
+exactly equal to the global dense run.  Reference model: position-independent
+per-box kernels, /root/reference/Src/grad.cpp:160-163.
+"""
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.amr.box import Box, BoxArray
+from peleanalysis_tpu.amr.dense import DenseAmrState, hier_fingerprint
+from peleanalysis_tpu.amr.geometry import Geometry
+from peleanalysis_tpu.amr.hierarchy import AmrMeta, AmrState
+from peleanalysis_tpu.testing import make_level_data
+
+
+def _field(x, y, z):
+    v = 0.0
+    for c in ((.25, .25, .25), (.65, .65, .65), (.7, .2, .45),
+              (.2, .7, .72)):
+        r = np.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2)
+        v = v + np.exp(-(r / 0.07) ** 2)
+    return v
+
+
+@pytest.fixture(scope="module")
+def multi_cluster_state():
+    """2 levels; four EQUAL 16^3 interior fine clusters (one shared bucket)
+    scattered through a 128^3 fine index space."""
+    n0 = 64
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2)]
+    los = [(24, 24, 24), (75, 75, 75), (82, 18, 49), (18, 82, 85)]
+    ba1 = BoxArray([Box(lo, tuple(l + 15 for l in lo)) for lo in los])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2])
+    names, data = make_level_data(geoms, [BoxArray([dom0]), ba1],
+                                  {"blob": _field,
+                                   "xc": lambda x, y, z: x})
+    return AmrState.from_arrays(meta, names, data, dtype=np.float64)
+
+
+def _canon(m):
+    n = np.round(m.nodes, 9)
+    order = np.lexsort(n.T[::-1])
+    rank = np.empty(len(n), np.int64)
+    rank[order] = np.arange(len(n))
+    tris = np.sort(rank[m.elements], axis=1)
+    return n[order], tris[np.lexsort(tris.T[::-1])]
+
+
+def test_equal_bucket_clusters_share_fingerprint(multi_cluster_state):
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+
+    groups, subs, base, infos = canonical_cluster_substates(
+        multi_cluster_state, ngrow_max=1, interp_stencil=0)
+    assert len(groups) == 4
+    assert all(i.canonical for i in infos)
+    fps = {hier_fingerprint(s) for s in subs}
+    assert len(fps) == 1, "equal-bucket clusters must share ONE fingerprint"
+    # translations are recorded and distinct
+    assert len({tuple(i.shift) for i in infos}) == 4
+
+
+def test_canonical_iso_exact_and_one_engine(multi_cluster_state):
+    """Sparse extraction == dense enum extraction node-for-node, and the
+    four equal clusters add at most (probe + big) = 2 engines for their
+    shared fingerprint — not one per cluster."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+    from peleanalysis_tpu.geom import marching_cubes as mc
+
+    ds = DenseAmrState.from_batched(multi_cluster_state)
+    for iso in (0.5, 0.12):
+        m_ref = mc.extract_isosurface(ds, "blob", iso, classify="enum")
+        m_sp = mc.extract_isosurface_sparse(multi_cluster_state, "blob", iso)
+        assert len(m_ref.nodes) == len(m_sp.nodes) > 100
+        n1, t1 = _canon(m_ref)
+        n2, t2 = _canon(m_sp)
+        np.testing.assert_allclose(n1, n2, atol=1e-12)
+        np.testing.assert_array_equal(t1, t2)
+    _, subs, _, infos = canonical_cluster_substates(
+        multi_cluster_state, ngrow_max=1, interp_stencil=0)
+    fp = hier_fingerprint(subs[0])
+    n_engines = sum(1 for (f, k) in mc._GLOBAL_ENUM_FNS if f == fp)
+    assert n_engines <= 3, (
+        f"{n_engines} engines for one cluster fingerprint — positions "
+        "leaked into the graph (expected probe + <=2 cap variants)")
+
+
+def test_canonical_grad_exact(multi_cluster_state, tmp_path, monkeypatch,
+                              capsys):
+    from peleanalysis_tpu.cli import main
+
+    plt = str(tmp_path / "plt_mc")
+    multi_cluster_state.to_plotfile(plt)
+    monkeypatch.chdir(tmp_path)
+    # force the sparse gate (the fixture is small; min_cells defaults 2^21)
+    import peleanalysis_tpu.amr.cluster as cl
+    monkeypatch.setattr(cl, "needs_clustering",
+                        lambda ba, waste_factor=4.0, min_cells=0:
+                        ba.minimal_box().size
+                        > waste_factor * ba.total_cells())
+    assert main(["grad", f"infile={plt}", "gradVar=blob",
+                 "outfile=g_sp", "dtype=float64"]) == 0
+    assert "4 canonical-frame" in capsys.readouterr().out
+    assert main(["grad", f"infile={plt}", "gradVar=blob", "force_dense=1",
+                 "outfile=g_dn", "dtype=float64"]) == 0
+    assert main(["fcompare", "infile1=g_sp", "infile2=g_dn",
+                 "atol=1e-12"]) == 0
+
+
+def test_canonical_curvature_exact(multi_cluster_state, tmp_path,
+                                   monkeypatch, capsys):
+    from peleanalysis_tpu.cli import main
+
+    plt = str(tmp_path / "plt_mcK")
+    multi_cluster_state.to_plotfile(plt)
+    monkeypatch.chdir(tmp_path)
+    import peleanalysis_tpu.amr.cluster as cl
+    monkeypatch.setattr(cl, "needs_clustering",
+                        lambda ba, waste_factor=4.0, min_cells=0:
+                        ba.minimal_box().size
+                        > waste_factor * ba.total_cells())
+    assert main(["curvature", f"infile={plt}", "progressName=blob",
+                 "outfile=K_sp", "dtype=float64"]) == 0
+    assert "4 canonical-frame" in capsys.readouterr().out
+    assert main(["curvature", f"infile={plt}", "progressName=blob",
+                 "force_dense=1", "outfile=K_dn", "dtype=float64"]) == 0
+    assert main(["fcompare", "infile1=K_sp", "infile2=K_dn",
+                 "rtol=1e-9"]) == 0
+
+
+def test_boundary_cluster_falls_back_exact(tmp_path, monkeypatch):
+    """A cluster hugging the domain boundary is NOT canonicalized (the
+    boundary distance would re-enter the graph) and must still be exact
+    via the legacy global-coarse path."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+    from peleanalysis_tpu.geom import marching_cubes as mc
+
+    n0 = 32
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2)]
+    ba1 = BoxArray([Box((0, 0, 0), (15, 15, 15)),        # touches lo corner
+                    Box((24, 24, 24), (39, 39, 39))])    # interior
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2])
+    names, data = make_level_data(
+        geoms, [BoxArray([dom0]), ba1],
+        {"blob": lambda x, y, z: np.exp(
+            -((x - .12) ** 2 + (y - .12) ** 2 + (z - .12) ** 2) / .004)
+            + np.exp(-((x - .5) ** 2 + (y - .5) ** 2
+                       + (z - .5) ** 2) / .004)})
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    _, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=0)
+    flags = sorted(i.canonical for i in infos)
+    assert flags == [False, True]
+    ds = DenseAmrState.from_batched(st)
+    m_ref = mc.extract_isosurface(ds, "blob", 0.5, classify="enum")
+    m_sp = mc.extract_isosurface_sparse(st, "blob", 0.5)
+    n1, t1 = _canon(m_ref)
+    n2, t2 = _canon(m_sp)
+    np.testing.assert_allclose(n1, n2, atol=1e-12)
+    np.testing.assert_array_equal(t1, t2)
