@@ -109,8 +109,22 @@ def main(argv=None, session=None) -> int:
             if rc != 0:
                 return rc
         return 0
+    if tool == "serve":
+        # persistent tool server: one process, one Session, warm engines
+        # across commands — the AOT-binary startup-cost analog (server.py)
+        from .server import serve
+        return serve(parse_argv(argv[1:])) or 0
+    if tool == "send":
+        # thin client for a running server: send [socket=S] <tool> k=v...
+        from .server import send
+        rest = argv[1:]
+        skeys = []
+        while rest and rest[0].startswith("socket="):
+            skeys.append(rest.pop(0))
+        return send(parse_argv(skeys), rest)
     if tool not in TOOLS:
-        print(f"unknown tool '{tool}'. tools: {' '.join(sorted(TOOLS))}")
+        print(f"unknown tool '{tool}'. tools: {' '.join(sorted(TOOLS))}"
+              " pipeline serve send")
         return 2
     mod = importlib.import_module(TOOLS[tool], package=__package__)
     # persistent XLA compile cache: the big extraction graphs take minutes

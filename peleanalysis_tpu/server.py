@@ -1,0 +1,162 @@
+"""Persistent tool server: one process, one Session, warm jit caches.
+
+A reference tool is an AOT-compiled binary — per-invocation cost is ~zero
+(/root/reference/Src/GNUmakefile:14-40, one executable per analysis).  A
+Python CLI pays interpreter start + jax import + plotfile parse + trace-cache
+lookup on EVERY invocation (measured r3: a warm 4-tool chain at 32^3x3 spent
+~3 s in per-invocation overhead).  ``python -m peleanalysis_tpu serve``
+matches the AOT model the TPU way: one resident process keeps the XLA
+client, the compiled engines, and a shared :class:`Session` (cached plotfile
+loads, device states, registered outputs) across commands.
+
+Protocol (newline-delimited JSON over a unix socket):
+
+  request   {"argv": ["grad", "infile=plt", ...]}     run one CLI command
+            {"cmd": "ping"}                            liveness probe
+            {"cmd": "reset"}                           drop the Session
+            {"cmd": "shutdown"}                        reply, then exit
+  reply     {"rc": int, "out": str, "err": str}
+
+Commands run through the SAME code path as the one-shot CLI (cli.main with
+a session), so ParmParse keys, pipeline stages, and outputs are identical —
+test-pinned byte-for-byte in tests/test_server.py.  Commands execute
+sequentially (one device context); a long-lived server can bound memory
+with the ``reset`` command (drops cached states, keeps compiled engines).
+
+Clients: any language can speak the protocol; ``send_command()`` below is
+the Python helper, and ``python -m peleanalysis_tpu send socket=S <tool>
+k=v ...`` is the CLI client."""
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import socket
+import sys
+
+
+DEFAULT_SOCKET = "pele_serve.sock"
+
+
+def _recv_lines(conn):
+    buf = b""
+    while True:
+        chunk = conn.recv(1 << 16)
+        if not chunk:
+            return
+        buf += chunk
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            if line.strip():
+                yield line
+
+
+def serve(args: dict) -> int:
+    """CLI: serve [socket=pele_serve.sock] [verbose=0] [max_requests=N]"""
+    from .parmparse import ParmParse
+    from .session import Session
+
+    pp = ParmParse(args)
+    path = pp.query_str("socket", DEFAULT_SOCKET)
+    verbose = pp.query_bool("verbose", False)
+    max_requests = pp.query_int("max_requests", 0)   # 0 = unlimited (tests)
+    if os.path.exists(path):
+        os.unlink(path)
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(8)
+    sess = Session()
+    print(f"serving on {path}", flush=True)
+    n_req = 0
+    try:
+        while True:
+            conn, _ = srv.accept()
+            with conn:
+                f = conn.makefile("wb")
+                for line in _recv_lines(conn):
+                    try:
+                        req = json.loads(line)
+                    except json.JSONDecodeError as e:
+                        rep = {"rc": 2, "out": "", "err": f"bad json: {e}"}
+                        f.write(json.dumps(rep).encode() + b"\n")
+                        f.flush()
+                        continue
+                    cmd = req.get("cmd")
+                    if cmd == "shutdown":
+                        f.write(b'{"rc": 0, "out": "bye", "err": ""}\n')
+                        f.flush()
+                        return 0
+                    if cmd == "ping":
+                        f.write(b'{"rc": 0, "out": "pong", "err": ""}\n')
+                        f.flush()
+                        continue
+                    if cmd == "reset":
+                        sess.reset()
+                        f.write(b'{"rc": 0, "out": "reset", "err": ""}\n')
+                        f.flush()
+                        continue
+                    argv = req.get("argv") or []
+                    if verbose:
+                        print(f"<- {' '.join(argv)}", flush=True)
+                    out, err = io.StringIO(), io.StringIO()
+                    try:
+                        from .cli import main as cli_main
+                        with contextlib.redirect_stdout(out), \
+                                contextlib.redirect_stderr(err):
+                            rc = cli_main(argv, session=sess)
+                    except SystemExit as e:       # tools should return, but
+                        rc = int(e.code or 0)     # be robust to sys.exit
+                    except Exception as e:        # keep the server alive:
+                        import traceback          # one bad command must not
+                        rc = 1                    # kill warm engine caches
+                        err.write(traceback.format_exc())
+                        err.write(f"\n{type(e).__name__}: {e}")
+                    rep = {"rc": rc, "out": out.getvalue(),
+                           "err": err.getvalue()}
+                    f.write(json.dumps(rep).encode() + b"\n")
+                    f.flush()
+                    n_req += 1
+                    if max_requests and n_req >= max_requests:
+                        return 0
+    finally:
+        srv.close()
+        with contextlib.suppress(OSError):
+            os.unlink(path)
+
+
+def send_command(path: str, argv=None, cmd=None, timeout=600.0):
+    """One request over the socket; returns the reply dict."""
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.settimeout(timeout)
+    c.connect(path)
+    try:
+        req = {"argv": list(argv)} if argv is not None else {"cmd": cmd}
+        c.sendall(json.dumps(req).encode() + b"\n")
+        buf = b""
+        while b"\n" not in buf:
+            chunk = c.recv(1 << 16)
+            if not chunk:
+                raise ConnectionError("server closed the connection")
+            buf += chunk
+        return json.loads(buf.split(b"\n", 1)[0])
+    finally:
+        c.close()
+
+
+def send(args: dict, argv_rest) -> int:
+    """CLI client: send [socket=pele_serve.sock] <tool> key=value...
+    Prints the server's stdout/stderr and propagates its return code."""
+    from .parmparse import ParmParse
+
+    pp = ParmParse(args)
+    path = pp.query_str("socket", DEFAULT_SOCKET)
+    if not argv_rest:
+        print("send: missing command (usage: send [socket=S] <tool> k=v...)")
+        return 2
+    rep = send_command(path, argv=argv_rest)
+    if rep.get("out"):
+        sys.stdout.write(rep["out"])
+    if rep.get("err"):
+        sys.stderr.write(rep["err"])
+    return int(rep.get("rc", 1))

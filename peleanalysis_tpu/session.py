@@ -39,7 +39,7 @@ from .amr.hierarchy import AmrState
 def _state_key(path: str, max_level, is_periodic, dtype) -> Tuple:
     import os
 
-    import jax.numpy as jnp
+    from jax.dtypes import canonicalize_dtype
 
     from . import config
     per = tuple(bool(p) for p in is_periodic) if is_periodic is not None \
@@ -47,7 +47,7 @@ def _state_key(path: str, max_level, is_periodic, dtype) -> Tuple:
     # key by the EFFECTIVE on-device dtype: tools that request float64 get
     # float32 arrays when x64 is off, identical to a float32 load — sharing
     # the cache entry is exact, not approximate
-    dt = jnp.zeros((), dtype or config.compute_dtype).dtype.name
+    dt = canonicalize_dtype(np.dtype(dtype or config.compute_dtype)).name
     # Header mtime: a long-lived Session (or a pipeline whose stage rewrites
     # an input path) must not serve stale device arrays after the plotfile
     # changed on disk

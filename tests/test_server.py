@@ -1,0 +1,107 @@
+"""Persistent tool server (peleanalysis_tpu/server.py).
+
+The server must run commands through the SAME path as the one-shot CLI
+(byte-identical artifacts), keep one Session across commands (in-session
+handoffs work like pipeline mode), and survive bad commands.  Reference
+model: per-tool AOT binaries with ~zero per-invocation cost,
+/root/reference/Src/GNUmakefile:14-40."""
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from peleanalysis_tpu.cli import main
+from peleanalysis_tpu.server import send_command, serve
+from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+
+@pytest.fixture()
+def server(tmp_path):
+    sock = str(tmp_path / "pele.sock")
+    t = threading.Thread(target=serve, args=({"socket": [sock]},),
+                         daemon=True)
+    t.start()
+    for _ in range(100):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.05)
+    assert send_command(sock, cmd="ping")["out"] == "pong"
+    yield sock
+    send_command(sock, cmd="shutdown")
+    t.join(timeout=10)
+
+
+def _tree_bytes(root):
+    out = {}
+    for dp, _, fns in os.walk(root):
+        for fn in fns:
+            p = os.path.join(dp, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = f.read()
+    return out
+
+
+def test_server_commands_match_direct_cli(server, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    plt = str(tmp_path / "plt")
+    write_synthetic_plotfile(plt, n_cell=16, n_levels=2)
+    rep = send_command(server, argv=["grad", f"infile={plt}",
+                                    "gradVar=temp", "outfile=g_srv"])
+    assert rep["rc"] == 0 and "wrote g_srv" in rep["out"]
+    assert main(["grad", f"infile={plt}", "gradVar=temp",
+                 "outfile=g_dir"]) == 0
+    a, b = _tree_bytes("g_srv"), _tree_bytes("g_dir")
+    assert set(a) == set(b)
+    assert all(a[k] == b[k] for k in a), "server artifact differs from CLI"
+    # a second command reuses the server's warm session/state
+    rep = send_command(server, argv=["fextrema", "infile=g_srv"])
+    assert rep["rc"] == 0 and "gradtemp" in rep["out"]
+
+
+def test_server_session_persists_across_commands(server, tmp_path,
+                                                 monkeypatch):
+    """write=0 outputs registered by one command resolve in a LATER command
+    — the pipeline-mode win without the single-invocation restriction."""
+    monkeypatch.chdir(tmp_path)
+    plt = str(tmp_path / "plt2")
+    write_synthetic_plotfile(plt, n_cell=16, n_levels=2)
+    rep = send_command(server, argv=[
+        "isosurface", f"infile={plt}", "isoCompName=temp", "isoVal=800",
+        "outfile_base=iso_mem", "write=0"])
+    assert rep["rc"] == 0
+    assert not os.path.exists("iso_mem.mef")        # stayed in-session
+    rep = send_command(server, argv=[
+        "stream", f"plotfile={plt}", "traceAlongV=1", "isoFile=iso_mem.mef",
+        "nRKsteps=11", "outFile=lines_srv.dat"])
+    assert rep["rc"] == 0 and os.path.exists("lines_srv.dat")
+    # parity vs a file-chained direct run
+    assert main(["isosurface", f"infile={plt}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=iso_f"]) == 0
+    assert main(["stream", f"plotfile={plt}", "traceAlongV=1",
+                 "isoFile=iso_f.mef", "nRKsteps=11",
+                 "outFile=lines_dir.dat"]) == 0
+    srv = [l for l in open("lines_srv.dat") if not l.startswith("#")]
+    dire = [l for l in open("lines_dir.dat") if not l.startswith("#")]
+    assert srv == dire
+
+
+def test_server_survives_bad_commands(server, tmp_path):
+    rep = send_command(server, argv=["nonsense_tool"])
+    assert rep["rc"] == 2
+    rep = send_command(server, argv=["grad", "infile=/does/not/exist",
+                                     "gradVar=temp", "outfile=x"])
+    assert rep["rc"] != 0 and rep["err"]
+    # still alive and functional
+    assert send_command(server, cmd="ping")["out"] == "pong"
+    assert send_command(server, cmd="reset")["out"] == "reset"
+
+
+def test_send_cli_client(server, tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    plt = str(tmp_path / "plt3")
+    write_synthetic_plotfile(plt, n_cell=16, n_levels=1)
+    rc = main(["send", f"socket={server}", "fextrema", f"infile={plt}"])
+    assert rc == 0
+    assert "temp" in capsys.readouterr().out
