@@ -301,14 +301,22 @@ def main():
     try:
         gfn = jax.jit(grad_chain)
         cfn = jax.jit(curv_chain)
-        fetch_s = jax.jit(lambda ls: sum(jnp.sum(x) for x in ls))
+        # grad+curv reduce to TWO scalars shipped inside the stream fetch —
+        # the chain pays exactly 2 tunnel roundtrips: the deferred surface's
+        # head+xyz (overlapping the queued grad/curv/enum device work) and
+        # DeferredLines.finish's single packed lines+scalars vector
+        scal = jax.jit(lambda a, b: jnp.stack(
+            [sum(jnp.sum(x) for x in a),
+             sum(jnp.sum(x) for x in b)]).astype(jnp.float32))
         dsurf = extract_isosurface(dstate, "temp", 1000.0, classify="enum",
                                    defer=True)
         seeds_c = np.ascontiguousarray(dsurf.positions()[:4096])
         if len(seeds_c) < 4096:
             seeds_c = np.concatenate(
                 [seeds_c, seeds[: 4096 - len(seeds_c)]])
-        trace_streamlines(dstate, seeds_c, 51, 0.5, trace_field=None)  # warm
+        dl = trace_streamlines(dstate, seeds_c, 51, 0.5, trace_field=None,
+                               defer=True)                             # warm
+        dl.finish(extra=[scal(gfn(data_t, masks), cfn(data_p, masks))])
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -319,9 +327,10 @@ def main():
             sc = np.ascontiguousarray(dsurf.positions()[:4096])
             if len(sc) < 4096:
                 sc = np.concatenate([sc, seeds[: 4096 - len(sc)]])
-            lines_c = trace_streamlines(dstate, sc, 51, 0.5,
-                                        trace_field=None)
-            _ = float(fetch_s(list(g1) + list(c1)))   # one combined fetch
+            dl = trace_streamlines(dstate, sc, 51, 0.5, trace_field=None,
+                                   defer=True)
+            lines_c, ex = dl.finish(extra=[scal(g1, c1)])
+            assert np.isfinite(ex[0]).all()
             times.append(time.perf_counter() - t0)
         chain_ms = min(times) * 1e3
     except Exception as e:

@@ -180,9 +180,14 @@ def trace_streamlines(
     march_engine: str = "auto",
     ngrow: Optional[int] = None,
     fetch_compress: Optional[bool] = None,
+    defer: bool = False,
 ) -> np.ndarray:
     """Trace ±nRKh RK4 steps from each seed; returns
     [nseed, 2*nRKh+1, 3 + len(sample_names)] with j=nRKh at the seed.
+
+    defer: queue the march and return a :class:`DeferredLines` instead of
+    fetching — ``finish(extra=...)`` later pays ONE tunnel roundtrip for all
+    levels' lines plus any chained device scalars (pipeline mode).
 
     trace_field: scalar whose (normalized) gradient is followed
     (grad-of-progress mode); None follows (x,y,z)_velocity.
@@ -422,38 +427,105 @@ def trace_streamlines(
                                 plo_g, dx, use_pallas))
         pending.append((sel, cache[key](all_data, masks,
                                         jnp.asarray(seeds[sel]), h_phys)))
+    if defer:
+        return DeferredLines(pending, out, compress, n_half, nf, h_phys)
     for sel, res in pending:
-        if compress:
-            packed = np.asarray(res)
-            ns2 = len(sel)
-            nq = ns2 * 2 * n_half * 3
-            pc = packed[: ns2 * 3].view(np.float32).reshape(
-                ns2, 3).astype(np.float64)
-            q = packed[ns2 * 3: ns2 * 3 + (nq + 1) // 2].view(
-                np.int16)[:nq].reshape(ns2, 2 * n_half, 3)
-            d = q.astype(np.float64) * (h_phys / 32000.0)
-            # stations ..n_half-1 | n_half (exact seed) | n_half+1..
-            fwd = pc[:, None] + np.cumsum(d[:, n_half:], axis=1)
-            bwd = pc[:, None] - np.cumsum(
-                d[:, :n_half][:, ::-1], axis=1)[:, ::-1]
-            out[sel, :, :3] = np.concatenate(
-                [bwd, pc[:, None], fwd], axis=1)
-            if nf:
-                base = ns2 * 3 + (nq + 1) // 2
-                st_n = 2 * n_half + 1
-                mm = packed[base: base + ns2 * nf * 2].view(
-                    np.float32).reshape(ns2, nf, 2)
-                base += ns2 * nf * 2
-                nv = ns2 * st_n * nf
-                vq = packed[base: base + (nv + 1) // 2].view(
-                    np.uint16)[:nv].reshape(ns2, st_n, nf)
-                rngv = np.maximum(mm[:, :, 1] - mm[:, :, 0], 1e-30)
-                out[sel, :, 3:] = (mm[:, None, :, 0]
-                                   + vq.astype(np.float64) / 65535.0
-                                   * rngv[:, None])
-        else:
-            out[sel] = np.asarray(res)
+        _decode_level(np.asarray(res), sel, out, compress, n_half, nf,
+                      h_phys)
     return out
+
+
+def _decode_level(packed, sel, out, compress, n_half, nf, h_phys):
+    """Write one level's fetched line payload into out[sel]."""
+    if not compress:
+        ns2 = len(sel)
+        st_n = 2 * n_half + 1
+        out[sel] = packed.reshape(ns2, st_n, 3 + nf)
+        return
+    ns2 = len(sel)
+    nq = ns2 * 2 * n_half * 3
+    pc = packed[: ns2 * 3].view(np.float32).reshape(
+        ns2, 3).astype(np.float64)
+    q = packed[ns2 * 3: ns2 * 3 + (nq + 1) // 2].view(
+        np.int16)[:nq].reshape(ns2, 2 * n_half, 3)
+    d = q.astype(np.float64) * (h_phys / 32000.0)
+    # stations ..n_half-1 | n_half (exact seed) | n_half+1..
+    fwd = pc[:, None] + np.cumsum(d[:, n_half:], axis=1)
+    bwd = pc[:, None] - np.cumsum(
+        d[:, :n_half][:, ::-1], axis=1)[:, ::-1]
+    out[sel, :, :3] = np.concatenate(
+        [bwd, pc[:, None], fwd], axis=1)
+    if nf:
+        base = ns2 * 3 + (nq + 1) // 2
+        st_n = 2 * n_half + 1
+        mm = packed[base: base + ns2 * nf * 2].view(
+            np.float32).reshape(ns2, nf, 2)
+        base += ns2 * nf * 2
+        nv = ns2 * st_n * nf
+        vq = packed[base: base + (nv + 1) // 2].view(
+            np.uint16)[:nv].reshape(ns2, st_n, nf)
+        rngv = np.maximum(mm[:, :, 1] - mm[:, :, 0], 1e-30)
+        out[sel, :, 3:] = (mm[:, None, :, 0]
+                           + vq.astype(np.float64) / 65535.0
+                           * rngv[:, None])
+
+
+class DeferredLines:
+    """Device-resident streamline payloads (pipeline mode).
+
+    ``trace_streamlines(..., defer=True)`` queues the march and returns one
+    of these instead of fetching: ``finish(extra=...)`` ships every level's
+    line payload PLUS any caller-supplied device arrays in ONE packed int32
+    vector — one tunnel latency for the whole chain tail, instead of one per
+    level plus one per extra (a tuple fetch pays one latency PER LEAF,
+    NOTES.md r3).  The reference gets this for free by never leaving host
+    memory between stages (/root/reference/Src/GNUmakefile:14-40)."""
+
+    def __init__(self, pending, out, compress, n_half, nf, h_phys):
+        self._pending = pending        # [(sel, device result), ...]
+        self._out = out
+        self._compress = compress
+        self._n_half = n_half
+        self._nf = nf
+        self._h_phys = h_phys
+        self._done = False
+
+    @staticmethod
+    def _as_words(arr):
+        """Bitcast any device array to a flat int32 word vector."""
+        if arr.dtype == jnp.int32:
+            return arr.ravel()
+        a = arr.astype(jnp.float32) if arr.dtype not in (
+            jnp.float32, jnp.float64) else arr
+        return jax.lax.bitcast_convert_type(a, jnp.int32).ravel()
+
+    def finish(self, extra=()):
+        """(lines, extra_host): ONE packed fetch of all levels + extras.
+        ``extra``: device arrays (any float dtype); returned as f32 numpy
+        arrays of the original shapes."""
+        if self._done:
+            raise RuntimeError("DeferredLines.finish() already consumed")
+        self._done = True
+        lvl_words = [self._as_words(res) for _, res in self._pending]
+        ex_words = [self._as_words(e) for e in extra]
+        ex_shapes = [tuple(e.shape) for e in extra]
+        allw = lvl_words + ex_words
+        vec = allw[0] if len(allw) == 1 else jnp.concatenate(allw)
+        host = np.asarray(vec)
+        p = 0
+        for (sel, res), w in zip(self._pending, lvl_words):
+            seg = host[p: p + w.size]
+            p += w.size
+            if not self._compress:
+                dt = np.float64 if res.dtype == jnp.float64 else np.float32
+                seg = seg.view(dt)
+            _decode_level(seg, sel, self._out, self._compress,
+                          self._n_half, self._nf, self._h_phys)
+        extras = []
+        for w, shp in zip(ex_words, ex_shapes):
+            extras.append(host[p: p + w.size].view(np.float32).reshape(shp))
+            p += w.size
+        return self._out, extras
 
 
 def seed_rake(lo, hi, n: int) -> np.ndarray:

@@ -506,3 +506,40 @@ def test_fetch_compress_sampled_fields_roundtrip(tmp_path):
         rngs = exact[:, :, c].max(axis=1) - exact[:, :, c].min(axis=1)
         err = np.abs(exact[:, :, c] - comp[:, :, c]).max(axis=1)
         assert (err <= 2e-5 * np.maximum(rngs, 1e-30) + 1e-7).all()
+
+
+def test_defer_lines_single_fetch_parity(tmp_path):
+    """trace_streamlines(defer=True).finish(extra=...) must return the SAME
+    lines as the eager path and round-trip the extra device scalars — the
+    device-resident chain's single packed fetch (stream/trace.py
+    DeferredLines)."""
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "pltdf")
+    write_synthetic_plotfile(path, n_cell=32, n_levels=2)
+    # f32 state: compressed payloads; seeds straddle both levels so the
+    # packed vector carries MULTIPLE level segments
+    dss = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float32))
+    rng = np.random.default_rng(3)
+    seeds = 0.5 + 0.8 * (rng.random((64, 3)) - 0.5)
+    kw = dict(n_rk_steps=21, h_rk=0.5, trace_field="progress",
+              sample_names=("temp",))
+    eager = trace_streamlines(dss, seeds, **kw)
+    dl = trace_streamlines(dss, seeds, defer=True, **kw)
+    extra = jnp.arange(6, dtype=jnp.float32).reshape(2, 3) + 0.5
+    lines, ex = dl.finish(extra=[extra])
+    np.testing.assert_array_equal(lines, eager)
+    np.testing.assert_array_equal(ex[0], np.asarray(extra))
+    assert ex[0].shape == (2, 3)
+    with pytest.raises(RuntimeError):
+        dl.finish()
+
+    # f64 state: exact (uncompressed) payloads bitcast through the packed
+    # int32 vector must survive exactly
+    ds64 = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float64))
+    eager64 = trace_streamlines(ds64, seeds, **kw)
+    lines64, _ = trace_streamlines(ds64, seeds, defer=True,
+                                   **kw).finish()
+    np.testing.assert_array_equal(lines64, eager64)
