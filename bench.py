@@ -393,6 +393,119 @@ def main():
     except Exception as e:
         print(f"# cli pipeline bench skipped: {e!r}")
 
+    # ---- server mode: same 4-tool chain through the persistent server ------
+    # (peleanalysis_tpu serve) — one resident Session, warm engines across
+    # commands; the AOT-binary startup-cost analog.  The server keeps the
+    # plotfile's device state loaded, so tools 2-4 skip load+fill entirely.
+    srv_ms = None
+    try:
+        import tempfile
+        import threading
+
+        from peleanalysis_tpu.server import send_command, serve
+        from peleanalysis_tpu.testing import write_synthetic_plotfile
+        td = tempfile.mkdtemp()
+        pltf = os.path.join(td, "plt")
+        write_synthetic_plotfile(pltf, n_cell=32, n_levels=3)
+        sock = os.path.join(td, "s.sock")
+        th = threading.Thread(target=serve, args=({"socket": [sock]},),
+                              daemon=True)
+        th.start()
+        for _ in range(100):
+            if os.path.exists(sock):
+                break
+            time.sleep(0.05)
+
+        def run_srv(tag):
+            b = os.path.join(td, tag)
+            for argv in (
+                ["grad", f"infile={pltf}", "gradVar=temp",
+                 f"outfile={b}_g"],
+                ["curvature", f"infile={pltf}", "progressName=temp",
+                 f"outfile={b}_K"],
+                ["isosurface", f"infile={pltf}", "isoCompName=temp",
+                 "isoVal=800", f"outfile_base={b}_iso"],
+                ["stream", f"plotfile={pltf}", "traceAlongV=1",
+                 f"isoFile={b}_iso.mef", "nRKsteps=21",
+                 f"outFile={b}_lines.dat"]):
+                rep = send_command(sock, argv=argv)
+                assert rep["rc"] == 0, rep["err"]
+
+        run_srv("sw")                       # warm
+        ts = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            run_srv(f"sv{i}")
+            ts.append(time.perf_counter() - t0)
+        srv_ms = min(ts) * 1e3
+        send_command(sock, cmd="shutdown")
+        th.join(timeout=10)
+        import shutil
+        shutil.rmtree(td, ignore_errors=True)
+    except Exception as e:
+        print(f"# server bench skipped: {e!r}")
+
+    # ---- LARGE-scale pipeline vs sequential (96^3 x 3, ~8M cells): the
+    # scale where shared loads/uploads/fills dominate per-invocation Python.
+    # One timed pass each (a pass moves ~190 MB through the tunnel).
+    large = None
+    if os.environ.get("PELE_BENCH_LARGE", "1") != "0":
+        try:
+            import shutil
+            import tempfile
+            import threading
+
+            from peleanalysis_tpu.server import send_command, serve
+            from peleanalysis_tpu.testing import write_synthetic_plotfile
+            td = tempfile.mkdtemp()
+            pltf = os.path.join(td, "plt")
+            write_synthetic_plotfile(pltf, n_cell=96, n_levels=3)
+
+            from peleanalysis_tpu.cli import main as cli_main
+
+            def seq_l(tag):
+                b = os.path.join(td, tag)
+                cli_main(["grad", f"infile={pltf}", "gradVar=temp",
+                          f"outfile={b}_g"])
+                cli_main(["curvature", f"infile={pltf}",
+                          "progressName=temp", f"outfile={b}_K"])
+                cli_main(["isosurface", f"infile={pltf}",
+                          "isoCompName=temp", "isoVal=800",
+                          f"outfile_base={b}_iso"])
+                cli_main(["stream", f"plotfile={pltf}", "traceAlongV=1",
+                          f"isoFile={b}_iso.mef", "nRKsteps=21",
+                          f"outFile={b}_lines.dat"])
+
+            def pipe_l(tag):
+                b = os.path.join(td, tag)
+                cli_main(["pipeline",
+                          "grad", f"infile={pltf}", "gradVar=temp",
+                          f"outfile={b}_g", "write=0", "--",
+                          "curvature", f"infile={pltf}",
+                          "progressName=temp", f"outfile={b}_K",
+                          "write=0", "--",
+                          "isosurface", f"infile={pltf}",
+                          "isoCompName=temp", "isoVal=800",
+                          f"outfile_base={b}_iso", "write=0", "--",
+                          "stream", f"plotfile={pltf}", "traceAlongV=1",
+                          f"isoFile={b}_iso.mef", "nRKsteps=21",
+                          f"outFile={b}_lines.dat"])
+
+            pipe_l("lw")                    # warm compiles for this shape
+            t0 = time.perf_counter()
+            seq_l("ls")
+            seq_large = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pipe_l("lp")
+            pipe_large = time.perf_counter() - t0
+            large = {"cli_sequential_ms": round(seq_large * 1e3, 0),
+                     "cli_pipeline_ms": round(pipe_large * 1e3, 0),
+                     "speedup": round(seq_large / pipe_large, 2),
+                     "case": "96^3 x 3 levels, 4-tool chain"}
+            shutil.rmtree(td, ignore_errors=True)
+        except Exception as e:
+            print(f"# large pipeline bench skipped: {e!r}")
+
     def numpy_trace(field, plo, dxs, seeds, n_half, h):
         pos = seeds.copy()
         out = [pos.copy()]
@@ -534,6 +647,9 @@ def main():
                                   if cli_seq_ms is not None else None),
             "cli_pipeline_ms": (round(cli_pipe_ms, 1)
                                 if cli_pipe_ms is not None else None),
+            "cli_server_ms": (round(srv_ms, 1)
+                              if srv_ms is not None else None),
+            "cli_pipeline_large": large,
             "condmean_jpdf_ms": round(stats_ms, 1),
             "cpu_grad_ms": round(cpu_grad * 1e3, 1),
             "cpu_curvature_ms": round(cpu_curv * 1e3, 1),

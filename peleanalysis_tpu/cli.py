@@ -15,6 +15,7 @@ from .parmparse import parse_argv
 # tool name -> module (each exposes main(args: dict))
 TOOLS = {
     "grad": ".tools.grad",
+    "interp": ".tools.interp",
     "curvature": ".tools.curvature",
     "isosurface": ".tools.isosurface",
     "buildDistance": ".tools.build_distance",
@@ -80,7 +81,7 @@ def main(argv=None, session=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
-        print("tools:", " ".join(sorted(TOOLS)), "pipeline")
+        print("tools:", " ".join(sorted(TOOLS)), "pipeline serve send")
         return 0
     tool = argv[0]
     if tool == "pipeline":

@@ -350,3 +350,45 @@ def test_npz2plt_roundtrip(plt, tmp_path):
     np.testing.assert_allclose(np.asarray(ds.data[0]), z["data"],
                                rtol=1e-12)
     np.testing.assert_allclose(st.meta.geoms[0].prob_hi, (1.0, 1.0, 1.0))
+
+
+def test_interp_point_sampling(tmp_path, monkeypatch):
+    """interp tool (reference interp.cpp is a non-buildable 39-line sketch;
+    this implements its contract): trilinear samples at arbitrary points,
+    finest-owning-level selection, dat+csv writers."""
+    import numpy as np
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    monkeypatch.chdir(tmp_path)
+    plt = str(tmp_path / "plt")
+    # smooth linear+quadratic field: trilinear interp of the linear part is
+    # EXACT, the quadratic part bounds the error by O(dx^2)
+    write_synthetic_plotfile(
+        plt, n_cell=32, n_levels=2,
+        fields={"temp": lambda x, y, z: 2.0 * x + 3.0 * y - z,
+                "progress": lambda x, y, z: x * x + y * y})
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.05, 0.95, (40, 3))
+    pts[:10] = rng.uniform(0.3, 0.7, (10, 3))      # inside the fine level
+    np.savetxt(tmp_path / "pts.xyz", pts)
+    rc = main(["interp", f"infile={plt}", "vars=temp progress",
+               f"points={tmp_path / 'pts.xyz'}", "out=samp.dat"])
+    assert rc is None or rc == 0
+    got = np.loadtxt("samp.dat", comments="#")
+    assert got.shape == (40, 5)
+    np.testing.assert_allclose(got[:, :3], pts, atol=1e-12)
+    exact_t = 2 * pts[:, 0] + 3 * pts[:, 1] - pts[:, 2]
+    exact_p = pts[:, 0] ** 2 + pts[:, 1] ** 2
+    np.testing.assert_allclose(got[:, 3], exact_t, atol=1e-4)
+    np.testing.assert_allclose(got[:, 4], exact_p, atol=2e-3)
+    # fine-region points interpolate on the fine grid: quadratic-field error
+    # there must be ~ratio^2 smaller than coarse-only would give
+    err_fine = np.abs(got[:10, 4] - exact_p[:10]).max()
+    assert err_fine < 5e-4
+    # csv writer
+    rc = main(["interp", f"infile={plt}", "vars=temp",
+               f"points={tmp_path / 'pts.xyz'}", "out=samp.csv", "fmt=csv"])
+    lines = open("samp.csv").read().splitlines()
+    assert lines[0] == "x,y,z,temp"
+    assert len(lines) == 41
