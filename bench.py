@@ -75,7 +75,11 @@ def main():
         outs = []
         for lev, (gx, gy, gz) in enumerate(mlgrad_all(levels, mask_list)):
             outs.append(magnitude(gx, gy, gz))
-        return [o / (jnp.max(o) + 1.0) for o in outs]
+        # K-chaining stabilizer: tanh is elementwise, so it FUSES into the
+        # magnitude write; the old max-normalize added a full reduction +
+        # rescale pass per level that the real tool doesn't have (r4
+        # measured: harness overhead, not pipeline traffic)
+        return [jnp.tanh(o) for o in outs]
 
     def curv_chain(levels, mask_list):
         # gradient -> normal -> div(normal) + grad-of-grad Hessian -> Kg
@@ -102,7 +106,8 @@ def main():
             Kg = adj_num / normg[lev][0] ** 4
             Km = 0.5 * div
             outs.append(Km + 1e-6 * Kg)
-        return [o[None] / (jnp.max(jnp.abs(o)) + 1.0) for o in outs]
+        # tanh stabilizer fuses into the combine (see grad_chain note)
+        return [jnp.tanh(o[None]) for o in outs]
 
     data_t = [d[ic : ic + 1] for d in dstate.data]
     data_p = [d[ip : ip + 1] for d in dstate.data]
