@@ -103,7 +103,10 @@ def main():
                     a = (H[(i + 1) % 3][(j + 1) % 3] * H[(i + 2) % 3][(j + 2) % 3]
                          - H[(i + 1) % 3][(j + 2) % 3] * H[(i + 2) % 3][(j + 1) % 3])
                     adj_num = adj_num + G[lev][i] * a * G[lev][j]
-            Kg = adj_num / normg[lev][0] ** 4
+            # f32-safe: normg**4 underflows to 0 below |g|~1e-10, and the
+            # resulting inf/nan (flat corners of the synthetic field) would
+            # poison the chain's scalar reduction; the floor fuses for free
+            Kg = adj_num / jnp.maximum(normg[lev][0] ** 4, 1e-30)
             Km = 0.5 * div
             outs.append(Km + 1e-6 * Kg)
         # tanh stabilizer fuses into the combine (see grad_chain note)

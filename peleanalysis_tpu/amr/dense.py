@@ -163,32 +163,111 @@ class DenseAmrState:
         return AmrState(meta, self.names, data)
 
     def to_plotfile(self, path: str, names=None) -> None:
-        self.to_batched().to_plotfile(path, names)
+        if jax.default_backend() == "cpu" and not _DISPATCH_COSTLY:
+            self.to_batched().to_plotfile(path, names)
+            return
+        # direct dense writer: slice every box window out of the union
+        # arrays and fetch ALL levels in one flat transfer — skips the
+        # to_batched() scatter (an eager per-box op storm on the tunnel)
+        # and the tiled-layout fetch penalty (see hierarchy.to_plotfile)
+        from .hierarchy import write_level_fabs
+        key = ("dense_pack",) + hier_fingerprint(self) \
+            + (tuple(d.shape for d in self.data),
+               str(self.data[0].dtype))
+        fn = _LAYOUT_FNS.get(key)
+        if fn is None:
+            bas = self.meta.bas
+            los = [lm.bbox.lo for lm in self.lmeta]
+
+            def pack(levels):
+                parts = []
+                for d, ba, lo in zip(levels, bas, los):
+                    for b in ba:
+                        parts.append(d[(slice(None),)
+                                       + tuple(slice(b.lo[k] - lo[k],
+                                                     b.hi[k] - lo[k] + 1)
+                                               for k in range(3))].ravel())
+                return jnp.concatenate(parts)
+            fn = _cache_layout_fn(key, jax.jit(pack))
+        flat = np.asarray(fn(list(self.data)))
+        level_fabs, p = [], 0
+        for d, ba in zip(self.data, self.meta.bas):
+            nc = d.shape[0]
+            fabs = []
+            for b in ba:
+                n = nc * int(np.prod(b.shape))
+                fabs.append(flat[p: p + n].astype(np.float64, copy=False)
+                            .reshape((nc,) + b.shape))
+                p += n
+            level_fabs.append(fabs)
+        write_level_fabs(self.meta, names or self.names, level_fabs, path)
+
+
+# Eager per-box dynamic_slice/update loops pay one dispatch per op; on the
+# tunnel runtime a dispatch is ~0.4 ms, so a 64-box assembly costs ~400 ms
+# of pure host/tunnel overhead (measured r4, warm grad CLI profile).  On
+# real CPU/TPU backends dispatch is ~20 us and the eager loop is fine.
+# When dispatch is costly we jit the whole loop (one dispatch), cached by
+# the structural key.  PELE_PACK_JIT=1 forces the jitted path (tests).
+_DISPATCH_COSTLY = bool(int(
+    __import__("os").environ.get("PELE_PACK_JIT", "0")))
+_LAYOUT_FNS: dict = {}
+
+
+def _cache_layout_fn(key, fn):
+    _LAYOUT_FNS[key] = fn
+    if len(_LAYOUT_FNS) > 128:
+        _LAYOUT_FNS.pop(next(iter(_LAYOUT_FNS)))
+    return fn
 
 
 def _assemble_dense(batched: jnp.ndarray, ba: BoxArray, bbox: Box) -> jnp.ndarray:
     """[nbox, ncomp, *pad] -> [ncomp, *bbox_shape] via static dus loop."""
-    ncomp = batched.shape[1]
-    out = jnp.zeros((ncomp,) + bbox.shape, dtype=batched.dtype)
-    for i, b in enumerate(ba):
-        blk = batched[i][(slice(None),) + tuple(slice(0, s) for s in b.shape)]
-        out = jax.lax.dynamic_update_slice(
-            out, blk, (0,) + tuple(b.lo[d] - bbox.lo[d] for d in range(3)))
-    return out
+    def impl(bt):
+        ncomp = bt.shape[1]
+        out = jnp.zeros((ncomp,) + bbox.shape, dtype=bt.dtype)
+        for i, b in enumerate(ba):
+            blk = bt[i][(slice(None),) + tuple(slice(0, s) for s in b.shape)]
+            out = jax.lax.dynamic_update_slice(
+                out, blk, (0,) + tuple(b.lo[d] - bbox.lo[d]
+                                       for d in range(3)))
+        return out
+
+    if jax.default_backend() == "cpu" and not _DISPATCH_COSTLY:
+        return impl(batched)
+    key = ("assemble", tuple((tuple(b.lo), tuple(b.shape)) for b in ba),
+           tuple(bbox.lo), bbox.shape, tuple(batched.shape),
+           str(batched.dtype))
+    fn = _LAYOUT_FNS.get(key)
+    if fn is None:
+        fn = _cache_layout_fn(key, jax.jit(impl))
+    return fn(batched)
 
 
 def _scatter_boxes(dense: jnp.ndarray, ba: BoxArray, bbox: Box,
                    pad_shape: Tuple[int, ...]) -> jnp.ndarray:
     """[ncomp, *bbox_shape] -> [nbox, ncomp, *pad_shape]."""
-    ncomp = dense.shape[0]
-    outs = []
-    for b in ba:
-        blk = jax.lax.dynamic_slice(
-            dense, (0,) + tuple(b.lo[d] - bbox.lo[d] for d in range(3)),
-            (ncomp,) + b.shape)
-        pad = [(0, 0)] + [(0, pad_shape[d] - b.shape[d]) for d in range(3)]
-        outs.append(jnp.pad(blk, pad))
-    return jnp.stack(outs)
+    def impl(dn):
+        ncomp = dn.shape[0]
+        outs = []
+        for b in ba:
+            blk = jax.lax.dynamic_slice(
+                dn, (0,) + tuple(b.lo[d] - bbox.lo[d] for d in range(3)),
+                (ncomp,) + b.shape)
+            pad = [(0, 0)] + [(0, pad_shape[d] - b.shape[d])
+                              for d in range(3)]
+            outs.append(jnp.pad(blk, pad))
+        return jnp.stack(outs)
+
+    if jax.default_backend() == "cpu" and not _DISPATCH_COSTLY:
+        return impl(dense)
+    key = ("scatter", tuple((tuple(b.lo), tuple(b.shape)) for b in ba),
+           tuple(bbox.lo), bbox.shape, tuple(pad_shape),
+           tuple(dense.shape), str(dense.dtype))
+    fn = _LAYOUT_FNS.get(key)
+    if fn is None:
+        fn = _cache_layout_fn(key, jax.jit(impl))
+    return fn(dense)
 
 
 def _union_mask_np(ba: BoxArray, bbox: Box) -> np.ndarray:

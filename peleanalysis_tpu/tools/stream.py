@@ -46,13 +46,24 @@ def get_seeds(pp: ParmParse, sess=None):
 
 def write_tecplot_lines(path: str, names, lines: np.ndarray) -> None:
     """Per-line Tecplot zones (dump_ml_streamline_data analog,
-    stream.cpp:2227-2302)."""
+    stream.cpp:2227-2302).
+
+    Formats every station of every line in ONE vectorized np.char.mod pass
+    (a per-line np.savetxt loop measured 1.1 s of the 1.5 s warm stream
+    CLI at 7680 lines, r4) — identical %.9g text."""
+    nl, st, nc = lines.shape
+    cols = [np.char.mod("%.9g", lines[:, :, c].ravel()) for c in range(nc)]
+    rows = cols[0]
+    for c in cols[1:]:
+        rows = np.char.add(np.char.add(rows, " "), c)
+    rows = rows.reshape(nl, st)
     with open(path, "w") as f:
         f.write("VARIABLES = " + " ".join(names) + "\n")
-        for i in range(lines.shape[0]):
-            f.write(f'ZONE T="line{i}" I={lines.shape[1]} '
+        for i in range(nl):
+            f.write(f'ZONE T="line{i}" I={st} '
                     "DATAPACKING=POINT\n")
-            np.savetxt(f, lines[i], fmt="%.9g")
+            f.write("\n".join(rows[i]))
+            f.write("\n")
 
 
 def main(args: dict) -> None:
