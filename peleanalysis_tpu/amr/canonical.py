@@ -212,7 +212,7 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
         return gs
 
     # hoist per-level host mask sources once (np; avoids re-fetching)
-    inlev_np = [np.asarray(base.in_level_mask(lev)) for lev in range(fin)]
+    inlev_np = [base.in_level_mask_np(lev) for lev in range(fin)]
     cov_np = [np.asarray(base.covered_mask(lev)) for lev in range(fin)]
 
     # ---- plan every cluster's windows FIRST, then pad ONCE -----------------

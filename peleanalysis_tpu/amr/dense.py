@@ -56,6 +56,7 @@ class DenseAmrState:
         self.lmeta = lmeta
         self._covered: List[Optional[jnp.ndarray]] = [None] * meta.n_levels
         self._in_level: List[Optional[jnp.ndarray]] = [None] * meta.n_levels
+        self._in_level_np: List[Optional[np.ndarray]] = [None] * meta.n_levels
 
     @classmethod
     def from_batched(cls, state: AmrState) -> "DenseAmrState":
@@ -112,9 +113,22 @@ class DenseAmrState:
     def in_level_mask(self, lev: int) -> jnp.ndarray:
         """bool [*bbox_shape]: cell covered by this level's boxes."""
         if self._in_level[lev] is None:
-            self._in_level[lev] = jnp.asarray(
-                _union_mask_np(self.meta.bas[lev], self.lmeta[lev].bbox))
+            self._in_level[lev] = jnp.asarray(self.in_level_mask_np(lev))
         return self._in_level[lev]
+
+    def in_level_mask_np(self, lev: int) -> np.ndarray:
+        """Host-side in-level mask: never touches the device (np.asarray of
+        the device mask costs a tunnel roundtrip per call — measured 134 ms
+        for 3 levels in the warm stream CLI, r4)."""
+        if self._in_level_np[lev] is None:
+            if self._in_level[lev] is not None:
+                # a padded/sharded state may carry a replaced device mask
+                # (parallel/dense_shard.pad_state_to): that one is the truth
+                self._in_level_np[lev] = np.asarray(self._in_level[lev])
+            else:
+                self._in_level_np[lev] = _union_mask_np(
+                    self.meta.bas[lev], self.lmeta[lev].bbox)
+        return self._in_level_np[lev]
 
     def covered_mask(self, lev: int) -> jnp.ndarray:
         """bool: cell covered by the NEXT finer level (+periodic images)."""
@@ -150,6 +164,7 @@ class DenseAmrState:
         st = DenseAmrState(self.meta, names, data, self.lmeta)
         st._covered = self._covered
         st._in_level = self._in_level
+        st._in_level_np = self._in_level_np
         return st
 
     # -- back to boxes / plotfile ---------------------------------------------

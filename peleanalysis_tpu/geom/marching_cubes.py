@@ -115,7 +115,7 @@ def _grown_masks(dstate: DenseAmrState, lev: int):
                                      isect.hi[d] - gbox.lo[d] + 1)
                                for d in range(3))
                     cov[sl] = True
-    inlev = np.pad(np.asarray(dstate.in_level_mask(lev)), 1)
+    inlev = np.pad(dstate.in_level_mask_np(lev), 1)
     cache[lev] = (cov, inlev)
     return cov, inlev
 

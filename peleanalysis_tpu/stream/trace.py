@@ -61,7 +61,7 @@ def assign_seeds_to_levels(dstate: DenseAmrState,
         idx += np.array(geom.domain.lo)
         loc = idx - np.array(bbox.lo)
         inside = np.all((loc >= 0) & (loc < np.array(bbox.shape)), axis=1)
-        mask = np.asarray(dstate.in_level_mask(lev))
+        mask = dstate.in_level_mask_np(lev)
         li = np.clip(loc, 0, np.array(bbox.shape) - 1)
         inlev = mask[li[:, 0], li[:, 1], li[:, 2]] & inside
         owner[inlev] = lev

@@ -64,7 +64,7 @@ def average_states(states: Sequence[AmrState], names: Sequence[str],
             acc += filled[(slice(None),) + sl]
             msl = tuple(slice(bbox.lo[d] - ubox.lo[d],
                               bbox.hi[d] - ubox.lo[d] + 1) for d in range(3))
-            union[msl] |= np.asarray(ds.in_level_mask(lev))
+            union[msl] |= ds.in_level_mask_np(lev)
         acc /= len(denses)
         out_data.append(jnp.asarray(acc))
         out_masks.append(union)

@@ -28,7 +28,7 @@ def seeds_one_per_cell(ds: DenseAmrState, stride: int = 1) -> np.ndarray:
     lev = ds.meta.n_levels - 1
     geom = ds.meta.geoms[lev]
     bbox = ds.lmeta[lev].bbox
-    m = np.asarray(ds.in_level_mask(lev))
+    m = ds.in_level_mask_np(lev)
     idx = np.argwhere(m)[::stride]
     dx = np.array(geom.dx)
     return (np.array(geom.prob_lo)

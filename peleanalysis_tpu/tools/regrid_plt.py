@@ -20,7 +20,7 @@ def regrid(st: AmrState, max_grid_size: int):
     geoms, bas, data = [], [], []
     for lev in range(meta.n_levels):
         bbox = ds.lmeta[lev].bbox
-        mask = np.asarray(ds.in_level_mask(lev))
+        mask = ds.in_level_mask_np(lev)
         dense = np.asarray(ds.data[lev], dtype=np.float64)
         # chunk the union bbox; keep only chunks fully covered by the level
         # (reference keeps the covered region; partially-covered chunks are
