@@ -181,9 +181,20 @@ def trace_streamlines(
     ngrow: Optional[int] = None,
     fetch_compress: Optional[bool] = None,
     defer: bool = False,
+    march_chunk: Optional[int] = None,
 ) -> np.ndarray:
     """Trace ±nRKh RK4 steps from each seed; returns
     [nseed, 2*nRKh+1, 3 + len(sample_names)] with j=nRKh at the seed.
+
+    march_chunk: split each level's seeds into fixed-size chunks so chunk
+    i's host fetch (initiated with ``copy_to_host_async``) overlaps chunk
+    i+1's device march — measured on the tunnel backend: a dependent async
+    copy is non-blocking and back-to-back transfers amortize the ~30 ms
+    roundtrip latency (r4 probes).  The last chunk pads by repeating its
+    tail seed so every chunk shares ONE compile; the duplicate rows decode
+    into the same output slot.  Default: 2048 on non-CPU backends when a
+    level marches >2048 seeds (0 disables).  ``defer=True`` ignores it —
+    pipeline mode ships everything in one packed fetch instead.
 
     defer: queue the march and return a :class:`DeferredLines` instead of
     fetching — ``finish(extra=...)`` later pays ONE tunnel roundtrip for all
@@ -425,10 +436,32 @@ def trace_streamlines(
                 _GLOBAL_TRACE_FNS, 32, dstate, key,
                 lambda: make_fn(lev, lev_ngrow, trace_field is not None,
                                 plo_g, dx, use_pallas))
-        pending.append((sel, cache[key](all_data, masks,
-                                        jnp.asarray(seeds[sel]), h_phys)))
+        chunk = march_chunk
+        if chunk is None:   # 2048 beat 512/1024 on the r4 tunnel probes
+            chunk = (2048 if not defer and len(sel) > 2048
+                     and jax.default_backend() != "cpu" else 0)
+        if chunk and not defer and len(sel) > chunk:
+            for c0 in range(0, len(sel), chunk):
+                sc = sel[c0: c0 + chunk]
+                if len(sc) < chunk:   # pad: duplicate rows land in the
+                    #                   same out slot — equal-shape chunks
+                    #                   share the level's single compile
+                    sc = np.concatenate(
+                        [sc, np.full(chunk - len(sc), sc[-1])])
+                pending.append((sc, cache[key](all_data, masks,
+                                               jnp.asarray(seeds[sc]),
+                                               h_phys)))
+        else:
+            pending.append((sel, cache[key](all_data, masks,
+                                            jnp.asarray(seeds[sel]),
+                                            h_phys)))
     if defer:
         return DeferredLines(pending, out, compress, n_half, nf, h_phys)
+    for _, res in pending:   # start every transfer before blocking on the
+        try:                 # first: fetches ride behind the queued marches
+            res.copy_to_host_async()
+        except Exception:    # backend without async host copies
+            pass
     for sel, res in pending:
         _decode_level(np.asarray(res), sel, out, compress, n_half, nf,
                       h_phys)

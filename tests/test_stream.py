@@ -543,3 +543,20 @@ def test_defer_lines_single_fetch_parity(tmp_path):
     lines64, _ = trace_streamlines(ds64, seeds, defer=True,
                                    **kw).finish()
     np.testing.assert_array_equal(lines64, eager64)
+
+
+def test_chunked_march_parity(ds):
+    """march_chunk splits a level's seeds into equal padded chunks whose
+    fetches overlap the next chunk's march (r4); results must be
+    bit-identical to the single-dispatch path, including the padded tail
+    chunk (97 seeds -> 3x32 + pad)."""
+    dss, _ = ds
+    rng = np.random.default_rng(7)
+    seeds = 0.5 + 0.3 * (rng.random((97, 3)) - 0.5)
+    ref = trace_streamlines(dss, seeds, n_rk_steps=21, h_rk=0.5,
+                            trace_field="progress",
+                            sample_names=("progress",), march_chunk=0)
+    chk = trace_streamlines(dss, seeds, n_rk_steps=21, h_rk=0.5,
+                            trace_field="progress",
+                            sample_names=("progress",), march_chunk=32)
+    np.testing.assert_array_equal(ref, chk)
