@@ -787,8 +787,11 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
                 cA.append(jnp.where(ax == 0, vs[0],
                                     jnp.where(ax == 1, vs[1], vs[2])))
             cB = [cA[d] + (ax == d) for d in range(3)]
-            A = G[:, cA[0], cA[1], cA[2]]            # [nf, cap]
-            B = G[:, cB[0], cB[1], cB[2]]
+            # one gather for both edge endpoints (per-op gather cost)
+            AB = G[:, jnp.concatenate([cA[0], cB[0]]),
+                   jnp.concatenate([cA[1], cB[1]]),
+                   jnp.concatenate([cA[2], cB[2]])]   # [nf, 2*cap]
+            A, B = AB[:, :cap], AB[:, cap:]
             fa, fb = A[iso_comp], B[iso_comp]
             denom = fb - fa
             t = jnp.where(jnp.abs(denom) > 1e-30,
@@ -818,31 +821,54 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
             ak = idx % shp[2]
             cia = cis[lev].ravel()[idx]
 
-            gf = []                                   # in-level corner flags
-            for o in np.asarray(CORNER_OFFSETS):
-                gf.append(inlev_devs[lev][ai + o[0], aj + o[1], ak + o[2]])
+            # TPU random-gather cost is per-OP, nearly independent of the
+            # index count (NOTES.md): consolidate the 8 corner-flag gathers
+            # into one and the 12/24 per-edge rank-volume gathers into one
+            # per rank volume (3 fine + 3 coarse) — same values, ~10x fewer
+            # gather ops on the engine's hot path
+            si = inlev_devs[lev].shape
+            fl8 = jnp.concatenate(
+                [((ai + int(o[0])) * si[1] + (aj + int(o[1]))) * si[2]
+                 + (ak + int(o[2])) for o in np.asarray(CORNER_OFFSETS)])
+            gf_all = inlev_devs[lev].ravel()[fl8]
+            gf = [gf_all[b * cap:(b + 1) * cap] for b in range(8)]
 
-            nid12 = []
-            for e in range(12):
-                a = int(_E_AXIS[e])
-                lo = _E_LOWER[e]
-                c = (ai + int(lo[0]), aj + int(lo[1]), ak + int(lo[2]))
+            edges_by_axis = [[e for e in range(12) if int(_E_AXIS[e]) == a]
+                             for a in range(3)]
+            nid_of_e = [None] * 12
+            for a in range(3):
+                es = edges_by_axis[a]
                 s = ref_final[lev][a].shape
-                flat_f = (c[0] * s[1] + c[1]) * s[2] + c[2]
-                nid = rank_vols[lev][a].ravel()[flat_f]
+                ffs = []
+                for e in es:
+                    lo = _E_LOWER[e]
+                    c = (ai + int(lo[0]), aj + int(lo[1]), ak + int(lo[2]))
+                    ffs.append((c[0] * s[1] + c[1]) * s[2] + c[2])
+                nid_f = rank_vols[lev][a].ravel()[jnp.concatenate(ffs)]
                 if lev > 0:
                     r = rr[lev]
                     sc = ref_final[lev - 1][a].shape
-                    u = [jnp.floor_divide(c[d] + gbox_los[lev][d], r)
-                         - gbox_los[lev - 1][d] for d in range(3)]
-                    u = [jnp.clip(u[d], 0, sc[d] - 1) for d in range(3)]
-                    flat_c = (u[0] * sc[1] + u[1]) * sc[2] + u[2]
-                    nid_c = rank_vols[lev - 1][a].ravel()[flat_c]
-                    classB = (~gf[int(_E_LO_CORNER[e])]
-                              & ~gf[int(_E_HI_CORNER[e])])
-                    nid = jnp.where(classB, nid_c, nid)
-                nid12.append(nid)
-            nid12 = jnp.stack(nid12, axis=1)          # [cap,12]
+                    fcs = []
+                    for e in es:
+                        lo = _E_LOWER[e]
+                        c = (ai + int(lo[0]), aj + int(lo[1]),
+                             ak + int(lo[2]))
+                        u = [jnp.floor_divide(c[d] + gbox_los[lev][d], r)
+                             - gbox_los[lev - 1][d] for d in range(3)]
+                        u = [jnp.clip(u[d], 0, sc[d] - 1) for d in range(3)]
+                        fcs.append((u[0] * sc[1] + u[1]) * sc[2] + u[2])
+                    nid_c = rank_vols[lev - 1][a].ravel()[
+                        jnp.concatenate(fcs)]
+                    for i, e in enumerate(es):
+                        classB = (~gf[int(_E_LO_CORNER[e])]
+                                  & ~gf[int(_E_HI_CORNER[e])])
+                        nid_of_e[e] = jnp.where(
+                            classB, nid_c[i * cap:(i + 1) * cap],
+                            nid_f[i * cap:(i + 1) * cap])
+                else:
+                    for i, e in enumerate(es):
+                        nid_of_e[e] = nid_f[i * cap:(i + 1) * cap]
+            nid12 = jnp.stack(nid_of_e, axis=1)       # [cap,12]
 
             tri_e = _TRI_TABLE_DEV[cia]               # [cap,5,3]
             tri_valid = ((tri_e[..., 0] >= 0) & live[:, None])

@@ -18,7 +18,8 @@ _LIB = None
 
 def _build() -> str:
     srcs = [os.path.join(_DIR, "qem.cpp"),
-            os.path.join(_DIR, "vismf_io.cpp")]
+            os.path.join(_DIR, "vismf_io.cpp"),
+            os.path.join(_DIR, "fmt.cpp")]
     so = os.path.join(_DIR, "libpele_native.so")
     if (not os.path.exists(so)
             or any(os.path.getmtime(so) < os.path.getmtime(s) for s in srcs)):
@@ -58,8 +59,48 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.c_int, ctypes.c_int,
             ]
+            lib.tecplot_zones.restype = ctypes.c_long
+            lib.tecplot_zones.argtypes = [
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_long]
+            lib.format_g9_rows.restype = ctypes.c_long
+            lib.format_g9_rows.argtypes = [
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_long, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_long]
             _LIB = lib
     return _LIB
+
+
+def tecplot_zones(lines: np.ndarray) -> bytes:
+    """Format [nlines, st, ncols] float64 stations as per-line Tecplot
+    zones (header + %.9g rows) — identical text to the numpy formatter,
+    ~14x faster (see fmt.cpp)."""
+    lib = get_lib()
+    nl, st, nc = lines.shape
+    lines = np.ascontiguousarray(lines, np.float64)
+    cap = nl * (96 + st * (nc * 32 + 1)) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.tecplot_zones(lines, nl, st, nc, buf, cap)
+    if n < 0:
+        raise RuntimeError("tecplot_zones: buffer overflow")
+    return buf.raw[:n]
+
+
+def format_g9_rows(rows: np.ndarray) -> bytes:
+    """Format [nrows, ncols] float64 as %.9g space-separated lines."""
+    lib = get_lib()
+    rows = np.ascontiguousarray(rows, np.float64)
+    if rows.ndim == 1:
+        rows = rows[:, None]
+    nr, nc = rows.shape
+    cap = nr * (nc * 32 + 1) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.format_g9_rows(rows, nr, nc, buf, cap)
+    if n < 0:
+        raise RuntimeError("format_g9_rows: buffer overflow")
+    return buf.raw[:n]
 
 
 def load_fabs(paths, offsets, dims, sel, itemsize, dests,

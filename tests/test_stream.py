@@ -560,3 +560,31 @@ def test_chunked_march_parity(ds):
                             trace_field="progress",
                             sample_names=("progress",), march_chunk=32)
     np.testing.assert_array_equal(ref, chk)
+
+
+def test_tecplot_native_formatter_bytes():
+    """native/fmt.cpp tecplot_zones must produce byte-identical text to the
+    numpy %.9g formatter it replaces."""
+    from peleanalysis_tpu.native import tecplot_zones
+    rng = np.random.default_rng(3)
+    lines = np.concatenate([
+        rng.standard_normal((5, 7, 4)) * 10.0**rng.integers(-8, 8, (5, 7, 4)),
+        np.array([0.0, -0.0, 1e-300, np.inf, 123456789.0,
+                  np.pi, 2.0, -1.5e-7, 1e30, 0.1,
+                  -3.0, 1.0 / 3, 7e7, -0.25, 42.0,
+                  1e-45, 6.02e23, -9.99, 0.5, 88.0,
+                  2.5e-16, 1e16, 3.14, -2.71, 0.0,
+                  5.0, 6.0, 7.0][:28]).reshape(1, 7, 4)], axis=0)
+    native = tecplot_zones(lines)
+    chunks = []
+    nl, st, nc = lines.shape
+    cols = [np.char.mod("%.9g", lines[:, :, c].ravel()) for c in range(nc)]
+    rows = cols[0]
+    for c in cols[1:]:
+        rows = np.char.add(np.char.add(rows, " "), c)
+    rows = rows.reshape(nl, st)
+    for i in range(nl):
+        chunks.append(f'ZONE T="line{i}" I={st} DATAPACKING=POINT\n')
+        chunks.append("\n".join(rows[i]))
+        chunks.append("\n")
+    assert native == "".join(chunks).encode()
