@@ -181,6 +181,21 @@ class DenseAmrState:
         if jax.default_backend() == "cpu" and not _DISPATCH_COSTLY:
             self.to_batched().to_plotfile(path, names)
             return
+        self._packed_dev()[1](path, names)
+
+    def to_plotfile_async(self, path: str, submit, names=None) -> None:
+        """Write-back plotfile write (Session.async_writes): dispatch the
+        packed layout, initiate the device->host transfer, and queue the
+        host-side slicing + FAB write on the session's write-back thread so
+        the CALLER's next device work overlaps this output's fetch."""
+        flat_dev, decode = self._packed_dev()
+        try:
+            flat_dev.copy_to_host_async()
+        except Exception:
+            pass
+        submit(lambda: decode(path, names, flat_dev))
+
+    def _packed_dev(self):
         # direct dense writer: slice every box window out of the union
         # arrays and fetch ALL levels in one flat transfer — skips the
         # to_batched() scatter (an eager per-box op storm on the tunnel)
@@ -204,18 +219,25 @@ class DenseAmrState:
                                                for k in range(3))].ravel())
                 return jnp.concatenate(parts)
             fn = _cache_layout_fn(key, jax.jit(pack))
-        flat = np.asarray(fn(list(self.data)))
-        level_fabs, p = [], 0
-        for d, ba in zip(self.data, self.meta.bas):
-            nc = d.shape[0]
-            fabs = []
-            for b in ba:
-                n = nc * int(np.prod(b.shape))
-                fabs.append(flat[p: p + n].astype(np.float64, copy=False)
-                            .reshape((nc,) + b.shape))
-                p += n
-            level_fabs.append(fabs)
-        write_level_fabs(self.meta, names or self.names, level_fabs, path)
+        flat_dev = fn(list(self.data))
+        meta, self_names = self.meta, self.names
+        data_shapes = [d.shape[0] for d in self.data]
+
+        def decode(path, names, dev=flat_dev):
+            flat = np.asarray(dev)
+            level_fabs, p = [], 0
+            for nc, ba in zip(data_shapes, meta.bas):
+                fabs = []
+                for b in ba:
+                    n = nc * int(np.prod(b.shape))
+                    fabs.append(flat[p: p + n]
+                                .astype(np.float64, copy=False)
+                                .reshape((nc,) + b.shape))
+                    p += n
+                level_fabs.append(fabs)
+            write_level_fabs(meta, names or self_names, level_fabs, path)
+        return flat_dev, lambda path, names, dev=flat_dev: decode(
+            path, names, dev)
 
 
 # Eager per-box dynamic_slice/update loops pay one dispatch per op; on the

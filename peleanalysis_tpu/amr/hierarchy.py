@@ -185,6 +185,22 @@ class AmrState:
                 level_fabs.append(_unbatch_fabs(arr, meta.bas[lev]))
         write_level_fabs(meta, names, level_fabs, path, dtype)
 
+    def to_plotfile_async(self, path: str, submit,
+                          names: Optional[Sequence[str]] = None,
+                          dtype=np.float64) -> None:
+        """Write-back variant (Session.async_writes): dispatch the packed
+        layout + start the host copy now, queue the blocking fetch + FAB
+        write on the session's write-back thread."""
+        names = list(names) if names is not None else self.names
+        meta = self.meta
+        flat_dev, decode = _fetch_fabs_packed(self.data, meta.bas,
+                                              defer=True)
+        try:
+            flat_dev.copy_to_host_async()
+        except Exception:
+            pass
+        submit(lambda: write_level_fabs(meta, names, decode(), path, dtype))
+
 
 def write_level_fabs(meta, names, level_fabs, path: str, dtype=np.float64):
     """Write per-level fab lists as a plotfile (shared tail of the batched
@@ -208,9 +224,11 @@ _PACK_FNS: dict = {}
 
 
 def _fetch_fabs_packed(data: Sequence[jnp.ndarray],
-                       bas: Sequence[BoxArray]) -> List[List[np.ndarray]]:
+                       bas: Sequence[BoxArray], defer: bool = False):
     """Fetch every level's true box windows in ONE flat device->host
-    transfer; returns per-level fab lists (f64, the writer's dtype)."""
+    transfer; returns per-level fab lists (f64, the writer's dtype).
+    defer=True returns (device_vector, decode_thunk) instead — the
+    write-back path starts the copy asynchronously and decodes later."""
     key = tuple((tuple(d.shape), str(d.dtype),
                  tuple(tuple(b.shape) for b in ba))
                 for d, ba in zip(data, bas))
@@ -227,18 +245,25 @@ def _fetch_fabs_packed(data: Sequence[jnp.ndarray],
         fn = _PACK_FNS[key] = jax.jit(pack)
         if len(_PACK_FNS) > 64:
             _PACK_FNS.pop(next(iter(_PACK_FNS)))
-    flat = np.asarray(fn(list(data)))
-    level_fabs, p = [], 0
-    for d, ba in zip(data, bas):
-        nc = d.shape[1]
-        fabs = []
-        for b in ba:
-            n = nc * int(np.prod(b.shape))
-            fabs.append(flat[p: p + n].astype(np.float64, copy=False)
-                        .reshape((nc,) + b.shape))
-            p += n
-        level_fabs.append(fabs)
-    return level_fabs
+    flat_dev = fn(list(data))
+    ncs = [d.shape[1] for d in data]
+
+    def decode(dev=flat_dev):
+        flat = np.asarray(dev)
+        level_fabs, p = [], 0
+        for nc, ba in zip(ncs, bas):
+            fabs = []
+            for b in ba:
+                n = nc * int(np.prod(b.shape))
+                fabs.append(flat[p: p + n].astype(np.float64, copy=False)
+                            .reshape((nc,) + b.shape))
+                p += n
+            level_fabs.append(fabs)
+        return level_fabs
+
+    if defer:
+        return flat_dev, decode
+    return decode()
 
 
 def _batch_fabs(fabs: Sequence[np.ndarray], ba: BoxArray, dtype) -> jnp.ndarray:

@@ -91,7 +91,7 @@ def main(argv=None, session=None) -> int:
         # The reference's analog is file-chained mains
         # (/root/reference/Src/GNUmakefile:14-40).
         from .session import Session
-        sess = session if session is not None else Session()
+        sess = session if session is not None else Session(async_writes=True)
         stages, cur = [], []
         for tok in argv[1:]:
             if tok == "--":
@@ -105,10 +105,19 @@ def main(argv=None, session=None) -> int:
             print("pipeline: empty stage (usage: pipeline <tool> k=v ... "
                   "-- <tool> k=v ...)")
             return 2
-        for stage in stages:
-            rc = main(stage, session=sess)
-            if rc != 0:
-                return rc
+        try:
+            for stage in stages:
+                # a stage may READ a path a previous stage is still
+                # writing back (direct PlotfileReader paths bypass the
+                # session registry) — settle any matching pending write
+                sess.flush_writes(match=stage)
+                rc = main(stage, session=sess)
+                if rc != 0:
+                    return rc
+        finally:
+            # exit like a chained reference run: files on disk when the
+            # invocation returns; write-back errors surface as rc != 0
+            sess.flush_writes()
         return 0
     if tool == "serve":
         # persistent tool server: one process, one Session, warm engines

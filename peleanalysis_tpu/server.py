@@ -66,7 +66,11 @@ def serve(args: dict) -> int:
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
     srv.listen(8)
-    sess = Session()
+    # async write-back: a command's plotfile writes overlap the NEXT
+    # command's device work; any command whose argv mentions a pending
+    # output path flushes it first, and reset/shutdown flush everything
+    # (write errors surface on the flushing command's reply)
+    sess = Session(async_writes=True)
     print(f"serving on {path}", flush=True)
     n_req = 0
     try:
@@ -84,7 +88,13 @@ def serve(args: dict) -> int:
                         continue
                     cmd = req.get("cmd")
                     if cmd == "shutdown":
-                        f.write(b'{"rc": 0, "out": "bye", "err": ""}\n')
+                        try:
+                            sess.flush_writes()
+                            rep = {"rc": 0, "out": "bye", "err": ""}
+                        except Exception as e:
+                            rep = {"rc": 1, "out": "",
+                                   "err": f"pending write failed: {e}"}
+                        f.write(json.dumps(rep).encode() + b"\n")
                         f.flush()
                         return 0
                     if cmd == "ping":
@@ -92,8 +102,13 @@ def serve(args: dict) -> int:
                         f.flush()
                         continue
                     if cmd == "reset":
-                        sess.reset()
-                        f.write(b'{"rc": 0, "out": "reset", "err": ""}\n')
+                        try:
+                            sess.reset()   # flushes pending writes first
+                            rep = {"rc": 0, "out": "reset", "err": ""}
+                        except Exception as e:
+                            rep = {"rc": 1, "out": "",
+                                   "err": f"pending write failed: {e}"}
+                        f.write(json.dumps(rep).encode() + b"\n")
                         f.flush()
                         continue
                     argv = req.get("argv") or []
@@ -104,6 +119,9 @@ def serve(args: dict) -> int:
                         from .cli import main as cli_main
                         with contextlib.redirect_stdout(out), \
                                 contextlib.redirect_stderr(err):
+                            # settle pending write-backs this command might
+                            # read from disk (paths named in its argv)
+                            sess.flush_writes(match=argv)
                             rc = cli_main(argv, session=sess)
                     except SystemExit as e:       # tools should return, but
                         rc = int(e.code or 0)     # be robust to sys.exit
@@ -120,6 +138,8 @@ def serve(args: dict) -> int:
                     if max_requests and n_req >= max_requests:
                         return 0
     finally:
+        with contextlib.suppress(Exception):
+            sess.flush_writes()
         srv.close()
         with contextlib.suppress(OSError):
             os.unlink(path)

@@ -59,9 +59,20 @@ def _state_key(path: str, max_level, is_periodic, dtype) -> Tuple:
 
 
 class Session:
-    """Shared state across chained tool invocations (see module docstring)."""
+    """Shared state across chained tool invocations (see module docstring).
 
-    def __init__(self) -> None:
+    async_writes=True (the pipeline CLI and the server set it) lets stage
+    plotfile writes run as WRITE-BACK: the device->host transfer is
+    initiated with ``copy_to_host_async`` and the host-side slicing + FAB
+    write run on a single background thread, so the next stage's device
+    compute overlaps the previous stage's output fetch — the choreography
+    a chained reference run gets from the OS page cache + MPI-IO for free.
+    Ordering: one worker thread = writes complete in submission order; any
+    consumer that might READ a pending path from disk must
+    ``flush_writes(match=argv)`` first (the pipeline driver and the server
+    do).  The Python-API default stays synchronous."""
+
+    def __init__(self, async_writes: bool = False) -> None:
         self._states: Dict[Tuple, AmrState] = {}
         self._dense: Dict[Tuple, DenseAmrState] = {}
         # retain every state we keyed by id(): without this, a replaced
@@ -72,6 +83,39 @@ class Session:
         self.surfaces: Dict[str, object] = {}      # output name -> MEF
         self.lines: Dict[str, tuple] = {}          # name -> (names, lines,
         #                                            elements)
+        self.async_writes = bool(async_writes)
+        self._wb_pool = None
+        self._wb: List[Tuple[str, object]] = []    # (path, Future)
+
+    # -- async write-back ----------------------------------------------------
+
+    def submit_write(self, path: str, thunk) -> None:
+        """Queue a host-side write (device transfer already initiated by the
+        caller via copy_to_host_async) on the single write-back thread."""
+        if self._wb_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._wb_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pele-writeback")
+        # a rewrite of the same path must not race its predecessor
+        self.flush_writes(match=[path])
+        self._wb.append((path, self._wb_pool.submit(thunk)))
+
+    def flush_writes(self, match: Optional[Sequence[str]] = None) -> None:
+        """Wait for pending writes and re-raise the first failure.
+        match: only flush writes whose output path occurs as a substring of
+        one of the given strings (e.g. the next stage's argv); None = all."""
+        rest, err = [], None
+        for p, fut in self._wb:
+            if match is None or any(p in m for m in match):
+                try:
+                    fut.result()
+                except Exception as e:          # surface on the flush point
+                    err = err or e
+            else:
+                rest.append((p, fut))
+        self._wb = rest
+        if err is not None:
+            raise err
 
     # -- loading ------------------------------------------------------------
 
@@ -197,6 +241,10 @@ class Session:
     # -- driver ---------------------------------------------------------------
 
     def reset(self) -> None:
+        self.flush_writes()
+        self._reset_caches()
+
+    def _reset_caches(self) -> None:
         """Drop every cached state and registered artifact (frees the
         device arrays).  Long-lived Python-API sessions processing many
         plotfiles should reset between files they no longer need; the
@@ -282,3 +330,18 @@ def stage_writes(args: dict) -> bool:
         return True
     from .parmparse import ParmParse
     return ParmParse(args).query_int("write", 1) == 1
+
+
+def stage_write_plotfile(args: dict, out, path: str) -> bool:
+    """Write a tool's output plotfile honoring write= and the session's
+    async write-back (Session docstring).  Returns whether a write was
+    issued (sync, or queued — flushed by the pipeline/server driver)."""
+    if not stage_writes(args):
+        return False
+    s = get_session(args)
+    if s is not None and s.async_writes:
+        out.to_plotfile_async(path,
+                              submit=lambda th: s.submit_write(path, th))
+    else:
+        out.to_plotfile(path)
+    return True

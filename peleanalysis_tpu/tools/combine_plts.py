@@ -33,7 +33,7 @@ def main(args: dict) -> None:
     pp = ParmParse(args)
     import numpy as np
 
-    from ..session import get_session, load_state, stage_writes
+    from ..session import get_session, load_state, stage_write_plotfile
     sess = get_session(args)
 
     def _vars_of(f):
@@ -80,6 +80,5 @@ def main(args: dict) -> None:
         outfile = pp.query_str("outfile", f1 + "_comb")
     if sess is not None:
         sess.put_plotfile(outfile, out)
-    if stage_writes(args):
-        out.to_plotfile(outfile)
+    if stage_write_plotfile(args, out, outfile):
         print(f"wrote {outfile}")

@@ -361,7 +361,7 @@ def main(args: dict) -> None:
     if not pp.query_bool("useFileMinMax", True):
         if not (pp.contains("progMin") and pp.contains("progMax")):
             raise ValueError("useFileMinMax=0 requires progMin= and progMax=")
-    from ..session import dense_state, get_session, load_state, stage_writes
+    from ..session import dense_state, get_session, load_state, stage_write_plotfile
 
     state = load_state(
         args, infile, names=names, max_level=pp.query_int("finestLevel", None),
@@ -507,6 +507,5 @@ def main(args: dict) -> None:
     sess = get_session(args)
     if sess is not None:
         sess.put_plotfile(outfile, out)
-    if stage_writes(args):
-        out.to_plotfile(outfile)
+    if stage_write_plotfile(args, out, outfile):
         print(f"wrote {outfile}")

@@ -71,10 +71,9 @@ def main(args: dict) -> None:
         same_fgr_all_levels=pp.query_bool("same_fgr_all_levels", False),
         names=names)
     outfile = pp.query_str("outfile", infile + "_filt")
-    from ..session import get_session, stage_writes
+    from ..session import get_session, stage_write_plotfile
     sess = get_session(args)
     if sess is not None:
         sess.put_plotfile(outfile, out)
-    if stage_writes(args):
-        out.to_plotfile(outfile)
+    if stage_write_plotfile(args, out, outfile):
         print(f"wrote {outfile}")

@@ -166,7 +166,7 @@ def main(args: dict) -> None:
 
     from ..amr.cluster import needs_clustering
     from ..amr.dense import DenseAmrState
-    from ..session import dense_state, get_session, load_state, stage_writes
+    from ..session import dense_state, get_session, load_state, stage_write_plotfile
 
     state = load_state(
         args, infile, names=[var] + list(aux), max_level=finest,
@@ -248,6 +248,5 @@ def main(args: dict) -> None:
     sess = get_session(args)
     if sess is not None:
         sess.put_plotfile(outfile, out)
-    if stage_writes(args):
-        out.to_plotfile(outfile)
+    if stage_write_plotfile(args, out, outfile):
         print(f"wrote {outfile}")

@@ -264,3 +264,51 @@ def test_session_reset_frees_but_engines_survive(plt):
         adense.shared_engine = orig
     assert builds == [], builds        # zero re-traces after reset
     assert "K1" in s.plotfiles
+
+
+def test_async_writeback_parity_and_order(plt, tmp_path, monkeypatch):
+    """to_plotfile_async (Session.async_writes write-back) must produce a
+    byte-identical plotfile to the synchronous packed writer, and a
+    same-path rewrite must not race its predecessor."""
+    monkeypatch.chdir(tmp_path)
+    from peleanalysis_tpu.amr import dense as dense_mod
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.session import Session
+    monkeypatch.setattr(dense_mod, "_DISPATCH_COSTLY", True)
+    st = AmrState.from_plotfile(plt)
+    ds = DenseAmrState.from_batched(st)
+    ds.to_plotfile("sync_plt")
+    s = Session(async_writes=True)
+    ds.to_plotfile_async("async_plt",
+                         submit=lambda th: s.submit_write("async_plt", th))
+    # rewrite the same path before the flush: ordering must hold
+    ds.to_plotfile_async("async_plt",
+                         submit=lambda th: s.submit_write("async_plt", th))
+    s.flush_writes()
+    for sub in ("Header",):
+        assert (open(os.path.join("sync_plt", sub), "rb").read()
+                == open(os.path.join("async_plt", sub), "rb").read())
+    _assert_states_equal("sync_plt", "async_plt")
+
+
+def test_pipeline_flushes_write_before_disk_read(plt, tmp_path, monkeypatch):
+    """A stage that reads a pending write-back path from DISK (fcompare is
+    not session-aware) must see the completed file."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["pipeline",
+                 "grad", f"infile={plt}", "gradVar=temp", "outfile=gg",
+                 "--",
+                 "fcompare", "infile1=gg", "infile2=gg"]) == 0
+
+
+def test_writeback_error_surfaces_on_flush():
+    from peleanalysis_tpu.session import Session
+    s = Session(async_writes=True)
+
+    def boom():
+        raise IOError("disk full")
+
+    s.submit_write("some/path", boom)
+    with pytest.raises(IOError, match="disk full"):
+        s.flush_writes()
+    assert s._wb == []          # consumed, not stuck
