@@ -332,6 +332,18 @@ def stage_writes(args: dict) -> bool:
     return ParmParse(args).query_int("write", 1) == 1
 
 
+def stage_submit_io(args: dict, path: str, thunk) -> None:
+    """Run a pure-host artifact write now, or queue it on the session's
+    write-back thread (async_writes) so the next stage's work overlaps it.
+    The thunk must only READ its captured data (downstream in-session
+    consumers share the arrays)."""
+    s = get_session(args)
+    if s is not None and s.async_writes:
+        s.submit_write(path, thunk)
+    else:
+        thunk()
+
+
 def stage_write_plotfile(args: dict, out, path: str) -> bool:
     """Write a tool's output plotfile honoring write= and the session's
     async write-back (Session docstring).  Returns whether a write was

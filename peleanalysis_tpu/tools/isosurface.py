@@ -105,9 +105,13 @@ def main(args: dict) -> None:
         sess.put_surface(base + ".mef", mef)
         sess.put_surface(base + ".dat", mef)
     if pp.query_bool("writeSurf", True) and stage_writes(args):
+        # the surface is already decoded host-side on this path (defer only
+        # happens with write=0): the file writes are write-back eligible
+        from ..session import stage_submit_io
         fmt = pp.query_str("surfFormat", "MEF")
         if fmt.upper() == "MEF":
-            write_mef(base + ".mef", mef)
+            stage_submit_io(args, base + ".mef",
+                            lambda: write_mef(base + ".mef", mef))
             print(f"wrote {base}.mef  ({mef.n_nodes} nodes, "
                   f"{mef.n_elts} elements)")
         elif fmt.upper() == "XDMF":
@@ -115,7 +119,8 @@ def main(args: dict) -> None:
             write_xdmf(base, mef, iso_name, iso_val, st.meta.time)
             print(f"wrote {base}.xmf/.mesh")
         else:
-            write_mef_tecplot(base + ".dat", mef)
+            stage_submit_io(args, base + ".dat",
+                            lambda: write_mef_tecplot(base + ".dat", mef))
             print(f"wrote {base}.dat")
     if pp.query_bool("computeArea", False):
         m = mef.to_mef() if hasattr(mef, "to_mef") else mef

@@ -188,16 +188,21 @@ def main(args: dict) -> None:
         if out_name:
             sess.put_lines(out_name, names, lines, get_elts, st.meta)
     writes = stage_writes(args)
+    from ..session import stage_submit_io
     if pp.contains("streamFile") and writes:
         inside = compute_inside_nodes(st.meta, lines[:, (lines.shape[1] // 2), :3])
         sd = StreamData(names, np.asarray(get_elts(), np.int32), inside,
                         lines)
-        write_stream_data(pp.get_str("streamFile"), sd, meta=st.meta,
-                          version=pp.query_str("sd_version", "0"))
-        print(f"wrote {pp.get_str('streamFile')}")
+        sf, sv = pp.get_str("streamFile"), pp.query_str("sd_version", "0")
+        # pure host work over already-fetched arrays: write-back eligible
+        stage_submit_io(args, sf, lambda: write_stream_data(
+            sf, sd, meta=st.meta, version=sv))
+        print(f"wrote {sf}")
     if pp.contains("outFile") and writes:
-        write_tecplot_lines(pp.get_str("outFile"), names, lines)
-        print(f"wrote {pp.get_str('outFile')}")
+        of = pp.get_str("outFile")
+        stage_submit_io(args, of,
+                        lambda: write_tecplot_lines(of, names, lines))
+        print(f"wrote {of}")
     if not pp.contains("streamFile") and not pp.contains("outFile"):
         raise ValueError("Must specify streamFile or outFile")
 
