@@ -16,6 +16,8 @@ from typing import List
 
 import numpy as np
 
+from ..native import savetxt_fast
+
 from .fab import read_raw_node_fab, write_raw_node_fab
 
 
@@ -106,8 +108,8 @@ def write_mef_tecplot(path: str, mef: MEF) -> None:
             f'ZONE T="{mef.label}" N={mef.n_nodes} E={mef.n_elts} '
             f"F=FEPOINT ET={zone_type}\n"
         )
-        np.savetxt(f, mef.nodes, fmt="%.12g")
-        np.savetxt(f, mef.elements + 1, fmt="%d")
+        savetxt_fast(f, mef.nodes, fmt="%.12g")
+        savetxt_fast(f, mef.elements + 1, fmt="%d")
 
 
 def read_mef_tecplot(path: str) -> MEF:

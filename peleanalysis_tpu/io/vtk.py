@@ -10,6 +10,8 @@ import struct
 
 import numpy as np
 
+from ..native import savetxt_fast
+
 from .mef import MEF
 
 
@@ -23,7 +25,7 @@ def write_vtk_legacy(path: str, mef: MEF) -> None:
         f.write(f"{mef.label}\n")
         f.write("ASCII\nDATASET POLYDATA\n")
         f.write(f"POINTS {mef.n_nodes} double\n")
-        np.savetxt(f, pos, fmt="%.12g")
+        savetxt_fast(f, pos, fmt="%.12g")
         npe = mef.nodes_per_elt
         if npe == 3:
             f.write(f"POLYGONS {mef.n_elts} {mef.n_elts * 4}\n")
@@ -32,13 +34,13 @@ def write_vtk_legacy(path: str, mef: MEF) -> None:
         conn = np.concatenate(
             [np.full((mef.n_elts, 1), npe, dtype=np.int64),
              mef.elements.astype(np.int64)], axis=1)
-        np.savetxt(f, conn, fmt="%d")
+        savetxt_fast(f, conn, fmt="%d")
         fields = mef.names[mef.ndim:]
         if fields:
             f.write(f"POINT_DATA {mef.n_nodes}\n")
             for name in fields:
                 f.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
-                np.savetxt(f, mef.field(name), fmt="%.12g")
+                savetxt_fast(f, mef.field(name), fmt="%.12g")
 
 
 def _b64(arr: np.ndarray) -> str:

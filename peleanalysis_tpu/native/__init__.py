@@ -64,9 +64,14 @@ def get_lib():
                 np.ctypeslib.ndpointer(np.float64, flags="C"),
                 ctypes.c_long, ctypes.c_long, ctypes.c_long,
                 ctypes.c_void_p, ctypes.c_long]
-            lib.format_g9_rows.restype = ctypes.c_long
-            lib.format_g9_rows.argtypes = [
+            lib.format_g_rows.restype = ctypes.c_long
+            lib.format_g_rows.argtypes = [
                 np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_long, ctypes.c_long, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_long]
+            lib.format_i_rows.restype = ctypes.c_long
+            lib.format_i_rows.argtypes = [
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
                 ctypes.c_long, ctypes.c_long,
                 ctypes.c_void_p, ctypes.c_long]
             _LIB = lib
@@ -88,19 +93,60 @@ def tecplot_zones(lines: np.ndarray) -> bytes:
     return buf.raw[:n]
 
 
-def format_g9_rows(rows: np.ndarray) -> bytes:
-    """Format [nrows, ncols] float64 as %.9g space-separated lines."""
+def format_g_rows(rows: np.ndarray, prec: int = 9) -> bytes:
+    """Format [nrows, ncols] float64 as %.<prec>g space-separated lines."""
     lib = get_lib()
     rows = np.ascontiguousarray(rows, np.float64)
     if rows.ndim == 1:
         rows = rows[:, None]
     nr, nc = rows.shape
-    cap = nr * (nc * 32 + 1) + 64
+    cap = nr * (nc * 40 + 1) + 64
     buf = ctypes.create_string_buffer(cap)
-    n = lib.format_g9_rows(rows, nr, nc, buf, cap)
+    n = lib.format_g_rows(rows, nr, nc, int(prec), buf, cap)
     if n < 0:
-        raise RuntimeError("format_g9_rows: buffer overflow")
+        raise RuntimeError("format_g_rows: buffer overflow")
     return buf.raw[:n]
+
+
+def format_i_rows(rows: np.ndarray) -> bytes:
+    """Format [nrows, ncols] integers as %d space-separated lines."""
+    lib = get_lib()
+    rows = np.ascontiguousarray(rows, np.int64)
+    if rows.ndim == 1:
+        rows = rows[:, None]
+    nr, nc = rows.shape
+    cap = nr * (nc * 24 + 1) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.format_i_rows(rows, nr, nc, buf, cap)
+    if n < 0:
+        raise RuntimeError("format_i_rows: buffer overflow")
+    return buf.raw[:n]
+
+
+def savetxt_fast(f, arr: np.ndarray, fmt: str = "%.9g") -> None:
+    """np.savetxt drop-in for the hot ASCII writers: %.<N>g floats and %d
+    ints go through the native snprintf formatter (identical text, ~10-30x
+    np.savetxt's per-row Python loop); other formats fall back."""
+    import re
+
+    arr = np.asarray(arr)
+    body = None
+    try:
+        m = re.fullmatch(r"%\.(\d+)g", fmt)
+        if m:
+            body = format_g_rows(arr.astype(np.float64, copy=False),
+                                 int(m.group(1)))
+        elif fmt == "%d":
+            body = format_i_rows(arr)
+    except Exception:
+        body = None                    # native build unavailable
+    if body is None:
+        np.savetxt(f, arr, fmt=fmt)
+        return
+    try:
+        f.write(body)                  # binary file object
+    except TypeError:
+        f.write(body.decode())         # text file object
 
 
 def load_fabs(paths, offsets, dims, sel, itemsize, dests,

@@ -76,17 +76,33 @@ long tecplot_zones(const double* vals, long nlines, long st, long ncols,
   return total;
 }
 
-// Generic %.9g row formatter: nrows lines of ncols space-separated values.
-// Returns bytes written, or -1 if `cap` would be exceeded.
-long format_g9_rows(const double* vals, long nrows, long ncols,
-                    char* out, long cap) {
+// Generic %.<prec>g row formatter: nrows lines of ncols space-separated
+// values.  Returns bytes written, or -1 if `cap` would be exceeded.
+long format_g_rows(const double* vals, long nrows, long ncols, int prec,
+                   char* out, long cap) {
   char* p = out;
   char* end = out + cap;
   for (long r = 0; r < nrows; ++r) {
-    if (end - p < 32 * (ncols + 1)) return -1;
+    if (end - p < 40 * (ncols + 1)) return -1;
     for (long c = 0; c < ncols; ++c) {
       if (c) *p++ = ' ';
-      p += snprintf(p, 32, "%.9g", vals[r * ncols + c]);
+      p += snprintf(p, 40, "%.*g", prec, vals[r * ncols + c]);
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// %ld rows (element connectivity tables).
+long format_i_rows(const long long* vals, long nrows, long ncols,
+                   char* out, long cap) {
+  char* p = out;
+  char* end = out + cap;
+  for (long r = 0; r < nrows; ++r) {
+    if (end - p < 24 * (ncols + 1)) return -1;
+    for (long c = 0; c < ncols; ++c) {
+      if (c) *p++ = ' ';
+      p += snprintf(p, 24, "%lld", vals[r * ncols + c]);
     }
     *p++ = '\n';
   }

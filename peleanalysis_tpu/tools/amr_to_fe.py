@@ -14,6 +14,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from ..native import savetxt_fast
+
 from ..amr.box import Box
 from ..amr.dense import DenseAmrState
 from ..amr.hierarchy import AmrState
@@ -131,11 +133,11 @@ def write_tec_febrick(path: str, names: Sequence[str], zones) -> None:
                 continue
             f.write(f'ZONE T="level{zi}" N={len(nodes)} E={max(len(bricks),1)}'
                     " F=FEPOINT ET=BRICK\n")
-            np.savetxt(f, nodes, fmt="%.9g")
+            savetxt_fast(f, nodes, fmt="%.9g")
             if len(bricks) == 0:
                 f.write(" ".join(["1"] * 8) + "\n")
             else:
-                np.savetxt(f, bricks + 1, fmt="%d")
+                savetxt_fast(f, bricks + 1, fmt="%d")
 
 
 def write_flt(path: str, names: Sequence[str], zones) -> None:

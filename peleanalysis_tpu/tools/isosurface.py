@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..native import savetxt_fast
+
 from ..amr.dense import DenseAmrState
 from ..amr.hierarchy import AmrState
 from ..geom.marching_cubes import extract_isosurface, surface_area
@@ -169,5 +171,5 @@ def main(args: dict) -> None:
             for ci, chain in enumerate(chains):
                 f.write(f'ZONE T="line{ci}" I={len(chain)} '
                         "DATAPACKING=POINT\n")
-                np.savetxt(f, mef.nodes[chain], fmt="%.9g")
+                savetxt_fast(f, mef.nodes[chain], fmt="%.9g")
         print(f"wrote {base}_lines.dat ({len(chains)} polylines)")
