@@ -129,7 +129,8 @@ def main(argv=None, session=None) -> int:
         from .server import send
         rest = argv[1:]
         skeys = []
-        while rest and rest[0].startswith("socket="):
+        while rest and (rest[0].startswith("socket=")
+                        or rest[0].startswith("sync=")):
             skeys.append(rest.pop(0))
         return send(parse_argv(skeys), rest)
     if tool not in TOOLS:

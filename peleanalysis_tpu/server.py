@@ -12,10 +12,22 @@ loads, device states, registered outputs) across commands.
 Protocol (newline-delimited JSON over a unix socket):
 
   request   {"argv": ["grad", "infile=plt", ...]}     run one CLI command
+            {"argv": [...], "sync": true}              ... and settle the
+                                                       command's write-backs
+                                                       before replying
             {"cmd": "ping"}                            liveness probe
+            {"cmd": "flush"}                           settle ALL pending
+                                                       write-backs
             {"cmd": "reset"}                           drop the Session
             {"cmd": "shutdown"}                        reply, then exit
   reply     {"rc": int, "out": str, "err": str}
+
+Write-back semantics: plotfile/line/surface writes are ASYNC by default —
+a command's reply can arrive while its output file is still being written
+(the write overlaps the next command's device work; a later command whose
+argv names the path settles it first).  An external reader that needs the
+file on reply must send ``sync: true`` (the ``send`` CLI client does) or
+``flush``.
 
 Commands run through the SAME code path as the one-shot CLI (cli.main with
 a session), so ParmParse keys, pipeline stages, and outputs are identical —
@@ -101,6 +113,16 @@ def serve(args: dict) -> int:
                         f.write(b'{"rc": 0, "out": "pong", "err": ""}\n')
                         f.flush()
                         continue
+                    if cmd == "flush":
+                        try:
+                            sess.flush_writes()
+                            rep = {"rc": 0, "out": "flushed", "err": ""}
+                        except Exception as e:
+                            rep = {"rc": 1, "out": "",
+                                   "err": f"pending write failed: {e}"}
+                        f.write(json.dumps(rep).encode() + b"\n")
+                        f.flush()
+                        continue
                     if cmd == "reset":
                         try:
                             sess.reset()   # flushes pending writes first
@@ -130,6 +152,15 @@ def serve(args: dict) -> int:
                         rc = 1                    # kill warm engine caches
                         err.write(traceback.format_exc())
                         err.write(f"\n{type(e).__name__}: {e}")
+                    if req.get("sync") and rc == 0:
+                        # external caller wants the files on reply: settle
+                        # every pending write-back (a write failure is THIS
+                        # command's failure from the caller's view)
+                        try:
+                            sess.flush_writes()
+                        except Exception as e:
+                            rc = 1
+                            err.write(f"pending write failed: {e}")
                     rep = {"rc": rc, "out": out.getvalue(),
                            "err": err.getvalue()}
                     f.write(json.dumps(rep).encode() + b"\n")
@@ -145,13 +176,22 @@ def serve(args: dict) -> int:
             os.unlink(path)
 
 
-def send_command(path: str, argv=None, cmd=None, timeout=600.0):
-    """One request over the socket; returns the reply dict."""
+def send_command(path: str, argv=None, cmd=None, timeout=600.0,
+                 sync=False):
+    """One request over the socket; returns the reply dict.
+    sync=True makes the server settle the command's async write-backs
+    before replying (files exist when this returns); the default keeps
+    writes overlapped with the next command's work."""
     c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     c.settimeout(timeout)
     c.connect(path)
     try:
-        req = {"argv": list(argv)} if argv is not None else {"cmd": cmd}
+        if argv is not None:
+            req = {"argv": list(argv)}
+            if sync:
+                req["sync"] = True
+        else:
+            req = {"cmd": cmd}
         c.sendall(json.dumps(req).encode() + b"\n")
         buf = b""
         while b"\n" not in buf:
@@ -165,16 +205,20 @@ def send_command(path: str, argv=None, cmd=None, timeout=600.0):
 
 
 def send(args: dict, argv_rest) -> int:
-    """CLI client: send [socket=pele_serve.sock] <tool> key=value...
-    Prints the server's stdout/stderr and propagates its return code."""
+    """CLI client: send [socket=pele_serve.sock] [sync=1] <tool> key=value...
+    Prints the server's stdout/stderr and propagates its return code.
+    sync defaults ON: a shell pipeline (`send ... && cat out`) must see the
+    output files when the command returns; pass sync=0 to let the write
+    overlap the next command (pipeline-style drivers)."""
     from .parmparse import ParmParse
 
     pp = ParmParse(args)
     path = pp.query_str("socket", DEFAULT_SOCKET)
+    sync = pp.query_bool("sync", True)
     if not argv_rest:
         print("send: missing command (usage: send [socket=S] <tool> k=v...)")
         return 2
-    rep = send_command(path, argv=argv_rest)
+    rep = send_command(path, argv=argv_rest, sync=sync)
     if rep.get("out"):
         sys.stdout.write(rep["out"])
     if rep.get("err"):

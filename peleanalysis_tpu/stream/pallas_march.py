@@ -248,10 +248,27 @@ def _march_round(field_zc, pos, alive, bases, dirs, K: int, L: int,
     return out
 
 
+def prepare_field(vec: jnp.ndarray, block_dtype=jnp.float32) -> jnp.ndarray:
+    """Lay out [C,SX,SY,SZ] -> the kernel's padded z*C-fused field.
+
+    Jittable and separable from the march so a chunked caller pays the
+    transpose+pad ONCE per level instead of once per chunk (the layout
+    moves the whole field through HBM; chunks reuse the result via
+    ``march_pallas(..., prepared_shape=vec.shape)``).
+
+    comp-minor z-fused layout: one contiguous [BX,BY,BZL] box per DMA;
+    edge-padded so bases never clip (pad values are read only with weight
+    exactly 0, but must be finite — edge mode guarantees it)."""
+    C, SX, SY, SZ = vec.shape
+    field_zc = jnp.transpose(vec, (1, 2, 3, 0)).reshape(
+        SX, SY, SZ * C).astype(block_dtype)
+    return jnp.pad(field_zc, (PADX, PADY, PADZ), mode="edge")
+
+
 def march_pallas(vec: jnp.ndarray, plo, dx, h, seeds: jnp.ndarray,
                  n_steps: int, dirs: jnp.ndarray,
                  L: int = 32, interpret: bool = False,
-                 block_dtype=jnp.float32) -> jnp.ndarray:
+                 block_dtype=jnp.float32, prepared_shape=None) -> jnp.ndarray:
     """March seeds n_steps (RK4, normalized vector = arclength steps).
 
     vec: [C, SX, SY, SZ] traced vector field; seeds [N,3]; dirs [N] (+-1).
@@ -259,18 +276,20 @@ def march_pallas(vec: jnp.ndarray, plo, dx, h, seeds: jnp.ndarray,
     block_dtype=jnp.bfloat16 stores the resident VMEM blocks (and DMAs)
     in bf16 — half the bytes on the kernel's VMEM-read bound; the same
     accuracy class as the XLA path's default bfloat16 field marching.
+    prepared_shape: pass the ORIGINAL [C,SX,SY,SZ] shape when ``vec`` is
+    already the output of :func:`prepare_field` (chunked callers).
     """
-    C, SX, SY, SZ = vec.shape
+    if prepared_shape is not None:
+        C, SX, SY, SZ = prepared_shape
+        field_zc = vec
+    else:
+        C, SX, SY, SZ = vec.shape
     S = (SX, SY, SZ)
     if SY < BY or C * SZ < BZL or SX < BX:
         raise ValueError("field too small for the pallas march block; "
                          "use the XLA path")
-    # comp-minor z-fused layout: one contiguous [BX,BY,BZL] box per DMA;
-    # edge-padded so bases never clip (pad values are read only with weight
-    # exactly 0, but must be finite — edge mode guarantees it)
-    field_zc = jnp.transpose(vec, (1, 2, 3, 0)).reshape(
-        SX, SY, SZ * C).astype(block_dtype)
-    field_zc = jnp.pad(field_zc, (PADX, PADY, PADZ), mode="edge")
+    if prepared_shape is None:
+        field_zc = prepare_field(vec, block_dtype)
     N = seeds.shape[0]
     pad = (-N) % L
     if pad:

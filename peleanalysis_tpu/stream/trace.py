@@ -168,6 +168,27 @@ def _sample_fields(fields: jnp.ndarray, plo_g: jnp.ndarray, dx: jnp.ndarray,
             + tx * ty * tz * g(1, 1, 1))
 
 
+def _chunk_sizes(n, chunk):
+    """March-chunk schedule for n seeds: full ``chunk``-sized chunks, then
+    a halving tail (chunk/2 then chunk/4, last one padded).  The final
+    chunk's fetch is the only one a later chunk's march can't overlap, so
+    a small tail trims the exposed transfer; the fixed size classes keep
+    the number of compiled march shapes bounded at 3."""
+    sizes, rem = [], n
+    while rem > chunk:
+        sizes.append(chunk)
+        rem -= chunk
+    for c in (chunk // 2, chunk // 4):
+        if c == 0:
+            break
+        while rem > c:
+            sizes.append(c)
+            rem -= c
+    if rem > 0:
+        sizes.append(max(chunk // 4, rem))
+    return sizes
+
+
 def trace_streamlines(
     dstate: DenseAmrState,
     seeds: np.ndarray,
@@ -327,8 +348,15 @@ def trace_streamlines(
                n_half, nf, march_dtype, repr(bc), compress,
                (use_pallas, h_phys) if use_pallas else False)
 
-        def make_fn(_lev, _g, _grad_mode, _plo_g, _dx, _use_pallas):
-            def fn(dl, ml, sseeds, h):
+        def make_engines(_lev, _g, _grad_mode, _plo_g, _dx, _use_pallas,
+                         _pshape):
+            state_dt = dstate.data[0].dtype
+
+            def prep(dl, ml):
+                # fill + field layout run ONCE per level per call; chunked
+                # marches reuse the result (prep moves the whole level
+                # through HBM — repeating it per chunk was measured waste,
+                # r4 probes)
                 grown = fill_dense_arrays(meta, lmeta_cl, dl, ml, _lev,
                                           _g, bc, "linear")
                 if _grad_mode:
@@ -336,11 +364,24 @@ def trace_streamlines(
                                                    tuple(_dx), 1)
                     vec = jnp.concatenate([gx, gy, gz], axis=0)
                     fields = grown[nv:, 1:-1, 1:-1, 1:-1]
-                    plo_np = _plo_g + _dx
                 else:
                     vec = grown[:3]
                     fields = grown[nv:]
-                    plo_np = np.asarray(_plo_g)
+                if _use_pallas:
+                    from .pallas_march import prepare_field
+                    # bf16 resident blocks when the march is lossy anyway
+                    # (the default): half the VMEM-read bytes — the
+                    # kernel's measured bound
+                    bdt = (jnp.bfloat16 if march_dtype == "bfloat16"
+                           else jnp.float32)
+                    vec = prepare_field(vec.astype(jnp.float32), bdt)
+                elif march_dtype:
+                    vec = vec.astype(march_dtype)
+                return vec, fields
+
+            def fn(vec, fields, sseeds, h):
+                plo_np = (_plo_g + _dx if _grad_mode
+                          else np.asarray(_plo_g))
                 plo_v = jnp.asarray(plo_np)
                 dxj = jnp.asarray(_dx)
                 # march +/- as ONE scan over doubled seeds (per-seed
@@ -350,20 +391,13 @@ def trace_streamlines(
                 dirs = jnp.concatenate([jnp.ones(ns), -jnp.ones(ns)])
                 if _use_pallas:
                     from .pallas_march import march_pallas
-                    # bf16 resident blocks when the march is lossy anyway
-                    # (the default): half the VMEM-read bytes — the
-                    # kernel's measured bound
-                    bdt = (jnp.bfloat16 if march_dtype == "bfloat16"
-                           else jnp.float32)
                     pos2 = march_pallas(
                         vec, tuple(float(v) for v in plo_np),
                         tuple(float(v) for v in _dx), h_phys,
                         jnp.concatenate([sseeds, sseeds]), n_half, dirs,
-                        block_dtype=bdt)
-                    pos2 = pos2.astype(grown.dtype)
+                        block_dtype=vec.dtype, prepared_shape=_pshape)
+                    pos2 = pos2.astype(state_dt)
                 else:
-                    if march_dtype:
-                        vec = vec.astype(march_dtype)
                     pos2, _ = _trace_level(vec, fields, plo_v, dxj, h,
                                            jnp.concatenate([sseeds, sseeds]),
                                            n_half, dirs[:, None])
@@ -424,7 +458,7 @@ def trace_streamlines(
                 if nf:
                     return jnp.concatenate([path, vals], axis=-1)
                 return path
-            return jax.jit(fn)
+            return jax.jit(prep), jax.jit(fn)
 
         if key not in cache:
             if bf16_default and not use_pallas:
@@ -434,27 +468,34 @@ def trace_streamlines(
             from ..amr.dense import shared_engine
             cache[key] = shared_engine(
                 _GLOBAL_TRACE_FNS, 32, dstate, key,
-                lambda: make_fn(lev, lev_ngrow, trace_field is not None,
-                                plo_g, dx, use_pallas))
+                lambda: make_engines(lev, lev_ngrow, trace_field is not None,
+                                     plo_g, dx, use_pallas, (3,) + vshape))
+        prep_fn, march_fn = cache[key]
+        vecp, fieldsp = prep_fn(all_data, masks)
         chunk = march_chunk
         if chunk is None:   # 2048 beat 512/1024 on the r4 tunnel probes
             chunk = (2048 if not defer and len(sel) > 2048
                      and jax.default_backend() != "cpu" else 0)
         if chunk and not defer and len(sel) > chunk:
-            for c0 in range(0, len(sel), chunk):
-                sc = sel[c0: c0 + chunk]
-                if len(sc) < chunk:   # pad: duplicate rows land in the
-                    #                   same out slot — equal-shape chunks
-                    #                   share the level's single compile
+            # descending tail schedule: the LAST chunk's fetch is the only
+            # one not overlapped by a later chunk's march, so it ships the
+            # smallest payload; pads duplicate the tail seed (duplicate
+            # rows land in the same out slot), and the fixed size classes
+            # (chunk, chunk/2, chunk/4) bound compiled march shapes at 3
+            c0 = 0
+            for sz in _chunk_sizes(len(sel), chunk):
+                sc = sel[c0: c0 + sz]
+                c0 += len(sc)
+                if len(sc) < sz:
                     sc = np.concatenate(
-                        [sc, np.full(chunk - len(sc), sc[-1])])
-                pending.append((sc, cache[key](all_data, masks,
-                                               jnp.asarray(seeds[sc]),
-                                               h_phys)))
+                        [sc, np.full(sz - len(sc), sc[-1])])
+                pending.append((sc, march_fn(vecp, fieldsp,
+                                             jnp.asarray(seeds[sc]),
+                                             h_phys)))
         else:
-            pending.append((sel, cache[key](all_data, masks,
-                                            jnp.asarray(seeds[sel]),
-                                            h_phys)))
+            pending.append((sel, march_fn(vecp, fieldsp,
+                                          jnp.asarray(seeds[sel]),
+                                          h_phys)))
     if defer:
         return DeferredLines(pending, out, compress, n_half, nf, h_phys)
     for _, res in pending:   # start every transfer before blocking on the

@@ -562,6 +562,22 @@ def test_chunked_march_parity(ds):
     np.testing.assert_array_equal(ref, chk)
 
 
+def test_chunk_sizes_schedule():
+    """_chunk_sizes covers every seed exactly once, bounds the compiled
+    march shapes at 3 fixed classes (chunk, chunk/2, chunk/4), and puts
+    the smallest chunk LAST — the only fetch no later march overlaps."""
+    from peleanalysis_tpu.stream.trace import _chunk_sizes
+    for n in (1, 31, 32, 33, 97, 2048, 2049, 4096, 4097, 10000):
+        for chunk in (32, 2048):
+            sizes = _chunk_sizes(n, chunk)
+            assert sum(sizes) >= n                      # pads only the tail
+            assert sum(sizes[:-1]) < n                  # no fully-dead chunk
+            assert set(sizes) <= {chunk, chunk // 2, chunk // 4}
+            assert sizes[-1] == min(sizes)              # smallest fetch last
+            # non-increasing: every fetch except the last overlaps a march
+            assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+
+
 def test_tecplot_native_formatter_bytes():
     """native/fmt.cpp tecplot_zones must produce byte-identical text to the
     numpy %.9g formatter it replaces."""
