@@ -105,3 +105,30 @@ def test_send_cli_client(server, tmp_path, monkeypatch, capsys):
     rc = main(["send", f"socket={server}", "fextrema", f"infile={plt}"])
     assert rc == 0
     assert "temp" in capsys.readouterr().out
+
+
+def test_server_sync_and_flush(server, tmp_path, monkeypatch):
+    """sync=True settles a command's async write-backs before the reply
+    (files exist when send_command returns); flush settles everything
+    pending; the send CLI accepts sync= as a client key, not a tool."""
+    monkeypatch.chdir(tmp_path)
+    plt = str(tmp_path / "plt4")
+    write_synthetic_plotfile(plt, n_cell=16, n_levels=2)
+    rep = send_command(server, argv=["grad", f"infile={plt}",
+                                     "gradVar=temp", "outfile=g_sync"],
+                       sync=True)
+    assert rep["rc"] == 0
+    assert os.path.exists("g_sync/Header"), "sync reply before write-back"
+    # async command + explicit flush
+    rep = send_command(server, argv=["grad", f"infile={plt}",
+                                     "gradVar=temp", "outfile=g_async"])
+    assert rep["rc"] == 0
+    rep = send_command(server, cmd="flush")
+    assert rep["rc"] == 0 and rep["out"] == "flushed"
+    assert os.path.exists("g_async/Header")
+    # the send CLI must treat sync= as a client key (regression: it was
+    # parsed as the tool name)
+    rc = main(["send", f"socket={server}", "sync=1", "grad",
+               f"infile={plt}", "gradVar=temp", "outfile=g_cli"])
+    assert rc == 0
+    assert os.path.exists("g_cli/Header")
