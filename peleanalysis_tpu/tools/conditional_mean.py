@@ -270,17 +270,19 @@ def main(args: dict) -> None:
     mins = np.full((nbins, nb), np.inf)
     maxs = np.full((nbins, nb), -np.inf)
     from ..amr.cluster import needs_clustering, sparse_stats_parts
-    for plt in infiles:
-        # dtype=float64 gives the reference's double accumulation on hosts
-        # that support it (TPUs silently stay f32; the shifted moments keep
-        # the std columns exact there either way)
-        dt = {"float64": np.float64, "f64": np.float64,
-              "double": np.float64, "float32": np.float32,
-              "f32": np.float32, "single": np.float32}[
-            pp.query_str("dtype", "float32")]
-        from ..session import load_state
-        st = load_state(args, plt, names=[bin_name] + avg_names,
-                        max_level=finest, dtype=dt)
+    from ..io.prefetch import iter_states, query_prefetch
+    # dtype=float64 gives the reference's double accumulation on hosts
+    # that support it (TPUs silently stay f32; the shifted moments keep
+    # the std columns exact there either way)
+    dt = {"float64": np.float64, "f64": np.float64,
+          "double": np.float64, "float32": np.float32,
+          "f32": np.float32, "single": np.float32}[
+        pp.query_str("dtype", "float32")]
+    # time series: file i+1's host parse + upload rides under file i's
+    # device compute + fetch (io/prefetch.py; prefetch=0 restores serial)
+    for plt, st in iter_states(args, infiles, names=[bin_name] + avg_names,
+                               max_level=finest, dtype=dt,
+                               depth=query_prefetch(pp)):
         if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
                 and not pp.query_bool("force_dense", False)):
             # sparse refinement: accumulate coarse levels once (global

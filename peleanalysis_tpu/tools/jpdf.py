@@ -229,14 +229,16 @@ def main(args: dict) -> None:
     avg = [None] * npairs
 
     from ..amr.cluster import needs_clustering, sparse_stats_parts
-    for plt in infiles:
-        dt = {"float64": np.float64, "f64": np.float64,
-              "double": np.float64, "float32": np.float32,
-              "f32": np.float32, "single": np.float32}[
-            pp.query_str("dtype", "float32")]
-        from ..session import load_state
-        st = load_state(args, plt, names=names, max_level=finest,
-                        dtype=dt)
+    from ..io.prefetch import iter_states, query_prefetch
+    dt = {"float64": np.float64, "f64": np.float64,
+          "double": np.float64, "float32": np.float32,
+          "f32": np.float32, "single": np.float32}[
+        pp.query_str("dtype", "float32")]
+    # time series: next file's host parse + upload overlaps this file's
+    # device work (io/prefetch.py; prefetch=0 restores the serial loop)
+    for plt, st in iter_states(args, infiles, names=names,
+                               max_level=finest, dtype=dt,
+                               depth=query_prefetch(pp)):
         if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
                 and not pp.query_bool("force_dense", False)):
             # sparse refinement: coarse levels once (global covered mask) +

@@ -43,15 +43,22 @@ def main(args: dict) -> None:
     finest = pp.query_int("finestLevel", None)
     out = pp.query_str("outfile", "RmsVel.dat")
     rows = []
-    for plt in infiles:
-        from ..io.plotfile import PlotfileReader
+    from ..io.plotfile import PlotfileReader
+    from ..io.prefetch import iter_states, query_prefetch
+
+    def vel_names(plt):
         avail = PlotfileReader(plt).var_names
         vel = [n for n in VEL if n in avail]
         if len(vel) < 2:
             raise ValueError(f"{plt}: no velocity components found "
                              f"(have {avail})")
-        from ..session import load_state
-        st = load_state(args, plt, names=vel, max_level=finest)
+        return vel
+
+    # time series: next file's host parse + upload overlaps this file's
+    # device reductions (io/prefetch.py; prefetch=0 restores serial)
+    for plt, st in iter_states(args, infiles, names=vel_names,
+                               max_level=finest,
+                               depth=query_prefetch(pp)):
         ds = DenseAmrState.from_batched(st)
         rows.append((st.meta.time, rms_velocity(ds)))
     with open(out, "w") as f:

@@ -68,11 +68,18 @@ def main(args: dict) -> None:
     infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     base = pp.query_str("outfile_base", "turb")
     rows = []
-    for plt in infiles:
-        from ..io.plotfile import PlotfileReader
+    from ..io.plotfile import PlotfileReader
+    from ..io.prefetch import iter_states, query_prefetch
+
+    def vel_names(plt):
         avail = PlotfileReader(plt).var_names
-        vel_names = [n for n in VEL if n in avail]
-        st = AmrState.from_plotfile(plt, names=vel_names, dtype=np.float64)
+        return [n for n in VEL if n in avail]
+
+    # time series: next file's host parse + upload overlaps this file's
+    # device FFTs (io/prefetch.py; prefetch=0 restores the serial loop)
+    for plt, st in iter_states(args, infiles, names=vel_names,
+                               dtype=np.float64,
+                               depth=query_prefetch(pp)):
         two_d = getattr(st.meta, "ndim2", False)
         lev = pp.query_int("level", st.meta.n_levels - 1)
         dense = np.asarray(flatten_to_level(st, lev))
