@@ -221,7 +221,10 @@ def _resolve(name_or_idx: str, var_names: Sequence[str]) -> str:
 
 def main(args: dict) -> None:
     """CLI: conditionalMean infile=<plt>... binComp=<i|name> avgComps=<i|name>...
-    nBins= binMin= binMax= [writeBinMinMax=0] [finestLevel=] [aja=0]"""
+    nBins= binMin= binMax= [writeBinMinMax=0] [finestLevel=] [aja=0]
+    [prefetch=1 — files of read-ahead for multi-file series (the next
+    plotfile's host parse + upload overlaps this file's device work);
+    prefetch=0 restores the serial loop]"""
     from ..io.plotfile import PlotfileReader
 
     pp = ParmParse(args)

@@ -195,7 +195,8 @@ def main(args: dict) -> None:
     """CLI: jpdf infile=<plt>... vars=<name>... [nBins=64] [useminmax%i=lo hi]
     [do_conditioning=0|1|2 cVar=i norm_cVal=0 cNormMin/Max cMin cMax]
     [do_stoichiometry=0 Hlist=... Olist=...] [do_average=0]
-    [output_gnuplot/matlab/tecplot/fab/scatter/plotfile=..] [outSuffix=]"""
+    [output_gnuplot/matlab/tecplot/fab/scatter/plotfile=..] [outSuffix=]
+    [prefetch=1 — multi-file read-ahead (io/prefetch.py); 0 = serial]"""
     pp = ParmParse(args)
     infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     nbins = pp.query_int("nBins", 64)

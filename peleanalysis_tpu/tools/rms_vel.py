@@ -37,7 +37,8 @@ def rms_velocity(ds: DenseAmrState) -> float:
 
 
 def main(args: dict) -> None:
-    """CLI: rmsVel infile=<plt>... [finestLevel=] [outfile=RmsVel.dat]"""
+    """CLI: rmsVel infile=<plt>... [finestLevel=] [outfile=RmsVel.dat]
+    [prefetch=1 — multi-file read-ahead (io/prefetch.py); 0 = serial]"""
     pp = ParmParse(args)
     infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     finest = pp.query_int("finestLevel", None)

@@ -63,7 +63,8 @@ def turbulence_stats(u, v, w=None):
 
 
 def main(args: dict) -> None:
-    """CLI: turbulenceSpectra infile=<plt>... [level=finest] [outfile_base=]"""
+    """CLI: turbulenceSpectra infile=<plt>... [level=finest] [outfile_base=]
+    [prefetch=1 — multi-file read-ahead (io/prefetch.py); 0 = serial]"""
     pp = ParmParse(args)
     infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     base = pp.query_str("outfile_base", "turb")
