@@ -224,20 +224,11 @@ class DenseAmrState:
         data_shapes = [d.shape[0] for d in self.data]
 
         def decode(path, names, dev=flat_dev):
-            flat = np.asarray(dev)
-            level_fabs, p = [], 0
-            for nc, ba in zip(data_shapes, meta.bas):
-                fabs = []
-                for b in ba:
-                    n = nc * int(np.prod(b.shape))
-                    fabs.append(flat[p: p + n]
-                                .astype(np.float64, copy=False)
-                                .reshape((nc,) + b.shape))
-                    p += n
-                level_fabs.append(fabs)
+            from .hierarchy import unflatten_level_fabs
+            level_fabs = unflatten_level_fabs(np.asarray(dev),
+                                              data_shapes, meta.bas)
             write_level_fabs(meta, names or self_names, level_fabs, path)
-        return flat_dev, lambda path, names, dev=flat_dev: decode(
-            path, names, dev)
+        return flat_dev, decode
 
 
 # Eager per-box dynamic_slice/update loops pay one dispatch per op; on the

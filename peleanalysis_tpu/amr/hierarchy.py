@@ -223,6 +223,22 @@ _FORCE_PACKED_FETCH = bool(int(
 _PACK_FNS: dict = {}
 
 
+def unflatten_level_fabs(flat: np.ndarray, ncs, bas) -> list:
+    """Walk a packed flat fetch back into per-level [nc, *box.shape] f64
+    fab lists (the decode half of the box-window pack jits — shared by the
+    batched and dense writers so the layout lives in ONE place)."""
+    level_fabs, p = [], 0
+    for nc, ba in zip(ncs, bas):
+        fabs = []
+        for b in ba:
+            n = nc * int(np.prod(b.shape))
+            fabs.append(flat[p: p + n].astype(np.float64, copy=False)
+                        .reshape((nc,) + b.shape))
+            p += n
+        level_fabs.append(fabs)
+    return level_fabs
+
+
 def _fetch_fabs_packed(data: Sequence[jnp.ndarray],
                        bas: Sequence[BoxArray], defer: bool = False):
     """Fetch every level's true box windows in ONE flat device->host
@@ -249,17 +265,7 @@ def _fetch_fabs_packed(data: Sequence[jnp.ndarray],
     ncs = [d.shape[1] for d in data]
 
     def decode(dev=flat_dev):
-        flat = np.asarray(dev)
-        level_fabs, p = [], 0
-        for nc, ba in zip(ncs, bas):
-            fabs = []
-            for b in ba:
-                n = nc * int(np.prod(b.shape))
-                fabs.append(flat[p: p + n].astype(np.float64, copy=False)
-                            .reshape((nc,) + b.shape))
-                p += n
-            level_fabs.append(fabs)
-        return level_fabs
+        return unflatten_level_fabs(np.asarray(dev), ncs, bas)
 
     if defer:
         return flat_dev, decode

@@ -105,6 +105,7 @@ def main(argv=None, session=None) -> int:
             print("pipeline: empty stage (usage: pipeline <tool> k=v ... "
                   "-- <tool> k=v ...)")
             return 2
+        rc = 0
         try:
             for stage in stages:
                 # a stage may READ a path a previous stage is still
@@ -113,12 +114,19 @@ def main(argv=None, session=None) -> int:
                 sess.flush_writes(match=stage)
                 rc = main(stage, session=sess)
                 if rc != 0:
-                    return rc
+                    break
         finally:
             # exit like a chained reference run: files on disk when the
-            # invocation returns; write-back errors surface as rc != 0
-            sess.flush_writes()
-        return 0
+            # invocation returns.  A failing STAGE outranks a failing
+            # write-back: flushing must not mask the stage's rc (or an
+            # in-flight exception) with its own raise.
+            try:
+                sess.flush_writes()
+            except Exception as e:
+                print(f"pipeline: pending write failed: {e}",
+                      file=sys.stderr)
+                rc = rc or 1
+        return rc
     if tool == "serve":
         # persistent tool server: one process, one Session, warm engines
         # across commands — the AOT-binary startup-cost analog (server.py)

@@ -1083,13 +1083,23 @@ def _enum_prep(dstate: DenseAmrState, names, bc):
             tuple(spans_all))
 
 
+@jax.jit
+def _probe_max(vecs):
+    """Elementwise max over per-cluster probe-count vectors (module-level
+    jit — cached per cluster count)."""
+    return jnp.max(jnp.stack(vecs), axis=0)
+
+
 def enum_probe_counts(dstate: DenseAmrState, iso_name: str, iso_val: float,
                       extra_names: Sequence[str] = (), bc=None,
-                      emit_levels=None) -> np.ndarray:
+                      emit_levels=None, fetch: bool = True):
     """Counts-only probe: exact per-level active/node counts + triangle
     total from the small (fast-compiling) counts graph.  The sparse driver
     probes every cluster with ONE shared engine, then pins every cluster's
-    caps to the maxima so the big engine compiles once."""
+    caps to the maxima so the big engine compiles once.  fetch=False
+    returns the DEVICE vector instead of numpy — callers probing many
+    clusters dispatch them all and reduce on device (one roundtrip total
+    instead of one per cluster)."""
     meta = dstate.meta
     names = [iso_name] + [n for n in extra_names if n != iso_name]
     if bc is None:
@@ -1110,8 +1120,8 @@ def enum_probe_counts(dstate: DenseAmrState, iso_name: str, iso_val: float,
             lambda: _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
                                    3, None, None, None, unwraps,
                                    spans_all, emit, counts_only=True))
-    return np.asarray(fns[pkey](data_levels, masks, inlev_devs, ok_devs,
-                                iso_val))
+    dev = fns[pkey](data_levels, masks, inlev_devs, ok_devs, iso_val)
+    return np.asarray(dev) if fetch else dev
 
 
 def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
@@ -1633,9 +1643,12 @@ def extract_isosurface_sparse(state, iso_name: str, iso_val: float,
     can_idx = [i for i, inf in enumerate(infos) if inf.canonical]
     nl = fin + 1
     if len(can_idx) > 1:
+        # dispatch every cluster's probe, reduce on DEVICE, fetch once —
+        # a serial np.asarray per cluster paid one tunnel roundtrip each
         pcs = [enum_probe_counts(subs[i], iso_name, iso_val, extra_names,
-                                 bc, (fin,)) for i in can_idx]
-        mx = np.max(np.stack(pcs), axis=0)
+                                 bc, (fin,), fetch=False)
+               for i in can_idx]
+        mx = np.asarray(_probe_max(pcs))
         gran = 2048
         for i in can_idx:
             subs[i]._mc_enum_caps = {fin: _pad_gran(int(mx[0]), gran, gran)}

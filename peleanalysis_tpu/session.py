@@ -28,6 +28,7 @@ Python API::
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -102,11 +103,26 @@ class Session:
 
     def flush_writes(self, match: Optional[Sequence[str]] = None) -> None:
         """Wait for pending writes and re-raise the first failure.
-        match: only flush writes whose output path occurs as a substring of
-        one of the given strings (e.g. the next stage's argv); None = all."""
+        match: only flush writes whose output path is named by one of the
+        given strings (e.g. the next stage's argv); None = all.  Matching is
+        by normalized path equality over the strings' path-like tokens (so
+        './out', 'out' and an absolute spelling all settle the same pending
+        write), with a raw-substring fallback — over-flushing is safe,
+        missing a flush means reading a half-written file."""
+        toks = None
+        if match is not None:
+            toks = set()
+            for m in match:
+                for t in str(m).replace("=", " ").split():
+                    toks.add(os.path.abspath(t))
+
+        def hits(p):
+            return (match is None or os.path.abspath(p) in toks
+                    or any(p in m for m in match))
+
         rest, err = [], None
         for p, fut in self._wb:
-            if match is None or any(p in m for m in match):
+            if hits(p):
                 try:
                     fut.result()
                 except Exception as e:          # surface on the flush point

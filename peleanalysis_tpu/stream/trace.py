@@ -575,15 +575,21 @@ class DeferredLines:
 
     def finish(self, extra=()):
         """(lines, extra_host): ONE packed fetch of all levels + extras.
-        ``extra``: device arrays (any float dtype); returned as f32 numpy
-        arrays of the original shapes."""
+        ``extra``: device arrays (float or int32); returned as numpy arrays
+        of the original shapes (f64 stays f64, other floats come back f32,
+        int32 stays int32 — mirrors ``_as_words``)."""
         if self._done:
             raise RuntimeError("DeferredLines.finish() already consumed")
         self._done = True
         lvl_words = [self._as_words(res) for _, res in self._pending]
         ex_words = [self._as_words(e) for e in extra]
         ex_shapes = [tuple(e.shape) for e in extra]
+        ex_dtypes = [np.int32 if e.dtype == jnp.int32
+                     else np.float64 if e.dtype == jnp.float64
+                     else np.float32 for e in extra]
         allw = lvl_words + ex_words
+        if not allw:                  # zero seeds, zero extras
+            return self._out, []
         vec = allw[0] if len(allw) == 1 else jnp.concatenate(allw)
         host = np.asarray(vec)
         p = 0
@@ -596,9 +602,11 @@ class DeferredLines:
             _decode_level(seg, sel, self._out, self._compress,
                           self._n_half, self._nf, self._h_phys)
         extras = []
-        for w, shp in zip(ex_words, ex_shapes):
-            extras.append(host[p: p + w.size].view(np.float32).reshape(shp))
+        for w, shp, dt in zip(ex_words, ex_shapes, ex_dtypes):
+            seg = host[p: p + w.size]
             p += w.size
+            extras.append(seg.reshape(shp) if dt == np.int32
+                          else seg.view(dt).reshape(shp))
         return self._out, extras
 
 

@@ -172,7 +172,11 @@ def main(args: dict) -> None:
         args, infile, names=[var] + list(aux), max_level=finest,
         is_periodic=[bool(p) for p in is_per])
     force_dense = pp.query_bool("force_dense", False)
-    sparse = (not force_dense
+    # n_levels > 1: the clustered path splits the FINEST level over a real
+    # coarse level; a single-level hierarchy has no coarse pass to pair it
+    # with (and level 0 must tile the domain for fills anyway) — same gate
+    # as curvature/isosurface
+    sparse = (not force_dense and state.meta.n_levels > 1
               and any(needs_clustering(state.meta.bas[l])
                       for l in range(state.meta.n_levels)))
     if sparse and (pp.query_bool("fluxMatch", False)

@@ -312,3 +312,53 @@ def test_writeback_error_surfaces_on_flush():
     with pytest.raises(IOError, match="disk full"):
         s.flush_writes()
     assert s._wb == []          # consumed, not stuck
+
+def test_flush_match_normalizes_path_spelling(tmp_path, monkeypatch):
+    """flush_writes(match=argv) must settle a pending write named with a
+    DIFFERENT spelling of the same path (./x vs x vs absolute) — a missed
+    flush means a consumer reads a half-written file."""
+    from peleanalysis_tpu.session import Session
+
+    monkeypatch.chdir(tmp_path)
+    for producer, consumer in ((["./out_g"], f"infile={tmp_path}/out_g"),
+                               ([str(tmp_path / "out_g")], "infile=out_g"),
+                               (["out_g"], "infile=./out_g")):
+        s = Session(async_writes=True)
+        done = []
+        s.submit_write(producer[0], lambda: done.append(1))
+        s.flush_writes(match=[consumer])
+        assert s._wb == [], (producer, consumer)
+        assert done == [1]
+    # a non-matching argv must NOT settle it
+    s = Session(async_writes=True)
+    s.submit_write("out_g", lambda: None)
+    s.flush_writes(match=["infile=unrelated"])
+    assert len(s._wb) == 1
+    s.flush_writes()
+
+
+def test_pipeline_failing_stage_rc_survives_writeback_error(
+        plt, tmp_path, monkeypatch, capsys):
+    """A failing STAGE's rc must not be replaced by a write-back error
+    raised from the final flush (cli.py pipeline finally block)."""
+    from peleanalysis_tpu.session import Session
+
+    monkeypatch.chdir(tmp_path)
+    orig_flush = Session.flush_writes
+    calls = {"n": 0}
+
+    def flaky_flush(self, match=None):
+        if match is None and calls["n"] == 0:
+            calls["n"] += 1
+            raise IOError("late write-back failure")
+        return orig_flush(self, match=match)
+
+    monkeypatch.setattr(Session, "flush_writes", flaky_flush)
+    # the STAGE's own failure must propagate; the final flush's error is
+    # reported on stderr, not raised over it
+    with pytest.raises(FileNotFoundError):
+        main(["pipeline",
+              "grad", f"infile={plt}", "gradVar=temp", "outfile=g1",
+              "--",
+              "grad", "infile=NO_SUCH_PLT", "gradVar=temp"])
+    assert "pending write failed" in capsys.readouterr().err

@@ -536,13 +536,20 @@ def test_defer_lines_single_fetch_parity(tmp_path):
         dl.finish()
 
     # f64 state: exact (uncompressed) payloads bitcast through the packed
-    # int32 vector must survive exactly
+    # int32 vector must survive exactly — and so must f64 / int32 EXTRAS
+    # (f64 ships as 2 words/element, int32 raw; each decodes by its dtype)
     ds64 = DenseAmrState.from_batched(
         AmrState.from_plotfile(path, dtype=np.float64))
     eager64 = trace_streamlines(ds64, seeds, **kw)
-    lines64, _ = trace_streamlines(ds64, seeds, defer=True,
-                                   **kw).finish()
+    ex64 = jnp.asarray(np.pi) + jnp.arange(3, dtype=jnp.float64)
+    exi = jnp.asarray([7, -3], jnp.int32)
+    lines64, exs = trace_streamlines(ds64, seeds, defer=True,
+                                     **kw).finish(extra=[ex64, exi])
     np.testing.assert_array_equal(lines64, eager64)
+    np.testing.assert_array_equal(exs[0], np.asarray(ex64))
+    assert exs[0].dtype == np.float64
+    np.testing.assert_array_equal(exs[1], np.asarray(exi))
+    assert exs[1].dtype == np.int32
 
 
 def test_chunked_march_parity(ds):
