@@ -6,6 +6,14 @@ Output hierarchy: refined wherever ANY input is refined (union of level
 footprints); each input is interpolated onto that hierarchy with the dense
 fill (interp_type: "pc" = PCInterp, "linear" = cell-cons-linear analog,
 avgPlotfiles.cpp:68-70) and the results averaged.
+
+Ensemble streaming: the union footprint depends only on each file's
+BoxArrays, so pass 0 reads HEADERS only; pass 1 streams the files through
+the accumulator one at a time with read-ahead (io/prefetch.py) — peak
+memory holds ~2 inputs plus the accumulator instead of the whole ensemble,
+and file i+1's host parse overlaps file i's device fills.  (The reference
+also loads one AmrData at a time, avgPlotfiles.cpp:118-160; here the
+prefetch overlap is the TPU-side addition.)
 """
 from __future__ import annotations
 
@@ -15,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..amr.box import Box, BoxArray, decompose
-from ..amr.dense import DenseAmrState, DenseLevelMeta
+from ..amr.dense import DenseAmrState, _union_mask_np
 from ..amr.geometry import Geometry
 from ..amr.hierarchy import AmrMeta, AmrState
 from ..io.plotfile import write_plotfile
@@ -23,11 +31,26 @@ from ..ops.dense_fill import fill_dense
 from ..parmparse import ParmParse
 
 
+def _accumulate_one(ds, lev, names, ubox, interp, acc):
+    """Fill one input's level onto the union bbox and add it into acc."""
+    bbox = ds.lmeta[lev].bbox
+    comps = [ds.comp(n) for n in names]
+    # grow this input's fill so it spans the union bbox; cells beyond
+    # the input's own refinement get its coarse-interpolated values
+    g = max([0] + [bbox.lo[d] - ubox.lo[d] for d in range(3)]
+            + [ubox.hi[d] - bbox.hi[d] for d in range(3)])
+    filled = np.asarray(fill_dense(ds, lev, g, comps=comps, interp=interp))
+    gb = bbox.grow(g)
+    sl = tuple(slice(ubox.lo[d] - gb.lo[d],
+                     ubox.hi[d] - gb.lo[d] + 1) for d in range(3))
+    acc += filled[(slice(None),) + sl]
+
+
 def average_states(states: Sequence[AmrState], names: Sequence[str],
                    interp: str = "linear",
                    output_max_level: int = None):
-    """Average per level on the union footprint.  Returns a DenseAmrState
-    whose in_level masks are the unions."""
+    """In-memory ensemble average (Python-API path; the CLI streams via
+    :func:`average_paths`).  Returns per-level union data/footprints."""
     metas = [st.meta for st in states]
     n_lev = min(m.n_levels for m in metas)
     if output_max_level is not None:
@@ -39,37 +62,82 @@ def average_states(states: Sequence[AmrState], names: Sequence[str],
             raise ValueError("avgPlotfiles: ref ratios differ")
 
     denses = [DenseAmrState.from_batched(st) for st in states]
-    out_data = []
-    out_masks = []
-    lmeta = []
+    out_data, lmeta = [], []
     for lev in range(n_lev):
-        # union bounding box + union footprint
         bbs = [ds.lmeta[lev].bbox for ds in denses]
         ubox = Box(tuple(min(b.lo[d] for b in bbs) for d in range(3)),
                    tuple(max(b.hi[d] for b in bbs) for d in range(3)))
         union = np.zeros(ubox.shape, dtype=bool)
         acc = np.zeros((len(names),) + ubox.shape)
         for ds in denses:
+            _accumulate_one(ds, lev, names, ubox, interp, acc)
             bbox = ds.lmeta[lev].bbox
-            comps = [ds.comp(n) for n in names]
-            # grow this input's fill so it spans the union bbox; cells beyond
-            # the input's own refinement get its coarse-interpolated values
-            g = max([0] + [bbox.lo[d] - ubox.lo[d] for d in range(3)]
-                    + [ubox.hi[d] - bbox.hi[d] for d in range(3)])
-            filled = np.asarray(fill_dense(ds, lev, g, comps=comps,
-                                           interp=interp))
-            gb = bbox.grow(g)
-            sl = tuple(slice(ubox.lo[d] - gb.lo[d],
-                             ubox.hi[d] - gb.lo[d] + 1) for d in range(3))
-            acc += filled[(slice(None),) + sl]
             msl = tuple(slice(bbox.lo[d] - ubox.lo[d],
                               bbox.hi[d] - ubox.lo[d] + 1) for d in range(3))
             union[msl] |= ds.in_level_mask_np(lev)
         acc /= len(denses)
         out_data.append(jnp.asarray(acc))
-        out_masks.append(union)
         lmeta.append((ubox, union))
     return out_data, lmeta, metas[0], n_lev
+
+
+def average_paths(args: dict, paths: Sequence[str], names, interp: str,
+                  output_max_level, depth: int = 1):
+    """Streaming ensemble average: union footprints from HEADERS, then one
+    prefetched pass accumulating each file (module docstring).  Returns
+    (out_data, lmeta, meta0, n_lev, names, time0)."""
+    from ..io.plotfile import PlotfileReader
+    from ..io.prefetch import iter_states
+
+    readers = [PlotfileReader(p) for p in paths]
+    n_lev = min(r.meta.n_levels for r in readers)
+    if output_max_level is not None:
+        n_lev = min(n_lev, output_max_level + 1)
+    m0 = readers[0].meta
+    for r in readers:
+        if r.meta.geometry(0).domain != m0.geometry(0).domain:
+            raise ValueError("avgPlotfiles: domains differ")
+        if (list(r.meta.ref_ratio[: n_lev - 1])
+                != list(m0.ref_ratio[: n_lev - 1])):
+            raise ValueError("avgPlotfiles: ref ratios differ")
+    if names is None:
+        # cross-check shared variables (avgPlotfiles.cpp:77-115)
+        names = [n for n in readers[0].var_names
+                 if all(n in r.var_names for r in readers)]
+
+    # ---- pass 0: union bboxes + footprints, from box metadata alone -------
+    def ba3(r, lev):   # DIM=2 plotfiles promote to the nz=1 in-memory model
+        ba = r.box_array(lev)
+        if r.meta.ndim == 2:
+            ba = BoxArray([Box(b.lo + (0,), b.hi + (0,)) for b in ba])
+        return ba
+
+    uboxes, unions = [], []
+    for lev in range(n_lev):
+        bas = [ba3(r, lev) for r in readers]
+        bbs = [ba.minimal_box() for ba in bas]
+        ubox = Box(tuple(min(b.lo[d] for b in bbs) for d in range(3)),
+                   tuple(max(b.hi[d] for b in bbs) for d in range(3)))
+        union = np.zeros(ubox.shape, dtype=bool)
+        for ba in bas:
+            union |= _union_mask_np(ba, ubox)
+        uboxes.append(ubox)
+        unions.append(union)
+    del readers
+
+    # ---- pass 1: stream files through the accumulator ----------------------
+    accs = [np.zeros((len(names),) + ub.shape) for ub in uboxes]
+    meta0 = time0 = None
+    for _p, st in iter_states(args, paths, names=list(names),
+                              dtype=np.float64, depth=depth):
+        if meta0 is None:
+            meta0, time0 = st.meta, st.meta.time
+        ds = DenseAmrState.from_batched(st)
+        for lev in range(n_lev):
+            _accumulate_one(ds, lev, names, uboxes[lev], interp, accs[lev])
+    out_data = [jnp.asarray(a / len(paths)) for a in accs]
+    lmeta = [(ub, un) for ub, un in zip(uboxes, unions)]
+    return out_data, lmeta, meta0, n_lev, list(names), time0
 
 
 def write_averaged(path: str, out_data, lmeta, meta0, n_lev,
@@ -97,29 +165,32 @@ def write_averaged(path: str, out_data, lmeta, meta0, n_lev,
         geoms.append(meta0.geoms[lev])
         bas.append(BoxArray(boxes))
         fabs_all.append(fabs)
+    if getattr(meta0, "ndim2", False):   # demote back to a DIM=2 plotfile
+        geoms = [Geometry(Box(g.domain.lo[:2], g.domain.hi[:2]),
+                          g.prob_lo[:2], g.prob_hi[:2],
+                          g.is_periodic[:2], g.coord_sys) for g in geoms]
+        bas = [BoxArray([Box(b.lo[:2], b.hi[:2]) for b in ba])
+               for ba in bas]
+        fabs_all = [[f[..., 0] for f in fabs] for fabs in fabs_all]
     write_plotfile(path, names, time, geoms, meta0.ref_ratio[: n_lev - 1],
                    bas, fabs_all)
 
 
 def main(args: dict) -> None:
     """CLI: avgPlotfiles infile=<plt>... [vars=all] [interp_type=1|2]
-    [output_max_level=] [output_max_grid_size=32] outfile="""
+    [output_max_level=] [output_max_grid_size=32] outfile=
+    [prefetch=1 — ensemble read-ahead (io/prefetch.py); 0 = serial]"""
     pp = ParmParse(args)
     infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
     itype = pp.query_int("interp_type", 2)
     interp = "pc" if itype == 1 else "linear"
-    from ..session import load_state
-    states = [load_state(args, f, dtype=np.float64) for f in infiles]
     names = (pp.query_str_list("variables", None)
              or pp.query_str_list("vars", None))
-    if names is None:
-        # cross-check shared variables (avgPlotfiles.cpp:77-115)
-        names = [n for n in states[0].names
-                 if all(n in st.names for st in states)]
-    out_data, lmeta, meta0, n_lev = average_states(
-        states, names, interp, pp.query_int("output_max_level", None))
+    from ..io.prefetch import query_prefetch
+    out_data, lmeta, meta0, n_lev, names, time0 = average_paths(
+        args, infiles, names, interp, pp.query_int("output_max_level", None),
+        depth=query_prefetch(pp))
     outfile = pp.query_str("outfile", infiles[0] + "_avg")
-    write_averaged(outfile, out_data, lmeta, meta0, n_lev, names,
-                   states[0].meta.time,
+    write_averaged(outfile, out_data, lmeta, meta0, n_lev, names, time0,
                    pp.query_int("output_max_grid_size", 32))
     print(f"wrote {outfile}")

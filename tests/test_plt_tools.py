@@ -392,3 +392,21 @@ def test_interp_point_sampling(tmp_path, monkeypatch):
     lines = open("samp.csv").read().splitlines()
     assert lines[0] == "x,y,z,temp"
     assert len(lines) == 41
+
+def test_avg_plotfiles_2d_and_serial_parity(tmp_path):
+    """avgPlotfiles on DIM=2 plotfiles through the streamed (header-pass +
+    prefetch) path, byte-compared against prefetch=0 — pins the 2-D box
+    promotion in average_paths and streamed/serial parity."""
+    pa, pb = str(tmp_path / "a2"), str(tmp_path / "b2")
+    write_synthetic_plotfile(pa, n_cell=16, n_levels=2, ndim=2)
+    write_synthetic_plotfile(pb, n_cell=16, n_levels=2, ndim=2,
+                             refine_frac=0.25)
+    o1, o2 = str(tmp_path / "avg_p"), str(tmp_path / "avg_s")
+    assert main(["avgPlotfiles", f"infile={pa} {pb}", f"outfile={o1}"]) == 0
+    assert main(["avgPlotfiles", f"infile={pa} {pb}", "prefetch=0",
+                 f"outfile={o2}"]) == 0
+    r1, r2 = PlotfileReader(o1), PlotfileReader(o2)
+    assert r1.meta.ndim == 2
+    for lev in range(2):
+        for f1, f2 in zip(r1.read_level(lev), r2.read_level(lev)):
+            np.testing.assert_array_equal(f1, f2)
