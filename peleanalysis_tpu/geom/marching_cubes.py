@@ -1075,9 +1075,17 @@ def _enum_prep(dstate: DenseAmrState, names, bc):
     for lev in range(meta.n_levels):
         geom = meta.geoms[lev]
         bbox = dstate.lmeta[lev].bbox
+        # a dim "spans" when the level covers the whole periodic domain so
+        # seam nodes must fold.  A bucket/mesh-PADDED level 0 (pad_state_to:
+        # lo-aligned, hi-side pads) still spans: the grown arrays index from
+        # domain.lo-1 exactly as unpadded, pad slots carry wrap values (the
+        # fills re-grow from the true edge), and the ok-mask keeps dual
+        # cells beyond domain.hi+1 inactive — so the slot-0/N and 1/N+1 fold
+        # arithmetic is unchanged (tests/test_padded_lev0.py pins parity)
         spans_all.append(tuple(
             (bool(geom.is_periodic[d])
-             and bbox.shape[d] == geom.domain.shape[d],
+             and bbox.lo[d] == geom.domain.lo[d]
+             and bbox.hi[d] >= geom.domain.hi[d],
              geom.domain.shape[d]) for d in range(3)))
     return (data_levels, masks, ok_devs, inlev_devs, consts, unwraps,
             tuple(spans_all))
@@ -1448,12 +1456,13 @@ def _fused_consts(dstate):
             L = float(geom.prob_hi[d] - geom.prob_lo[d])
             if gbox.lo[d] < dom.lo[d]:
                 sl = [slice(None)] * 3
-                sl[d] = slice(0, 1)
+                sl[d] = slice(0, dom.lo[d] - gbox.lo[d])
                 uw.append(((d,) + tuple(sl), -L))
             if gbox.hi[d] > dom.hi[d]:
-                n = gbox.shape[d]
+                # every slot beyond the domain hi is a periodic image
+                # (bucket/mesh pads included), not just the last ghost
                 sl = [slice(None)] * 3
-                sl[d] = slice(n - 1, n)
+                sl[d] = slice(dom.hi[d] + 1 - gbox.lo[d], gbox.shape[d])
                 uw.append(((d,) + tuple(sl), L))
         unwraps.append(tuple(uw))
     dstate._mc_fused_consts = (tuple(consts), tuple(unwraps))

@@ -139,3 +139,34 @@ def test_sharded_grad_periodic_nondivisible_lev0():
             rel = (np.abs(a[c][m] - b[c][m]).max()
                    / max(np.abs(a[c][m]).max(), 1e-30))
             assert rel < 1e-12, (lev, c, rel)
+
+def test_enum_iso_padded_periodic_lev0_exact():
+    """Enum isosurface on a bucket-padded PERIODIC level 0: seam nodes must
+    fold exactly as unpadded (the span gate accepts lo-aligned padded
+    bboxes; pad slots carry wrap values and unwrap as periodic images)."""
+    from peleanalysis_tpu.geom import marching_cubes as mc
+    from peleanalysis_tpu.parallel.dense_shard import pad_state_to
+
+    def fld(x, y, z):
+        dx_ = np.minimum(np.abs(x - 0.0), np.abs(x - 1.125))  # seam blob
+        return np.exp(-(dx_ ** 2 + (y - .5) ** 2 + (z - .5) ** 2) / 0.02)
+
+    def canon(m):
+        n = np.round(m.nodes, 9)
+        order = np.lexsort(n.T[::-1])
+        rank = np.empty(len(n), np.int64)
+        rank[order] = np.arange(len(n))
+        tris = np.sort(rank[m.elements], axis=1)
+        return n[order], tris[np.lexsort(tris.T[::-1])]
+
+    ds = _two_level(36, 32, 32, periodic=(True,) * 3, fields={"blob": fld})
+    m_ref = mc.extract_isosurface(ds, "blob", 0.5, classify="enum")
+    dsp = pad_state_to(
+        _two_level(36, 32, 32, periodic=(True,) * 3, fields={"blob": fld}),
+        (8, 8, 8))
+    m_pad = mc.extract_isosurface(dsp, "blob", 0.5, classify="enum")
+    assert len(m_ref.nodes) == len(m_pad.nodes) > 100
+    n1, t1 = canon(m_ref)
+    n2, t2 = canon(m_pad)
+    np.testing.assert_allclose(n1, n2, atol=1e-12)
+    np.testing.assert_array_equal(t1, t2)
