@@ -15,10 +15,12 @@ parse is the cost being hidden), so deeper queues only grow peak host
 memory — depth 1 already makes the steady-state per-file wall time
 ``max(host_parse, device_compute)`` instead of their sum.
 
-Session semantics are preserved: loads go through session.load_state, so
-cached states, in-place comp extension, and registered in-memory outputs
-behave exactly as in the serial loop (the worker thread only ever touches
-the NEXT path while the consumer holds the current one).
+Session semantics: loads go through session.load_state with cache=False —
+registered in-memory outputs still shadow their paths and an
+already-cached state is reused, but series members are never INSERTED
+into the session cache (a long server run over many ensembles must not
+pin every member's device state).  The worker thread only ever touches
+the NEXT path while the consumer holds the current one.
 """
 from __future__ import annotations
 
@@ -41,8 +43,11 @@ def iter_states(args: dict, paths: Sequence[str], names=None,
 
     def load(p):
         n = names(p) if callable(names) else names
+        # cache=False: a time-series sweep must stream — pinning every
+        # member's device state in the session would make "peak memory ~2
+        # inputs" silently become "the whole ensemble" under serve/pipeline
         return load_state(args, p, names=n, max_level=max_level,
-                          is_periodic=is_periodic, dtype=dtype)
+                          is_periodic=is_periodic, dtype=dtype, cache=False)
 
     paths = list(paths)
     if depth <= 0 or len(paths) <= 1:
@@ -57,7 +62,10 @@ def iter_states(args: dict, paths: Sequence[str], names=None,
     try:
         pending = deque()
         nxt = 0
-        while nxt < len(paths) and len(pending) <= depth:
+        # exactly `depth` loads in flight beyond the file the consumer
+        # holds (the refill below happens before the yield): peak residency
+        # is depth+1 files, matching the documented "~2 inputs" at depth 1
+        while nxt < len(paths) and len(pending) < depth:
             pending.append((paths[nxt], ex.submit(load, paths[nxt])))
             nxt += 1
         while pending:

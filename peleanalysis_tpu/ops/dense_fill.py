@@ -46,9 +46,19 @@ def _grow_axis_asym(a: jnp.ndarray, d: int, g_lo: int, g_hi: int,
     if g_lo == 0 and g_hi == 0:
         return a
     ax = _ax(a, d)
+    n = a.shape[ax]
     if periodic:
-        lo = _slc(a, d, slice(-g_lo, None)) if g_lo else None
-        hi = _slc(a, d, slice(0, g_hi)) if g_hi else None
+        # a ghost band wider than the domain extent (bucket/mesh pads on a
+        # small level 0) wraps around more than once — a single slice would
+        # silently CLIP; gather by mod index instead
+        def wrap(g, is_lo):
+            if g <= n:
+                return _slc(a, d, slice(-g, None) if is_lo else slice(0, g))
+            idx = (np.arange(-g, 0) if is_lo else np.arange(n, n + g)) % n
+            return jnp.take(a, jnp.asarray(idx), axis=ax)
+
+        lo = wrap(g_lo, True) if g_lo else None
+        hi = wrap(g_hi, False) if g_hi else None
     else:
         def side(mode, g, is_lo):
             if mode == FOEXTRAP:
@@ -57,6 +67,11 @@ def _grow_axis_asym(a: jnp.ndarray, d: int, g_lo: int, g_hi: int,
                 reps[ax] = g
                 return jnp.tile(edge, reps)
             if mode in (REFLECT_EVEN, REFLECT_ODD):
+                if g > n:
+                    raise ValueError(
+                        f"reflecting BC needs ghost width {g} <= the "
+                        f"level-0 extent {n} along dim {d} (shrink "
+                        f"shape_bucket/mesh padding or ngrow)")
                 blk = _slc(a, d, slice(0, g) if is_lo else slice(-g, None))
                 blk = jnp.flip(blk, axis=ax)
                 return -blk if mode == REFLECT_ODD else blk

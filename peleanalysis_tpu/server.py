@@ -54,7 +54,15 @@ DEFAULT_SOCKET = "pele_serve.sock"
 def _recv_lines(conn):
     buf = b""
     while True:
-        chunk = conn.recv(1 << 16)
+        try:
+            chunk = conn.recv(1 << 16)
+        except socket.timeout:
+            # a stalled/crashed client (connected but never completing a
+            # request line) must not wedge the single-threaded accept loop:
+            # drop the connection and serve the next client.  Clients open
+            # one connection per command (send_command), so a legitimate
+            # peer is never idle this long mid-request.
+            return
         if not chunk:
             return
         buf += chunk
@@ -65,7 +73,9 @@ def _recv_lines(conn):
 
 
 def serve(args: dict) -> int:
-    """CLI: serve [socket=pele_serve.sock] [verbose=0] [max_requests=N]"""
+    """CLI: serve [socket=pele_serve.sock] [verbose=0] [max_requests=N]
+    [idle_timeout=120 — seconds before an idle/stalled CONNECTION is
+    dropped (commands themselves are unbounded); 0 disables]"""
     from .parmparse import ParmParse
     from .session import Session
 
@@ -73,6 +83,7 @@ def serve(args: dict) -> int:
     path = pp.query_str("socket", DEFAULT_SOCKET)
     verbose = pp.query_bool("verbose", False)
     max_requests = pp.query_int("max_requests", 0)   # 0 = unlimited (tests)
+    idle_timeout = pp.query_float("idle_timeout", 120.0)
     if os.path.exists(path):
         os.unlink(path)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -89,6 +100,8 @@ def serve(args: dict) -> int:
         while True:
             conn, _ = srv.accept()
             with conn:
+                if idle_timeout:
+                    conn.settimeout(idle_timeout)
                 f = conn.makefile("wb")
                 for line in _recv_lines(conn):
                     try:

@@ -38,8 +38,6 @@ from .amr.hierarchy import AmrState
 
 
 def _state_key(path: str, max_level, is_periodic, dtype) -> Tuple:
-    import os
-
     from jax.dtypes import canonicalize_dtype
 
     from . import config
@@ -49,14 +47,19 @@ def _state_key(path: str, max_level, is_periodic, dtype) -> Tuple:
     # float32 arrays when x64 is off, identical to a float32 load — sharing
     # the cache entry is exact, not approximate
     dt = canonicalize_dtype(np.dtype(dtype or config.compute_dtype)).name
-    # Header mtime: a long-lived Session (or a pipeline whose stage rewrites
-    # an input path) must not serve stale device arrays after the plotfile
-    # changed on disk
+    return (path, max_level, per, dt)
+
+
+def _header_mtime(path: str):
+    """Header mtime: a long-lived Session (or a pipeline whose stage
+    rewrites an input path) must not serve stale device arrays after the
+    plotfile changed on disk.  Stored NEXT TO the cached state (not in the
+    key) so a rewrite EVICTS the superseded entry instead of leaking one
+    device-resident state per rewrite."""
     try:
-        mtime = os.path.getmtime(os.path.join(path, "Header"))
+        return os.path.getmtime(os.path.join(path, "Header"))
     except OSError:
-        mtime = None
-    return (path, max_level, per, dt, mtime)
+        return None
 
 
 class Session:
@@ -74,7 +77,7 @@ class Session:
     do).  The Python-API default stays synchronous."""
 
     def __init__(self, async_writes: bool = False) -> None:
-        self._states: Dict[Tuple, AmrState] = {}
+        self._states: Dict[Tuple, Tuple] = {}   # key -> (Header mtime, state)
         self._dense: Dict[Tuple, DenseAmrState] = {}
         # retain every state we keyed by id(): without this, a replaced
         # registry entry could be GC'd and its id recycled by a NEW state,
@@ -136,8 +139,14 @@ class Session:
     # -- loading ------------------------------------------------------------
 
     def load(self, path: str, names: Optional[Sequence[str]] = None,
-             max_level=None, is_periodic=None, dtype=None) -> AmrState:
-        """Cached AmrState.from_plotfile; extends the comp set in place."""
+             max_level=None, is_periodic=None, dtype=None,
+             cache: bool = True) -> AmrState:
+        """Cached AmrState.from_plotfile; extends the comp set in place.
+
+        cache=False reuses an existing entry (and the in-memory output
+        registry) but never INSERTS one — the multi-file streaming loops
+        (io/prefetch.iter_states) pass it so an ensemble sweep doesn't pin
+        every member's device state for the session's lifetime."""
         # a previous stage's in-memory output shadows the path — but only
         # when the requested load options match what the producer built
         # (else the consumer would silently get the wrong geometry/levels/
@@ -176,12 +185,19 @@ class Session:
                     f"with write=1 or align the options.")
             # fall through: reload the richer on-disk file
         key = _state_key(path, max_level, is_periodic, dtype)
-        st = self._states.get(key)
+        mtime = _header_mtime(path)
+        ent = self._states.get(key)
+        if ent is not None and ent[0] != mtime:
+            self._evict(ent[1])             # superseded by an on-disk rewrite
+            del self._states[key]
+            ent = None
+        st = ent[1] if ent is not None else None
         if st is None:
             st = AmrState.from_plotfile(path, names=names,
                                         max_level=max_level,
                                         is_periodic=is_periodic, dtype=dtype)
-            self._states[key] = st
+            if cache:
+                self._states[key] = (mtime, st)
             return st
         missing = [] if names is None else [n for n in names
                                             if n not in st.names]
@@ -195,6 +211,17 @@ class Session:
 
     def _dense_entries(self, st: AmrState):
         return [(k, v) for k, v in self._dense.items() if k[0] == id(st)]
+
+    def _evict(self, st: AmrState) -> None:
+        """Drop a state's derived caches (its _states entry is the
+        caller's to remove) so the device arrays can be freed."""
+        for k in [k for k in self._dense if k[0] == id(st)]:
+            del self._dense[k]
+        self._retain.pop(id(st), None)
+
+    def _owns(self, st: AmrState) -> bool:
+        return (any(ent[1] is st for ent in self._states.values())
+                or any(v is st for v in self.plotfiles.values()))
 
     def _extend(self, st: AmrState, path: str, missing: Sequence[str],
                 max_level, dtype) -> None:
@@ -227,8 +254,12 @@ class Session:
             if bucket:
                 from .parallel.dense_shard import pad_state_to
                 ds = pad_state_to(ds, (bucket,) * 3)
-            self._dense[(id(st), bucket)] = ds
-            self._retain[id(st)] = st
+            # only pin dense caches for session-owned states — a streamed
+            # multi-file load (Session.load cache=False) must not leak one
+            # dense copy per ensemble member
+            if self._owns(st):
+                self._dense[(id(st), bucket)] = ds
+                self._retain[id(st)] = st
         return ds
 
     # -- artifact registry ----------------------------------------------------
@@ -295,12 +326,12 @@ def get_session(args: dict) -> Optional[Session]:
 
 
 def load_state(args: dict, path: str, names=None, max_level=None,
-               is_periodic=None, dtype=None) -> AmrState:
-    """Session-aware AmrState.from_plotfile."""
+               is_periodic=None, dtype=None, cache: bool = True) -> AmrState:
+    """Session-aware AmrState.from_plotfile (cache: see Session.load)."""
     s = get_session(args)
     if s is not None:
         return s.load(path, names=names, max_level=max_level,
-                      is_periodic=is_periodic, dtype=dtype)
+                      is_periodic=is_periodic, dtype=dtype, cache=cache)
     return AmrState.from_plotfile(path, names=names, max_level=max_level,
                                   is_periodic=is_periodic, dtype=dtype)
 

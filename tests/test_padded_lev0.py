@@ -170,3 +170,39 @@ def test_enum_iso_padded_periodic_lev0_exact():
     n2, t2 = canon(m_pad)
     np.testing.assert_allclose(n1, n2, atol=1e-12)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_wide_wrap_pad_exceeds_domain_extent():
+    """Bucket pads can exceed a small periodic level-0 extent (12 wide,
+    bucket 32 -> pad 20): the wrap ghosts then wind around the domain more
+    than once, which a single slice would silently CLIP (review finding) —
+    the mod-index gather must reproduce the unpadded run exactly."""
+    from peleanalysis_tpu.parallel.dense_shard import pad_state_to
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+
+    mk = lambda: _two_level(12, 12, 12, periodic=(True,) * 3,
+                            fine=((6, 6, 6), (17, 17, 17)))
+    ds = mk()
+    ref = compute_grad_dense(ds, "temp")
+    pad = compute_grad_dense(pad_state_to(mk(), (32, 32, 32)), "temp")
+    for lev in range(2):
+        a = np.asarray(ref.data[lev])
+        b = np.asarray(pad.data[lev])[:, :a.shape[1], :a.shape[2],
+                                      :a.shape[3]]
+        m = np.asarray(ds.valid_mask(lev))
+        for c in range(1, a.shape[0]):
+            rel = (np.abs(a[c][m] - b[c][m]).max()
+                   / max(np.abs(a[c][m]).max(), 1e-30))
+            assert rel < 1e-12, (lev, c, rel)
+
+
+def test_reflect_bc_wide_ghost_raises():
+    """Non-periodic reflect BCs cannot synthesize ghosts wider than the
+    domain — must raise a named error, not silently clip."""
+    import jax.numpy as jnp
+    import pytest
+    from peleanalysis_tpu.ops.dense_fill import _grow_axis_asym
+
+    a = jnp.ones((4, 4, 4))
+    with pytest.raises(ValueError, match="reflect"):
+        _grow_axis_asym(a, 0, 0, 6, "reflect_even", "reflect_even", False)

@@ -362,3 +362,25 @@ def test_pipeline_failing_stage_rc_survives_writeback_error(
               "--",
               "grad", "infile=NO_SUCH_PLT", "gradVar=temp"])
     assert "pending write failed" in capsys.readouterr().err
+
+
+def test_session_rewrite_evicts_stale_state(tmp_path):
+    """Rewriting a plotfile path must EVICT the superseded cache entry (not
+    key a second one alongside it): the reload serves the new values and
+    the session holds exactly one state for the path (review finding: the
+    mtime-in-key design leaked one device state per rewrite)."""
+    from peleanalysis_tpu.session import Session
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    p = str(tmp_path / "plt_rw")
+    write_synthetic_plotfile(p, n_cell=8, n_levels=1,
+                             fields={"temp": lambda x, y, z: x * 0 + 1.0})
+    s = Session()
+    st1 = s.load(p, names=["temp"])
+    assert float(np.asarray(st1.data[0]).ravel()[0]) == 1.0
+    write_synthetic_plotfile(p, n_cell=8, n_levels=1,
+                             fields={"temp": lambda x, y, z: x * 0 + 2.0})
+    os.utime(os.path.join(p, "Header"))     # force a distinct Header mtime
+    st2 = s.load(p, names=["temp"])
+    assert float(np.asarray(st2.data[0]).ravel()[0]) == 2.0
+    assert len(s._states) == 1, "superseded entry leaked"

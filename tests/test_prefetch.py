@@ -86,3 +86,32 @@ def test_rmsvel_prefetch_matches_serial(series, tmp_path, monkeypatch):
     assert (open("rv_pre.dat", "rb").read()
             == open("rv_ser.dat", "rb").read())
     assert len(open("rv_pre.dat").read().splitlines()) == 3
+
+
+def test_iter_states_inflight_bound(series):
+    """depth=1 keeps exactly ONE load in flight beyond the consumed file
+    (peak residency 2 inputs, as the streaming tools document) — the load
+    of file i+2 must not start before file i+1 is yielded."""
+    started = []
+
+    def names_cb(p):
+        started.append(p)
+        return ["temp"]
+
+    for i, (p, st) in enumerate(iter_states({}, series, names=names_cb)):
+        allowed = set(series[: i + 2])
+        assert set(started) <= allowed, \
+            f"at yield {i} loads started for {started}, allowed {allowed}"
+
+
+def test_iter_states_does_not_pin_session_states(series):
+    """Streamed series members must not be INSERTED into the session cache
+    (a long server run over many ensembles would pin every member's device
+    state), while registered outputs / pre-cached states still resolve."""
+    from peleanalysis_tpu.session import Session
+
+    s = Session()
+    pre = s.load(series[0], names=["temp"])          # user-cached beforehand
+    got = list(iter_states({"_session": s}, series, names=["temp"]))
+    assert got[0][1] is pre, "pre-cached state must be reused"
+    assert len(s._states) == 1, "series members leaked into the session"

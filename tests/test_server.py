@@ -132,3 +132,32 @@ def test_server_sync_and_flush(server, tmp_path, monkeypatch):
                f"infile={plt}", "gradVar=temp", "outfile=g_cli"])
     assert rc == 0
     assert os.path.exists("g_cli/Header")
+
+
+def test_stalled_client_does_not_wedge_server(tmp_path):
+    """A client that connects but never completes a request line must be
+    dropped after idle_timeout so the single-threaded accept loop keeps
+    serving (review finding: one stalled connection wedged every later
+    client)."""
+    import socket
+
+    from peleanalysis_tpu.server import serve
+
+    sock = str(tmp_path / "pele_idle.sock")
+    t = threading.Thread(
+        target=serve,
+        args=({"socket": [sock], "idle_timeout": ["1"]},), daemon=True)
+    t.start()
+    for _ in range(100):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.05)
+    stalled = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    stalled.connect(sock)
+    stalled.sendall(b'{"cmd": "pi')          # partial line, no newline
+    # the next client must get through once the stalled one times out
+    rep = send_command(sock, cmd="ping", timeout=15.0)
+    assert rep["out"] == "pong"
+    stalled.close()
+    send_command(sock, cmd="shutdown")
+    t.join(timeout=10)
