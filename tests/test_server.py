@@ -87,6 +87,32 @@ def test_server_session_persists_across_commands(server, tmp_path,
     assert srv == dire
 
 
+def test_server_runs_pipeline_commands(server, tmp_path, monkeypatch):
+    """A `pipeline` meta-command through the server shares the server's
+    session (warm engines) and produces byte-identical artifacts to a
+    direct pipeline run."""
+    monkeypatch.chdir(tmp_path)
+    plt = str(tmp_path / "plt3")
+    write_synthetic_plotfile(plt, n_cell=16, n_levels=2)
+    rep = send_command(server, argv=[
+        "pipeline",
+        "isosurface", f"infile={plt}", "isoCompName=temp", "isoVal=800",
+        "outfile_base=p_iso", "write=0", "--",
+        "stream", f"plotfile={plt}", "traceAlongV=1", "isoFile=p_iso.mef",
+        "nRKsteps=11", "outFile=p_lines_srv.dat"])
+    assert rep["rc"] == 0, rep["err"]
+    assert not os.path.exists("p_iso.mef")          # write=0 intermediate
+    assert main(["pipeline",
+                 "isosurface", f"infile={plt}", "isoCompName=temp",
+                 "isoVal=800", "outfile_base=d_iso", "write=0", "--",
+                 "stream", f"plotfile={plt}", "traceAlongV=1",
+                 "isoFile=d_iso.mef", "nRKsteps=11",
+                 "outFile=p_lines_dir.dat"]) == 0
+    srv = [l for l in open("p_lines_srv.dat") if not l.startswith("#")]
+    dire = [l for l in open("p_lines_dir.dat") if not l.startswith("#")]
+    assert srv == dire
+
+
 def test_server_survives_bad_commands(server, tmp_path):
     rep = send_command(server, argv=["nonsense_tool"])
     assert rep["rc"] == 2
