@@ -79,60 +79,16 @@ def _grad_multilevel(meta, lmeta, field_list, mask_list, bc, interp):
             for lev, g in enumerate(grown)]  # [lev][dim] -> [1, *bbox]
 
 
-def compute_curvature_dense(
-    dstate: DenseAmrState,
-    progress_name: str = "temp",
-    prog_min: Optional[float] = None,
-    prog_max: Optional[float] = None,
-    do_smooth: bool = False,
-    smooth_time: float = 1.0e-7,
-    smooth_iters: int = 50,
-    smooth_rtol: Optional[float] = 1.0e-10,
-    smooth_composite: bool = True,
-    do_gauss: bool = True,
-    do_strain: bool = False,
-    get_strain_tensor: bool = False,
-    do_velnormal: bool = False,
-    do_threshold: bool = False,
-    threshold: float = 1.0e-4,
-    use_file_minmax: bool = True,
-    replicate_strain_bug: bool = False,
-    sym_dir: Optional[Sequence[int]] = None,
-    interp: str = "linear",
-) -> DenseAmrState:
-    meta = dstate.meta
-    lmeta = dstate.lmeta
-    bc = grad_bc([False] * D, sym_dir)
-    ic = dstate.comp(progress_name)
+def _make_pipeline(meta, lmeta, ic, iv, bc, interp, do_smooth,
+                   smooth_composite, smooth_time, smooth_iters,
+                   smooth_rtol, do_gauss, do_strain, get_strain_tensor,
+                   do_velnormal, do_threshold, threshold,
+                   replicate_strain_bug):
+    """The full curvature derived-field chain as a PURE function of
+    traced per-level inputs (closes over meta/lmeta/flags only, never
+    device data) — shared by the dense tool, the serial clustered path
+    and the cluster-axis SPMD batch (parallel/cluster_shard.py)."""
     need_vel = do_strain or do_velnormal
-    # DIM=2 plotfiles carry no z_velocity: planar flow, zero-z promotion
-    vel_names = [n for n in ("x_velocity", "y_velocity", "z_velocity")
-                 if n in dstate.names]
-    if need_vel and len(vel_names) < 2:
-        raise ValueError("do_strain/do_velnormal need velocity components "
-                         f"(x/y/z_velocity); plotfile has {dstate.names}")
-    iv = [dstate.comp(n) for n in vel_names] if need_vel else None
-    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
-    # passed as jit ARGUMENTS (not closure-captured): the cross-instance
-    # engine cache must never pin an instance's device masks in HBM
-    valid_masks_in = [jnp.asarray(dstate.valid_mask(l))[None]
-                      for l in range(meta.n_levels)]
-    covered_masks_in = [dstate.covered_mask(l)
-                        for l in range(meta.n_levels)]
-
-    # progress min/max scan over valid (uncovered, in-box) cells.  With
-    # use_file_minmax (the reference default, curvature.cpp:139-148) the file
-    # is ALWAYS scanned and user-supplied bounds only widen the range:
-    # progMin = min(user, file), progMax = max(user, file).
-    if not use_file_minmax and (prog_min is None or prog_max is None):
-        raise ValueError("use_file_minmax=False requires prog_min/prog_max")
-    if use_file_minmax or prog_min is None or prog_max is None:
-        lo, hi = _file_minmax([(dstate.data[lev][ic], dstate.valid_mask(lev))
-                               for lev in range(meta.n_levels)])
-        prog_min = lo if prog_min is None else min(prog_min, lo)
-        prog_max = hi if prog_max is None else max(prog_max, hi)
-    if prog_min >= prog_max:
-        raise ValueError("progMin must be less than progMax")
 
     def pipeline(data_list, mask_list, pmin, pmax, valid_masks,
                  covered_masks):
@@ -288,6 +244,70 @@ def compute_curvature_dense(
             outs.append(jnp.concatenate(comps, axis=0))
         return outs
 
+    return pipeline
+
+
+def compute_curvature_dense(
+    dstate: DenseAmrState,
+    progress_name: str = "temp",
+    prog_min: Optional[float] = None,
+    prog_max: Optional[float] = None,
+    do_smooth: bool = False,
+    smooth_time: float = 1.0e-7,
+    smooth_iters: int = 50,
+    smooth_rtol: Optional[float] = 1.0e-10,
+    smooth_composite: bool = True,
+    do_gauss: bool = True,
+    do_strain: bool = False,
+    get_strain_tensor: bool = False,
+    do_velnormal: bool = False,
+    do_threshold: bool = False,
+    threshold: float = 1.0e-4,
+    use_file_minmax: bool = True,
+    replicate_strain_bug: bool = False,
+    sym_dir: Optional[Sequence[int]] = None,
+    interp: str = "linear",
+) -> DenseAmrState:
+    meta = dstate.meta
+    lmeta = dstate.lmeta
+    bc = grad_bc([False] * D, sym_dir)
+    ic = dstate.comp(progress_name)
+    need_vel = do_strain or do_velnormal
+    # DIM=2 plotfiles carry no z_velocity: planar flow, zero-z promotion
+    vel_names = [n for n in ("x_velocity", "y_velocity", "z_velocity")
+                 if n in dstate.names]
+    if need_vel and len(vel_names) < 2:
+        raise ValueError("do_strain/do_velnormal need velocity components "
+                         f"(x/y/z_velocity); plotfile has {dstate.names}")
+    iv = [dstate.comp(n) for n in vel_names] if need_vel else None
+    masks = [dstate.in_level_mask(l) for l in range(meta.n_levels)]
+    # passed as jit ARGUMENTS (not closure-captured): the cross-instance
+    # engine cache must never pin an instance's device masks in HBM
+    valid_masks_in = [jnp.asarray(dstate.valid_mask(l))[None]
+                      for l in range(meta.n_levels)]
+    covered_masks_in = [dstate.covered_mask(l)
+                        for l in range(meta.n_levels)]
+
+    # progress min/max scan over valid (uncovered, in-box) cells.  With
+    # use_file_minmax (the reference default, curvature.cpp:139-148) the file
+    # is ALWAYS scanned and user-supplied bounds only widen the range:
+    # progMin = min(user, file), progMax = max(user, file).
+    if not use_file_minmax and (prog_min is None or prog_max is None):
+        raise ValueError("use_file_minmax=False requires prog_min/prog_max")
+    if use_file_minmax or prog_min is None or prog_max is None:
+        lo, hi = _file_minmax([(dstate.data[lev][ic], dstate.valid_mask(lev))
+                               for lev in range(meta.n_levels)])
+        prog_min = lo if prog_min is None else min(prog_min, lo)
+        prog_max = hi if prog_max is None else max(prog_max, hi)
+    if prog_min >= prog_max:
+        raise ValueError("progMin must be less than progMax")
+
+    pipeline = _make_pipeline(
+        meta, lmeta, ic, iv, bc, interp, do_smooth, smooth_composite,
+        smooth_time, smooth_iters, smooth_rtol, do_gauss, do_strain,
+        get_strain_tensor, do_velnormal, do_threshold, threshold,
+        replicate_strain_bug)
+
     # jitted pipeline cached ON the state (closure jits retrace per call —
     # they dominated the warm CLI wall-clock, measured r3); progress bounds
     # enter as traced scalars so a new file scan doesn't retrace
@@ -327,13 +347,94 @@ def compute_curvature_dense(
     return dstate.with_data(names, out_levels)
 
 
+def _curvature_clusters_batched(subs, infos, progress_name, do_strain,
+                                do_velnormal, kw, ndev):
+    """Cluster-axis SPMD curvature: the full (non-smoothed) chain for every
+    canonical cluster in ONE vmapped dispatch per bucket, the batch axis
+    sharded over an ``ndev``-device mesh (parallel/cluster_shard.py — the
+    reference's DistributionMapping analog, curvature.cpp MFIter loops).
+    Returns per-cluster global-frame output states; None for legacy
+    (boundary) clusters, which the caller runs serially."""
+    from ..amr.canonical import global_frame
+    from ..parallel.cluster_shard import cluster_mesh, run_clusters_batched
+
+    tpl0 = next((s for s, i in zip(subs, infos) if i.canonical), None)
+    if tpl0 is None:
+        return [None] * len(subs)
+    mesh = cluster_mesh(ndev) if ndev > 1 else None
+    bc = grad_bc([False] * D, kw["sym_dir"])
+    ic = tpl0.comp(progress_name)
+    need_vel = do_strain or do_velnormal
+    vel_names = [n for n in ("x_velocity", "y_velocity", "z_velocity")
+                 if n in tpl0.names]
+    iv = [tpl0.comp(n) for n in vel_names] if need_vel else None
+    interp = kw["interp"]
+
+    def core_builder(tpl):
+        pipe = _make_pipeline(
+            tpl.meta, tpl.lmeta, ic, iv, bc, interp, kw["do_smooth"],
+            kw["smooth_composite"], kw["smooth_time"], kw["smooth_iters"],
+            kw["smooth_rtol"], kw["do_gauss"], do_strain,
+            kw["get_strain_tensor"], do_velnormal, kw["do_threshold"],
+            kw["threshold"], kw["replicate_strain_bug"])
+
+        def core(data_list, mask_list, valid_masks, covered_masks,
+                 pmin, pmax):
+            return pipe(data_list, mask_list, pmin, pmax, valid_masks,
+                        covered_masks)
+
+        return core
+
+    def inputs_select(s):
+        L = s.meta.n_levels
+        return (list(s.data),
+                [s.in_level_mask(l) for l in range(L)],
+                [jnp.asarray(s.valid_mask(l))[None] for l in range(L)],
+                [s.covered_mask(l) for l in range(L)])
+
+    dt0 = tpl0.data[0].dtype
+    key = ("curvature", ic, tuple(iv) if iv else None, bc, interp,
+           kw["do_smooth"], kw["smooth_composite"], kw["smooth_iters"],
+           kw["smooth_rtol"], kw["smooth_time"], kw["do_gauss"], do_strain,
+           kw["get_strain_tensor"], do_velnormal, kw["do_threshold"],
+           kw["threshold"], kw["replicate_strain_bug"])
+    raw = run_clusters_batched(
+        subs, infos, key, core_builder, mesh, inputs_select,
+        extra_args=(jnp.asarray(kw["prog_min"], dt0),
+                    jnp.asarray(kw["prog_max"], dt0)))
+    names = [progress_name]
+    if need_vel:
+        names += vel_names
+    names += ["Progress", "SmoothedProgress",
+              f"MeanCurvature_{progress_name}",
+              f"FlameNormalX_{progress_name}",
+              f"FlameNormalY_{progress_name}",
+              f"FlameNormalZ_{progress_name}"]
+    if kw["do_gauss"]:
+        names.append(f"GaussianCurvature_{progress_name}")
+    if do_strain:
+        names.append(f"StrainRate_{progress_name}")
+    if kw["get_strain_tensor"]:
+        names += [f"ROST_dU{m}d{n}" for m in "xyz" for n in "xyz"]
+    if do_velnormal:
+        names.append("VelFlameNormal")
+    outs = [None] * len(subs)
+    for i, g in enumerate(raw):
+        if g is not None:
+            outs[i] = global_frame(subs[i].with_data(names, g), infos[i])
+    return outs
+
+
 def main(args: dict) -> None:
     """CLI: curvature infile=<plt> [progressName=temp] [progMin= progMax=]
     [do_smooth=0] [smoothing_time=1e-7] [smooth_composite=1] [smooth_iters=50]
     [smooth_rtol=1e-10  (0 disables the residual stop: fixed smooth_iters)]
     [do_gaussCurv=1] [do_strain=0] [useFileMinMax=1]
     [getStrainTensor=0] [do_velnormal=0] [threshold_prog=0] [threshold=1e-4]
-    [is_per=...] [outfile=...]"""
+    [is_per=...] [outfile=...]
+    [ndevices=N  (dense: spatial mesh; sparse: cluster-axis SPMD)]
+    [cluster_batch=0|1  (sparse: batch canonical clusters into one
+    vmapped dispatch even on one device; default 1 iff ndevices>1)]"""
     from ..amr.hierarchy import AmrState
     from ..parmparse import ParmParse
 
@@ -424,10 +525,20 @@ def main(args: dict) -> None:
         coarse_out = compute_curvature_dense(
             coarse_only_state(state, base), progress_name,
             do_strain=do_strain, do_velnormal=do_velnormal, **kwargs)
+        ndev = pp.query_int("ndevices", 1)
+        # cluster-axis SPMD (parallel/cluster_shard.py): default on for
+        # ndevices>1; cluster_batch=1 opts in single-device batching
+        batch = pp.query_bool("cluster_batch", ndev > 1)
+        outs_b = [None] * len(subs)
+        if batch and any(i.canonical for i in infos):
+            outs_b = _curvature_clusters_batched(
+                subs, infos, progress_name, do_strain, do_velnormal,
+                kwargs, ndev)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(len(subs), 8)) as ex:
             outs = list(ex.map(
-                lambda si: global_frame(compute_curvature_dense(
+                lambda si: outs_b[si] if outs_b[si] is not None
+                else global_frame(compute_curvature_dense(
                     subs[si], progress_name, do_strain=do_strain,
                     do_velnormal=do_velnormal, **kwargs), infos[si]),
                 range(len(subs))))

@@ -150,9 +150,63 @@ def compute_grad(state: AmrState, var: str,
     return state.with_data(names, out_levels)
 
 
+def _grad_clusters_batched(subs, infos, var, sym_dir, interp, ndev,
+                           aux=()):
+    """Cluster-axis SPMD grad: every canonical cluster's 4-comp gradient in
+    ONE vmapped dispatch per bucket, the batch axis sharded over an
+    ``ndev``-device mesh (parallel/cluster_shard.py — the reference's
+    DistributionMapping analog, grad.cpp:160-163).  Returns per-cluster
+    output states (global-frame) for canonical entries, None for legacy."""
+    from ..amr.canonical import global_frame
+    from ..ops.dense_fill import fill_dense_multilevel
+    from ..parallel.cluster_shard import cluster_mesh, run_clusters_batched
+
+    mesh = cluster_mesh(ndev) if ndev > 1 else None
+    bc = grad_bc([False] * subs[0].meta.ndim, sym_dir)
+
+    def core_builder(tpl):
+        meta, lmeta = tpl.meta, tpl.lmeta
+
+        def one(data_list, mask_list):
+            grown = fill_dense_multilevel(meta, lmeta, data_list,
+                                          mask_list, 1, bc, interp)
+            outs = []
+            for lev, g in enumerate(grown):
+                gx, gy, gz = centered_gradient(g, meta.geoms[lev].dx, 1)
+                outs.append(jnp.concatenate(
+                    [gx, gy, gz, magnitude(gx, gy, gz)], axis=0))
+            return outs
+
+        return one
+
+    names = [var, *aux,
+             f"{var}_gx", f"{var}_gy", f"{var}_gz", f"||grad{var}||"]
+    raw = run_clusters_batched(
+        subs, infos, ("grad", bc, interp), core_builder, mesh,
+        inputs_select=lambda s: (
+            [s.data[lev][s.comp(var): s.comp(var) + 1]
+             for lev in range(s.meta.n_levels)],
+            [s.in_level_mask(lev) for lev in range(s.meta.n_levels)]))
+    outs = [None] * len(subs)
+    for i, g in enumerate(raw):
+        if g is None:
+            continue
+        sub = subs[i]
+        out_levels = [
+            jnp.concatenate(
+                [sub.data[lev][sub.comp(n): sub.comp(n) + 1]
+                 for n in (var,) + tuple(aux)] + [g[lev]], axis=0)
+            for lev in range(sub.meta.n_levels)]
+        outs[i] = global_frame(sub.with_data(names, out_levels), infos[i])
+    return outs
+
+
 def main(args: dict) -> None:
     """CLI driver: grad infile=<plt> [gradVar=temp] [outfile=...]
-    [Aux_Variables=...] [is_per=1 1 1] [sym_dir=0 0 0]."""
+    [Aux_Variables=...] [is_per=1 1 1] [sym_dir=0 0 0]
+    [ndevices=N  (dense: spatial mesh; sparse: cluster-axis SPMD)]
+    [cluster_batch=0|1  (sparse: batch canonical clusters into one
+    vmapped dispatch even on one device; default 1 iff ndevices>1)]."""
     from ..parmparse import ParmParse
 
     pp = ParmParse(args)
@@ -179,11 +233,10 @@ def main(args: dict) -> None:
     sparse = (not force_dense and state.meta.n_levels > 1
               and any(needs_clustering(state.meta.bas[l])
                       for l in range(state.meta.n_levels)))
-    if sparse and (pp.query_bool("fluxMatch", False)
-                   or pp.query_int("ndevices", 1) > 1):
-        # the clustered path implements neither key: fall back to dense
-        # (more HBM) rather than silently dropping the request
-        print("grad: fluxMatch/ndevices force the dense path on this "
+    if sparse and pp.query_bool("fluxMatch", False):
+        # the clustered path does not implement flux matching: fall back to
+        # dense (more HBM) rather than silently dropping the request
+        print("grad: fluxMatch forces the dense path on this "
               "sparse-refinement plotfile (higher HBM footprint)")
         sparse = False
     if sparse:
@@ -205,10 +258,22 @@ def main(args: dict) -> None:
         coarse_out = compute_grad_dense(coarse_only_state(state, base),
                                         var, aux=tuple(aux),
                                         sym_dir=sym_dir, interp=interp)
+        ndev = pp.query_int("ndevices", 1)
+        # cluster-axis SPMD (parallel/cluster_shard.py): canonical clusters
+        # stack on a batch axis sharded over the mesh — the reference's
+        # box->rank DistributionMapping (grad.cpp:160-163).  Default on for
+        # ndevices>1; cluster_batch=1 opts in single-device batching (K
+        # dispatches -> 1)
+        batch = pp.query_bool("cluster_batch", ndev > 1)
+        outs_b = [None] * len(subs)
+        if batch and any(i.canonical for i in infos):
+            outs_b = _grad_clusters_batched(subs, infos, var, sym_dir,
+                                            interp, ndev, aux=tuple(aux))
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(len(subs), 8)) as ex:
             outs = list(ex.map(
-                lambda si: global_frame(
+                lambda si: outs_b[si] if outs_b[si] is not None
+                else global_frame(
                     compute_grad_dense(subs[si], var, aux=tuple(aux),
                                        sym_dir=sym_dir, interp=interp),
                     infos[si]), range(len(subs))))

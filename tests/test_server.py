@@ -48,7 +48,8 @@ def test_server_commands_match_direct_cli(server, tmp_path, monkeypatch):
     plt = str(tmp_path / "plt")
     write_synthetic_plotfile(plt, n_cell=16, n_levels=2)
     rep = send_command(server, argv=["grad", f"infile={plt}",
-                                    "gradVar=temp", "outfile=g_srv"])
+                                    "gradVar=temp", "outfile=g_srv"],
+                       sync=True)  # the reply must land before _tree_bytes
     assert rep["rc"] == 0 and "wrote g_srv" in rep["out"]
     assert main(["grad", f"infile={plt}", "gradVar=temp",
                  "outfile=g_dir"]) == 0
@@ -74,7 +75,8 @@ def test_server_session_persists_across_commands(server, tmp_path,
     assert not os.path.exists("iso_mem.mef")        # stayed in-session
     rep = send_command(server, argv=[
         "stream", f"plotfile={plt}", "traceAlongV=1", "isoFile=iso_mem.mef",
-        "nRKsteps=11", "outFile=lines_srv.dat"])
+        "nRKsteps=11", "outFile=lines_srv.dat"],
+        sync=True)  # we read the artifact right after the reply
     assert rep["rc"] == 0 and os.path.exists("lines_srv.dat")
     # parity vs a file-chained direct run
     assert main(["isosurface", f"infile={plt}", "isoCompName=temp",
@@ -99,7 +101,7 @@ def test_server_runs_pipeline_commands(server, tmp_path, monkeypatch):
         "isosurface", f"infile={plt}", "isoCompName=temp", "isoVal=800",
         "outfile_base=p_iso", "write=0", "--",
         "stream", f"plotfile={plt}", "traceAlongV=1", "isoFile=p_iso.mef",
-        "nRKsteps=11", "outFile=p_lines_srv.dat"])
+        "nRKsteps=11", "outFile=p_lines_srv.dat"], sync=True)
     assert rep["rc"] == 0, rep["err"]
     assert not os.path.exists("p_iso.mef")          # write=0 intermediate
     assert main(["pipeline",
