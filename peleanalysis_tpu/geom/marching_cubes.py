@@ -1603,10 +1603,119 @@ def _window_coords(meta, windows, dtype):
     return out
 
 
+def _extract_enum_batched(subs, decode_lmetas, iso_name, iso_val,
+                          extra_names, bc, label, emit, ndevices):
+    """Cluster-axis SPMD enum extraction: K equal-bucket canonical clusters
+    stack on a leading batch axis, the enum engine is ``jax.vmap``-ed over
+    it, and the batch shards over a 1-D cluster mesh
+    (parallel/cluster_shard.py rationale) — ONE dispatch and ONE packed
+    fetch replace K of each (a fetch costs a full tunnel roundtrip,
+    NOTES.md r1), and with ndevices>1 each device owns ceil(K/n) clusters.
+    Returns the same (mef, node_lev, node_eid, tri_ns) tuples the serial
+    ``extract_isosurface_enum(want_eids=True)`` yields, one per sub."""
+    import jax
+
+    from ..parallel.cluster_shard import CLUSTER_AXIS, cluster_mesh
+
+    tpl = subs[0]
+    meta = tpl.meta
+    names = [iso_name] + [n for n in extra_names if n != iso_name]
+    if bc is None:
+        bc = default_bc(3)
+    nf = 3 + len(names)
+    nl = meta.n_levels
+    ne = len(emit)
+    preps = [_enum_prep(s, names, bc) for s in subs]
+    consts, unwraps, spans_all = preps[0][4], preps[0][5], preps[0][6]
+    dtype = preps[0][0][0].dtype
+    words = 2 if dtype == jnp.float64 else 1
+    gran = 2048
+
+    K = len(subs)
+    ndev = max(1, int(ndevices))
+    Kp = ((K + ndev - 1) // ndev) * ndev
+    reps = [j % K for j in range(Kp)]   # pad rows repeat clusters (inert)
+
+    def stack(idx):
+        return [jnp.stack([preps[j][idx][lev] for j in reps])
+                for lev in range(nl)]
+
+    datas, masks_s, oks, inls = stack(0), stack(1), stack(2), stack(3)
+    if ndev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(cluster_mesh(ndev), P(CLUSTER_AXIS))
+        put = lambda ls: [jax.device_put(a, sh) for a in ls]
+        datas, masks_s, oks, inls = (put(datas), put(masks_s), put(oks),
+                                     put(inls))
+
+    caps_d = getattr(tpl, "_mc_enum_caps", None)
+    if caps_d is None:
+        caps_d = tpl._mc_enum_caps = {}
+    ncaps_d = getattr(tpl, "_mc_enum_ncaps", None)
+    if ncaps_d is None:
+        ncaps_d = tpl._mc_enum_ncaps = {}
+    tri_cap = getattr(tpl, "_mc_enum_tricap", 1 << 15)
+
+    for _attempt in range(4):
+        caps = tuple(caps_d.get(lev, 1 << 14) for lev in range(nl))
+        node_caps = tuple(ncaps_d.get(lev, 1 << 14) for lev in range(nl))
+        key = ("batched", Kp, ndev, len(names), bc, caps, node_caps,
+               tri_cap, str(dtype), emit)
+        fn = _enum_fn_shared(
+            tpl, key,
+            lambda: jax.jit(jax.vmap(
+                _build_enum_fn(meta, tpl.lmeta, consts, bc, nf, 3, caps,
+                               node_caps, tri_cap, unwraps, spans_all,
+                               emit, want_eids=True),
+                in_axes=(0, 0, 0, 0, None))))
+        all_packed = np.asarray(fn(datas, masks_s, inls, oks, iso_val))
+        ok = True
+        for k in range(K):
+            head = all_packed[k]
+            n_act = [int(v) for v in head[2: 2 + ne]]
+            n_nod = [int(v) for v in head[2 + ne: 2 + ne + nl]]
+            for j, lev in enumerate(emit):
+                if n_act[j] > caps[lev]:
+                    ok = False
+                caps_d[lev] = max(caps_d.get(lev, 0),
+                                  _pad_gran(max(n_act[j], 1), gran, gran))
+            for lev in range(nl):
+                if n_nod[lev] > node_caps[lev]:
+                    ok = False
+                ncaps_d[lev] = max(ncaps_d.get(lev, 0),
+                                   _pad_gran(max(n_nod[lev], 1), gran, gran))
+            if int(head[1]) > tri_cap:
+                tri_cap = _pad_gran(int(head[1]), gran, gran)
+                ok = False
+        tpl._mc_enum_tricap = tri_cap
+        if ok:
+            break
+
+    results = []
+    for k in range(K):
+        head = all_packed[k]
+        n_uniq, n_tri = int(head[0]), int(head[1])
+        if n_uniq >= (1 << 21):
+            raise ValueError("enum engine supports < 2^21 nodes per "
+                             "surface; use classify='device' for larger "
+                             "extractions")
+        n_nod = [int(v) for v in head[2 + ne: 2 + ne + nl]]
+        tri_ns = [int(v) for v in head[2 + ne + nl: 2 + ne + nl + ne]]
+        mef, node_lev, node_eid = _decode_packed(
+            all_packed[k], nl=nl, ne=ne, node_caps=node_caps,
+            tri_cap=tri_cap, want_eids=True, words=words, nf=nf,
+            names=names, iso_val=iso_val, label=label,
+            lmeta=decode_lmetas[k], n_nod=n_nod, n_tri=n_tri)
+        results.append((mef, node_lev, node_eid, tri_ns))
+    return results
+
+
 def extract_isosurface_sparse(state, iso_name: str, iso_val: float,
                               extra_names: Sequence[str] = (),
                               bc=None, label: Optional[str] = None,
-                              waste_factor: float = 4.0) -> MEF:
+                              waste_factor: float = 4.0,
+                              ndevices: int = 1,
+                              cluster_batch: Optional[bool] = None) -> MEF:
     """Sparse-refinement extraction: the finest level is processed as dense
     CLUSTERS so HBM scales with valid cells instead of the union bounding
     box (the reference gets this for free from per-rank box ownership;
@@ -1666,7 +1775,29 @@ def extract_isosurface_sparse(state, iso_name: str, iso_val: float,
                 for lev in range(nl)}
             subs[i]._mc_enum_tricap = _pad_gran(int(mx[1 + nl]), gran, gran)
 
+    # cluster-axis SPMD (parallel/cluster_shard.py rationale): canonical
+    # clusters batch into ONE vmapped dispatch + ONE packed fetch per
+    # bucket, sharded over the mesh when ndevices>1 (default on there;
+    # cluster_batch=1 opts in single-device batching)
+    batch = (ndevices > 1) if cluster_batch is None else bool(cluster_batch)
+    batched_res = {}
+    if batch and fin > 0 and can_idx:
+        from ..amr.dense import hier_fingerprint
+        buckets = {}
+        for i in can_idx:
+            buckets.setdefault(hier_fingerprint(subs[i]), []).append(i)
+        for idx in buckets.values():
+            dls = [[DenseLevelMeta(infos[i].windows[lev], meta.geoms[lev],
+                                   1.0) for lev in range(nl)] for i in idx]
+            rr = _extract_enum_batched(
+                [subs[i] for i in idx], dls, iso_name, iso_val,
+                extra_names, bc, label, (fin,), ndevices)
+            for i, r in zip(idx, rr):
+                batched_res[i] = r
+
     def run_cluster(k):
+        if k in batched_res:
+            return batched_res[k]
         dl = None
         if infos[k].canonical:
             dl = [DenseLevelMeta(infos[k].windows[lev], meta.geoms[lev], 1.0)

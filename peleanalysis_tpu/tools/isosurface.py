@@ -26,7 +26,10 @@ def main(args: dict) -> None:
     [writeSurf=1] [surfFormat=MEF|DAT|XDMF] [outfile_base=]
     [computeArea=0] [engine=enum|device|fused|numpy]
     [build_distance_function=0 dmax= dist_outfile=] [surface_is_large=0]
-    [ndevices=1 mesh_shape=] [shape_bucket=0]"""
+    [ndevices=1 mesh_shape=] [shape_bucket=0]
+    [cluster_batch=0|1  (sparse path: batch canonical clusters into one
+    vmapped enum dispatch + one packed fetch; default 1 iff ndevices>1,
+    where the batch axis also shards over the cluster mesh)]"""
     from ..io.plotfile import PlotfileReader
     from ..utils import phase, report
 
@@ -87,8 +90,13 @@ def main(args: dict) -> None:
         from ..geom.marching_cubes import extract_isosurface_sparse
         print("isosurface: sparse refinement detected -> clustered path")
         with phase("Compute Surface"):
-            mef = extract_isosurface_sparse(st, iso_name, iso_val, extras,
-                                            label=f"{st.meta.time:g}")
+            # ndevices>1: cluster-axis SPMD — canonical clusters batch into
+            # one vmapped dispatch sharded over the mesh; cluster_batch=1
+            # opts in single-device batching (one dispatch + one fetch)
+            mef = extract_isosurface_sparse(
+                st, iso_name, iso_val, extras, label=f"{st.meta.time:g}",
+                ndevices=ndev,
+                cluster_batch=pp.query_bool("cluster_batch", None))
     else:
         engine = pp.query_str("engine", "enum")  # enum|device|fused|numpy
         # pipeline stage with write=0: keep the surface payload on device —

@@ -98,6 +98,27 @@ def test_sharded_grad_matches_serial(scattered_state):
         np.testing.assert_allclose(a[:, m], b[:, m], rtol=1e-12, atol=1e-14)
 
 
+def test_sparse_iso_cluster_batch_parity(scattered_state):
+    """Batched (and 8-device-sharded) enum extraction == the serial
+    per-cluster sparse path: identical topology, nodes to f64 roundoff."""
+    from peleanalysis_tpu.geom import marching_cubes as mc
+
+    ref = mc.extract_isosurface_sparse(scattered_state, "blob", 0.5)
+    bat = mc.extract_isosurface_sparse(scattered_state, "blob", 0.5,
+                                       cluster_batch=True)
+    shd = mc.extract_isosurface_sparse(scattered_state, "blob", 0.5,
+                                       ndevices=8)
+    assert ref.n_nodes > 100
+    # the vmapped engine really ran (cache holds a "batched" key)
+    assert any(k[1][0] == "batched" for k in mc._GLOBAL_ENUM_FNS
+               if isinstance(k, tuple) and isinstance(k[1], tuple)
+               and k[1]), "batched enum engine never built"
+    for m in (bat, shd):
+        assert m.n_nodes == ref.n_nodes
+        np.testing.assert_array_equal(m.elements, ref.elements)
+        np.testing.assert_allclose(m.nodes, ref.nodes, atol=1e-9)
+
+
 def test_cli_curvature_cluster_batch_parity(scattered_state, tmp_path,
                                             monkeypatch, capsys):
     """Sparse curvature via cluster-axis SPMD == the serial clustered
