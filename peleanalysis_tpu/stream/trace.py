@@ -641,7 +641,8 @@ def trace_streamlines_sparse(
 
     `state` is the batched AmrState; output layout matches
     trace_streamlines."""
-    from ..amr.cluster import cluster_substates
+    from ..amr.canonical import (canonical_cluster_substates,
+                                 coarse_only_state)
     from ..amr.dense import DenseAmrState
 
     meta = state.meta
@@ -653,7 +654,14 @@ def trace_streamlines_sparse(
     ngrow_fin = (ngrow if ngrow is not None
                  else int(np.ceil(h_phys * n_half
                                   / min(meta.geoms[fin].dx))) + 2)
-    groups, subs, base = cluster_substates(state, dist=ngrow_fin + 1)
+    # canonical frames (amr/canonical.py): equal-bucket clusters share ONE
+    # compiled march+prep engine — the per-cluster absolute positions used
+    # to force a compile per cluster (the r4 iso/grad/curvature fix, here
+    # for the march).  Window margins carry the FULL march grow radius;
+    # boundary-near clusters come back as legacy global-coarse substates
+    # (infos[i].canonical False) and march exactly as before.
+    groups, subs, base, infos = canonical_cluster_substates(
+        state, ngrow_max=ngrow_fin, interp_stencil=1, dist=ngrow_fin + 1)
 
     seeds = push_nodes_inside(np.asarray(seeds, np.float64), meta.geoms[0])
     # global owner level for each seed, finest checked against the real
@@ -681,19 +689,52 @@ def trace_streamlines_sparse(
     coarse_sel = np.nonzero(~on_fine)[0]
     jobs = []
     if len(coarse_sel):
-        jobs.append((0, coarse_sel))
+        jobs.append((-1, coarse_sel))
     for gi in range(len(groups)):
         sel = np.nonzero(cluster_of == gi)[0]
         if len(sel):
             jobs.append((gi, sel))
+    # coarse-owned seeds march on the GLOBAL coarse-only hierarchy: its
+    # engine fingerprint is cluster-independent (a canonical sub's coarse
+    # windows are crops and cannot host far-away seeds)
+    cds = None
+    h_rk_c = h_rk
+    if len(coarse_sel):
+        # (fin==0 keeps the legacy behavior: substates carry global data)
+        cds = coarse_only_state(state, base) if fin > 0 else subs[0]
+        # h_rk is in units of the state's FINEST dx (stream.cpp:700): the
+        # coarse-only hierarchy's finest level is coarser, so rescale to
+        # keep the physical step identical
+        h_rk_c = (h_rk * meta.geoms[fin].dx[0]
+                  / cds.meta.geoms[cds.meta.n_levels - 1].dx[0])
+    plo_f = np.array(meta.geoms[fin].prob_lo)
+    dom_f_lo = np.array(meta.geoms[fin].domain.lo)
+
     # per-cluster marches run threaded: their engine compiles overlap on
     # the remote compile service (measured r3; see marching_cubes sparse)
     from concurrent.futures import ThreadPoolExecutor
 
     def run_one(job):
         gi, sel = job
-        return sel, trace_streamlines(subs[gi], seeds[sel], n_rk_steps,
-                                      h_rk, **kw)
+        if gi == -1:
+            return sel, trace_streamlines(cds, seeds[sel], n_rk_steps,
+                                          h_rk_c, **kw)
+        info = infos[gi]
+        if not info.canonical:
+            return sel, trace_streamlines(subs[gi], seeds[sel], n_rk_steps,
+                                          h_rk, **kw)
+        # canonical frame: seeds translate into window-local physical
+        # coordinates, line positions translate back; sampled fields are
+        # translation-invariant.  Local coords anchor at the canonical
+        # DOMAIN lo (W_c[0] grows below 0, so the canonical fine domain.lo
+        # is negative): x_local = (j - dom_c.lo)*dx at prob_lo=0, while
+        # x_global = plo + (j + shift - dom.lo)*dx for canonical index j.
+        dom_c_lo = np.array(subs[gi].meta.geoms[fin].domain.lo)
+        off = plo_f + (info.shift - dom_f_lo + dom_c_lo) * dxf
+        lines = trace_streamlines(subs[gi], seeds[sel] - off, n_rk_steps,
+                                  h_rk, **kw)
+        lines[:, :, :3] += off
+        return sel, lines
 
     with ThreadPoolExecutor(max_workers=min(max(len(jobs), 1), 8)) as ex:
         for sel, lines in ex.map(run_one, jobs):

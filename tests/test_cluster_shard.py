@@ -119,6 +119,34 @@ def test_sparse_iso_cluster_batch_parity(scattered_state):
         np.testing.assert_allclose(m.nodes, ref.nodes, atol=1e-9)
 
 
+def test_sparse_stream_canonical_matches_dense(scattered_state):
+    """Sparse streamline tracing through CANONICAL cluster frames (seeds
+    translated into the window frame, lines translated back) == the dense
+    union-bbox march, for fine-owned and coarse-owned seeds."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.stream.trace import (trace_streamlines,
+                                               trace_streamlines_sparse)
+
+    # the fixture's clusters sit deep inside the domain: they must be
+    # canonical at the march's grow radius or this test is vacuous
+    _, _, _, infos = canonical_cluster_substates(
+        scattered_state, ngrow_max=5, interp_stencil=1, dist=6)
+    assert all(i.canonical for i in infos)
+    rng = np.random.default_rng(11)
+    seeds = np.concatenate(
+        [c + 0.06 * (rng.random((6, 3)) - 0.5) for c in CENTERS]
+        + [np.stack([rng.uniform(0.45, 0.55, 6)] * 3, axis=1)])
+    dense = DenseAmrState.from_batched(scattered_state)
+    ref = trace_streamlines(dense, seeds, 11, 0.5, trace_field="blob",
+                            sample_names=("xc",))
+    got = trace_streamlines_sparse(scattered_state, seeds, 11, 0.5,
+                                   trace_field="blob",
+                                   sample_names=("xc",))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-11)
+
+
 def test_cli_curvature_cluster_batch_parity(scattered_state, tmp_path,
                                             monkeypatch, capsys):
     """Sparse curvature via cluster-axis SPMD == the serial clustered

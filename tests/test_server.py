@@ -23,11 +23,18 @@ def server(tmp_path):
     t = threading.Thread(target=serve, args=({"socket": [sock]},),
                          daemon=True)
     t.start()
-    for _ in range(100):
-        if os.path.exists(sock):
+    # the socket file appears at bind() but connects succeed only after
+    # listen(): retry ConnectionRefused for a bounded window (flaked under
+    # full-suite load on this 1-CPU container)
+    deadline = time.monotonic() + 10.0
+    while True:
+        try:
+            assert send_command(sock, cmd="ping")["out"] == "pong"
             break
-        time.sleep(0.05)
-    assert send_command(sock, cmd="ping")["out"] == "pong"
+        except (FileNotFoundError, ConnectionRefusedError, OSError):
+            if time.monotonic() > deadline:
+                raise
+            time.sleep(0.05)
     yield sock
     send_command(sock, cmd="shutdown")
     t.join(timeout=10)
