@@ -1632,7 +1632,11 @@ def _extract_enum_batched(subs, decode_lmetas, iso_name, iso_val,
     gran = 2048
 
     K = len(subs)
-    ndev = max(1, int(ndevices))
+    # the mesh size is what matters for divisibility: cluster_mesh truncates
+    # to the AVAILABLE devices, so a request larger than the host must pad
+    # to the actual mesh size, not the request
+    mesh = cluster_mesh(ndevices) if ndevices > 1 else None
+    ndev = int(mesh.devices.size) if mesh is not None else 1
     Kp = ((K + ndev - 1) // ndev) * ndev
     reps = [j % K for j in range(Kp)]   # pad rows repeat clusters (inert)
 
@@ -1641,9 +1645,9 @@ def _extract_enum_batched(subs, decode_lmetas, iso_name, iso_val,
                 for lev in range(nl)]
 
     datas, masks_s, oks, inls = stack(0), stack(1), stack(2), stack(3)
-    if ndev > 1:
+    if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(cluster_mesh(ndev), P(CLUSTER_AXIS))
+        sh = NamedSharding(mesh, P(CLUSTER_AXIS))
         put = lambda ls: [jax.device_put(a, sh) for a in ls]
         datas, masks_s, oks, inls = (put(datas), put(masks_s), put(oks),
                                      put(inls))

@@ -328,6 +328,15 @@ def compute_curvature_dense(
                             jnp.asarray(prog_max, dt0),
                             valid_masks_in, covered_masks_in)
 
+    names = _output_names(progress_name, vel_names, need_vel, do_gauss,
+                          do_strain, get_strain_tensor, do_velnormal)
+    return dstate.with_data(names, out_levels)
+
+
+def _output_names(progress_name, vel_names, need_vel, do_gauss, do_strain,
+                  get_strain_tensor, do_velnormal):
+    """Output component order of the curvature chain (curvature.cpp:796-829)
+    — single source for the dense tool and the batched cluster path."""
     names = [progress_name]
     if need_vel:
         names += vel_names
@@ -344,7 +353,7 @@ def compute_curvature_dense(
         names += [f"ROST_dU{m}d{n}" for m in "xyz" for n in "xyz"]
     if do_velnormal:
         names.append("VelFlameNormal")
-    return dstate.with_data(names, out_levels)
+    return names
 
 
 def _curvature_clusters_batched(subs, infos, progress_name, do_strain,
@@ -360,6 +369,12 @@ def _curvature_clusters_batched(subs, infos, progress_name, do_strain,
 
     tpl0 = next((s for s, i in zip(subs, infos) if i.canonical), None)
     if tpl0 is None:
+        return [None] * len(subs)
+    if kw["do_smooth"]:
+        # a vmapped rtol-stopped CG keeps iterating converged clusters
+        # until the slowest one finishes (lax.while_loop under vmap), so
+        # batched smoothing would silently differ from the serial path —
+        # the CLI never routes do_smooth here; library callers fall back
         return [None] * len(subs)
     mesh = cluster_mesh(ndev) if ndev > 1 else None
     bc = grad_bc([False] * D, kw["sym_dir"])
@@ -378,19 +393,18 @@ def _curvature_clusters_batched(subs, infos, progress_name, do_strain,
             kw["get_strain_tensor"], do_velnormal, kw["do_threshold"],
             kw["threshold"], kw["replicate_strain_bug"])
 
-        def core(data_list, mask_list, valid_masks, covered_masks,
-                 pmin, pmax):
-            return pipe(data_list, mask_list, pmin, pmax, valid_masks,
-                        covered_masks)
+        def core(data_list, mask_list, pmin, pmax):
+            # valid/covered masks feed only the smoothing solve, which the
+            # do_smooth guard above excludes — don't stack/ship K copies
+            # of masks the traced graph never reads
+            return pipe(data_list, mask_list, pmin, pmax, None, None)
 
         return core
 
     def inputs_select(s):
         L = s.meta.n_levels
         return (list(s.data),
-                [s.in_level_mask(l) for l in range(L)],
-                [jnp.asarray(s.valid_mask(l))[None] for l in range(L)],
-                [s.covered_mask(l) for l in range(L)])
+                [s.in_level_mask(l) for l in range(L)])
 
     dt0 = tpl0.data[0].dtype
     key = ("curvature", ic, tuple(iv) if iv else None, bc, interp,
@@ -402,22 +416,9 @@ def _curvature_clusters_batched(subs, infos, progress_name, do_strain,
         subs, infos, key, core_builder, mesh, inputs_select,
         extra_args=(jnp.asarray(kw["prog_min"], dt0),
                     jnp.asarray(kw["prog_max"], dt0)))
-    names = [progress_name]
-    if need_vel:
-        names += vel_names
-    names += ["Progress", "SmoothedProgress",
-              f"MeanCurvature_{progress_name}",
-              f"FlameNormalX_{progress_name}",
-              f"FlameNormalY_{progress_name}",
-              f"FlameNormalZ_{progress_name}"]
-    if kw["do_gauss"]:
-        names.append(f"GaussianCurvature_{progress_name}")
-    if do_strain:
-        names.append(f"StrainRate_{progress_name}")
-    if kw["get_strain_tensor"]:
-        names += [f"ROST_dU{m}d{n}" for m in "xyz" for n in "xyz"]
-    if do_velnormal:
-        names.append("VelFlameNormal")
+    names = _output_names(progress_name, vel_names, need_vel,
+                          kw["do_gauss"], do_strain,
+                          kw["get_strain_tensor"], do_velnormal)
     outs = [None] * len(subs)
     for i, g in enumerate(raw):
         if g is not None:
@@ -503,6 +504,15 @@ def main(args: dict) -> None:
         # grad->N->Hessian stencil stages clear of the coarse-window edge
         groups, subs, base, infos = canonical_cluster_substates(
             state, ngrow_max=1, interp_stencil=1, extra_margin=2)
+        if (pp.query_int("ndevices", 1) > 1
+                and not any(i.canonical for i in infos)):
+            # every cluster is boundary-adjacent: the cluster-axis SPMD
+            # cannot run — tell main to honor ndevices via the dense
+            # spatial mesh instead of silently dropping the request
+            print("curvature: no canonical clusters (boundary-adjacent) "
+                  "— ndevices honored via the dense path (higher HBM "
+                  "footprint)")
+            return False
         meta = state.meta
         fin = meta.n_levels - 1
         kwargs = _cli_kwargs(pp)
@@ -594,8 +604,11 @@ def main(args: dict) -> None:
         # (every fill is 1-ghost and clusters are >=3 cells apart, so the
         # per-cluster run equals the global dense run on cluster cells)
         print("curvature: sparse refinement detected -> clustered path")
-        return _main_clustered(pp, state, progress_name, names, aux_names,
-                               do_strain, do_velnormal, infile)
+        if _main_clustered(pp, state, progress_name, names, aux_names,
+                           do_strain, do_velnormal, infile) is not False:
+            return
+        # False: ndevices>1 with no canonical clusters — fall through to
+        # the dense spatial-mesh path below
     dstate = dense_state(args, state)
     ndev = pp.query_int("ndevices", 1)
     if ndev > 1:

@@ -239,22 +239,33 @@ def main(args: dict) -> None:
         print("grad: fluxMatch forces the dense path on this "
               "sparse-refinement plotfile (higher HBM footprint)")
         sparse = False
+    groups = subs = base = infos = None
+    if sparse:
+        from ..amr.canonical import canonical_cluster_substates
+        groups, subs, base, infos = canonical_cluster_substates(
+            state, ngrow_max=1, interp_stencil=1)
+        if (pp.query_int("ndevices", 1) > 1
+                and not any(i.canonical for i in infos)):
+            # every cluster is boundary-adjacent (legacy frame): the
+            # cluster-axis SPMD cannot run, so honor ndevices via the
+            # dense spatial mesh instead of silently dropping the request
+            print("grad: no canonical clusters (boundary-adjacent) — "
+                  "ndevices honored via the dense path (higher HBM "
+                  "footprint)")
+            sparse = False
     if sparse:
         # sparse refinement: per-cluster dense patches (footprint ~ cluster
         # bboxes; 1-ghost fills + cluster separation make it exact, and the
         # quadratic c-f interpolation works unlike the gather-plan path —
         # the reference gets this scaling from per-rank ownership,
         # grad.cpp:160-163)
-        from ..amr.canonical import (canonical_cluster_substates,
-                                     coarse_only_state, global_frame)
+        from ..amr.canonical import coarse_only_state, global_frame
         print("grad: sparse refinement detected -> clustered path")
         interp = pp.query_str("cf_interp", "quadratic")
         # canonical frames: equal-bucket clusters share ONE compiled engine
         # (amr/canonical.py); coarse-level outputs come from a single global
         # coarse pass (fills never read finer levels, so coarse gradients
         # are identical to the full run's)
-        groups, subs, base, infos = canonical_cluster_substates(
-            state, ngrow_max=1, interp_stencil=1)
         coarse_out = compute_grad_dense(coarse_only_state(state, base),
                                         var, aux=tuple(aux),
                                         sym_dir=sym_dir, interp=interp)

@@ -119,6 +119,51 @@ def test_sparse_iso_cluster_batch_parity(scattered_state):
         np.testing.assert_allclose(m.nodes, ref.nodes, atol=1e-9)
 
 
+def test_sparse_iso_ndevices_beyond_host(scattered_state):
+    """ndevices larger than the host's device count must pad the batch to
+    the ACTUAL mesh size (cluster_mesh truncates to available devices) —
+    a request-sized pad crashed device_put (review finding)."""
+    from peleanalysis_tpu.geom import marching_cubes as mc
+
+    ref = mc.extract_isosurface_sparse(scattered_state, "blob", 0.5)
+    big = mc.extract_isosurface_sparse(scattered_state, "blob", 0.5,
+                                       ndevices=12)   # host has 8
+    assert big.n_nodes == ref.n_nodes
+    np.testing.assert_array_equal(big.elements, ref.elements)
+
+
+def test_boundary_clusters_ndevices_falls_back_dense(tmp_path, monkeypatch,
+                                                     capsys):
+    """All-boundary (non-canonical) clusters + ndevices>1: the tools must
+    honor ndevices via the dense spatial mesh, not silently run
+    single-device (review finding)."""
+    from peleanalysis_tpu.cli import main
+
+    # clusters hug the domain corners: canonical windows would cross the
+    # boundary, so every cluster is legacy
+    n0 = 48
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2), geom0.refine(2).refine(2)]
+    cs = ((.1, .1, .1), (.9, .9, .9))
+    ba1 = BoxArray([_box_at(96, c, .09) for c in cs])
+    ba2 = BoxArray([_box_at(192, c, .06) for c in cs])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1, ba2], [2, 2])
+    names, data = make_level_data(geoms, meta.bas, {"blob": _blob})
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    plt = str(tmp_path / "plt_bd")
+    st.to_plotfile(plt)
+    monkeypatch.chdir(tmp_path)
+    assert main(["grad", f"infile={plt}", "gradVar=blob",
+                 "outfile=g_bd", "ndevices=8"]) == 0
+    assert main(["curvature", f"infile={plt}", "progressName=blob",
+                 "outfile=K_bd", "ndevices=8"]) == 0
+    seen = capsys.readouterr().out
+    assert seen.count("ndevices honored via the dense path") == 2
+    g = AmrState.from_plotfile("g_bd")
+    assert "||gradblob||" in g.names
+
+
 def test_sparse_stream_canonical_matches_dense(scattered_state):
     """Sparse streamline tracing through CANONICAL cluster frames (seeds
     translated into the window frame, lines translated back) == the dense
