@@ -125,7 +125,36 @@ def sparse_stats_parts(state, waste_factor: float = 4.0):
                          None, meta.ndim2)
         st_g = AmrState(meta_g, state.names, [state.data[fin][np.asarray(g)]])
         clusters.append(DenseAmrState.from_batched(st_g))
+    if len(clusters) > 1:
+        # bucket-pad every cluster to the elementwise max shape (rounded to
+        # a granule): the stats accumulation jits key on array SHAPES, so
+        # equal-shape parts share one compiled contraction instead of one
+        # per cluster (pads carry in_level=False and never accumulate)
+        shapes = np.array([c.lmeta[0].bbox.shape for c in clusters])
+        tgt = tuple(int(-(-v // 8) * 8) for v in shapes.max(axis=0))
+        clusters = [_pad_single_level(c, tgt) for c in clusters]
     return ds_c, clusters, meta.ref_ratio[fin - 1]
+
+
+def _pad_single_level(ds, tgt_shape):
+    """Hi-side pad of a single-level dense part to ``tgt_shape``; the pad
+    cells are hole cells (in_level False) that no masked statistic visits."""
+    import jax.numpy as jnp
+
+    from .box import Box
+    from .dense import DenseAmrState, DenseLevelMeta, _union_mask_np
+
+    bbox = ds.lmeta[0].bbox
+    pads = [int(t - s) for t, s in zip(tgt_shape, bbox.shape)]
+    if not any(pads):
+        return ds
+    nb = Box(bbox.lo, tuple(bbox.lo[d] + tgt_shape[d] - 1 for d in range(3)))
+    data = [jnp.pad(ds.data[0], [(0, 0)] + [(0, p) for p in pads])]
+    lmeta = [DenseLevelMeta(nb, ds.lmeta[0].geom,
+                            ds.meta.bas[0].total_cells() / nb.size)]
+    st = DenseAmrState(ds.meta, ds.names, data, lmeta)
+    st._in_level[0] = jnp.asarray(_union_mask_np(ds.meta.bas[0], nb))
+    return st
 
 
 def needs_clustering(ba: BoxArray, waste_factor: float = 4.0,

@@ -275,3 +275,42 @@ def test_sparse_sample_streamlines_matches_dense(sparse_state):
     a = sample_onto_lines(dense, lines, ["xc", "blob"])
     b = sample_onto_lines_sparse(sparse_state, lines, ["xc", "blob"])
     np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_sparse_stats_parts_bucket_pad():
+    """Unequal cluster extents pad to ONE bucket shape (stats jits key on
+    array shapes: equal shapes share one compiled contraction), and the
+    padded parts accumulate exactly the same statistic."""
+    from peleanalysis_tpu.amr.cluster import sparse_stats_parts
+    from peleanalysis_tpu.amr.dense import DenseAmrState
+    from peleanalysis_tpu.tools.conditional_mean import (
+        accumulate_conditional_mean)
+
+    n0 = 48
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2), geom0.refine(2).refine(2)]
+    # deliberately UNEQUAL cluster extents
+    ba1 = BoxArray([_box_at(96, (.2,) * 3, .13), _box_at(96, (.8,) * 3, .1)])
+    ba2 = BoxArray([_box_at(192, (.2,) * 3, .09), _box_at(192, (.8,) * 3, .06)])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1, ba2], [2, 2])
+    names, data = make_level_data(geoms, [BoxArray([dom0]), ba1, ba2],
+                                  {"blob": _blob, "xc": lambda x, y, z: x})
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    ds_c, clusters, r = sparse_stats_parts(st)
+    shp = {tuple(c.lmeta[0].bbox.shape) for c in clusters}
+    assert len(shp) == 1, f"cluster parts not bucket-padded: {shp}"
+    # padded accumulation == dense accumulation
+    dense = DenseAmrState.from_batched(st)
+    h_ref, s_ref, s2_ref, _, _ = accumulate_conditional_mean(
+        dense, "blob", ["xc"], 32, 0.0, 1.0)
+    h = s = s2 = 0.0
+    parts = [(ds_c, float(r ** 3))] + [(c, 1.0) for c in clusters]
+    for ds, scale in parts:
+        hh, ss, ss2, _, _ = accumulate_conditional_mean(
+            ds, "blob", ["xc"], 32, 0.0, 1.0)
+        h = h + scale * hh
+        s = s + scale * ss
+        s2 = s2 + scale * ss2
+    np.testing.assert_allclose(h, h_ref, rtol=1e-12)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-9, atol=1e-12)
