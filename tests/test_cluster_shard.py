@@ -119,6 +119,37 @@ def test_sparse_iso_cluster_batch_parity(scattered_state):
         np.testing.assert_allclose(m.nodes, ref.nodes, atol=1e-9)
 
 
+def test_sparse_iso_mixed_buckets(tmp_path):
+    """Clusters of DIFFERENT padded extents land in different canonical
+    buckets: the batched path must run one vmapped engine per bucket and
+    merge exactly with the serial result."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+    from peleanalysis_tpu.geom import marching_cubes as mc
+
+    n0 = 64
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2), geom0.refine(2).refine(2)]
+    # small cluster (pads to 32) + large cluster (pads to 64)
+    cs = [((.3, .3, .3), .05), ((.65, .65, .65), .12)]
+    ba1 = BoxArray([_box_at(128, c, h + .03) for c, h in cs])
+    ba2 = BoxArray([_box_at(256, c, h) for c, h in cs])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1, ba2], [2, 2])
+    names, data = make_level_data(geoms, meta.bas, {"blob": _blob})
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    _, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=0)
+    assert all(i.canonical for i in infos) and len(subs) == 2
+    from peleanalysis_tpu.amr.dense import hier_fingerprint
+    assert hier_fingerprint(subs[0]) != hier_fingerprint(subs[1]), \
+        "clusters unexpectedly share a bucket — test is vacuous"
+    ref = mc.extract_isosurface_sparse(st, "blob", 0.5)
+    bat = mc.extract_isosurface_sparse(st, "blob", 0.5, cluster_batch=True)
+    assert bat.n_nodes == ref.n_nodes > 100
+    np.testing.assert_array_equal(bat.elements, ref.elements)
+    np.testing.assert_allclose(bat.nodes, ref.nodes, atol=1e-9)
+
+
 def test_sparse_iso_ndevices_beyond_host(scattered_state):
     """ndevices larger than the host's device count must pad the batch to
     the ACTUAL mesh size (cluster_mesh truncates to available devices) —
