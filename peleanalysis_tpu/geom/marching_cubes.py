@@ -1742,6 +1742,8 @@ def extract_isosurface_sparse(state, iso_name: str, iso_val: float,
     dtype = state.data[0].dtype
 
     for sub, info in zip(subs, infos):
+        if getattr(sub, "_mc_masks", None):
+            continue       # cached canonical substate: masks/coords persist
         sub._mc_masks = {}
         sub._mc_okdev = {}
         if info.canonical:
