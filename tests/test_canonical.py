@@ -165,3 +165,18 @@ def test_boundary_cluster_falls_back_exact(tmp_path, monkeypatch):
     n2, t2 = _canon(m_sp)
     np.testing.assert_allclose(n1, n2, atol=1e-12)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_canonical_substates_cached_on_state(multi_cluster_state):
+    """Warm re-runs reuse the substates (window crops, masks, caps) via the
+    state-held LRU cache; distinct parameter keys evict past 4 entries."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+
+    st = multi_cluster_state
+    a = canonical_cluster_substates(st, ngrow_max=1, interp_stencil=1)
+    b = canonical_cluster_substates(st, ngrow_max=1, interp_stencil=1)
+    assert b[1][0] is a[1][0], "second call must reuse cached substates"
+    for g in (2, 3, 4, 5):     # 4 distinct keys push the first one out
+        canonical_cluster_substates(st, ngrow_max=g, interp_stencil=1)
+    c = canonical_cluster_substates(st, ngrow_max=1, interp_stencil=1)
+    assert c[1][0] is not a[1][0], "LRU(4) should have evicted the entry"
