@@ -5,6 +5,8 @@ Public API: the two in-memory AMR models, the I/O layer, and the engines.
 Tools are invoked via ``python -m peleanalysis_tpu <tool> key=value...``.
 """
 
+__version__ = "0.4.0"
+
 from .amr.box import Box, BoxArray, decompose
 from .amr.geometry import Geometry
 from .amr.hierarchy import AmrMeta, AmrState
