@@ -223,6 +223,40 @@ def test_sparse_stream_canonical_matches_dense(scattered_state):
     np.testing.assert_allclose(got, ref, atol=1e-11)
 
 
+def test_cli_partstream_sparse_velocity_parity(tmp_path, monkeypatch,
+                                               capsys):
+    """partStream's sparse branch (velocity-mode trace through canonical
+    cluster frames) == the dense union-bbox march, via the CLI."""
+    from peleanalysis_tpu.cli import main
+
+    n0 = 64
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2), geom0.refine(2).refine(2)]
+    ba1 = BoxArray([_box_at(128, c, .09) for c in CENTERS])
+    ba2 = BoxArray([_box_at(256, c, .06) for c in CENTERS])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1, ba2], [2, 2])
+    fields = {
+        "x_velocity": lambda x, y, z: 0.4 + 0.3 * np.sin(2 * np.pi * y),
+        "y_velocity": lambda x, y, z: 0.2 * np.cos(2 * np.pi * x),
+        "z_velocity": lambda x, y, z: 0.1 + 0.0 * x,
+    }
+    names, data = make_level_data(geoms, meta.bas, fields)
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    plt = str(tmp_path / "plt_ps")
+    st.to_plotfile(plt)
+    monkeypatch.chdir(tmp_path)
+    seed = " ".join(str(v) for v in CENTERS[0])
+    base = ["partStream", f"infile={plt}", f"seedLoc={seed}",
+            "Nsteps=21", "hRK=0.5"]
+    assert main(base + ["outFile=ps_sp.dat"]) == 0
+    assert "clustered path" in capsys.readouterr().out
+    assert main(base + ["outFile=ps_de.dat", "force_dense=1"]) == 0
+    sp = [l for l in open("ps_sp.dat") if not l.startswith("#")]
+    de = [l for l in open("ps_de.dat") if not l.startswith("#")]
+    assert sp == de
+
+
 def test_cli_curvature_cluster_batch_parity(scattered_state, tmp_path,
                                             monkeypatch, capsys):
     """Sparse curvature via cluster-axis SPMD == the serial clustered
