@@ -65,3 +65,14 @@ def test_full_chain(tmp_path, monkeypatch):
     from peleanalysis_tpu.io.vtk import write_vtp
     write_vtp("surf.vtp", surf)
     assert os.path.getsize("surf.vtp") > 1000
+
+
+def test_doctor_runs_and_probes(capsys):
+    """doctor must report the backend without hanging (subprocess probe
+    with a hard timeout — the tunneled backend has had outages where
+    jax.devices() blocks forever) and complete rc=0 on the CPU backend."""
+    from peleanalysis_tpu.cli import main
+
+    assert main(["doctor", "probe_timeout=30"]) == 0
+    out = capsys.readouterr().out
+    assert "backend:" in out and "compile cache:" in out
