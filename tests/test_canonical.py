@@ -180,3 +180,26 @@ def test_canonical_substates_cached_on_state(multi_cluster_state):
         canonical_cluster_substates(st, ngrow_max=g, interp_stencil=1)
     c = canonical_cluster_substates(st, ngrow_max=1, interp_stencil=1)
     assert c[1][0] is not a[1][0], "LRU(4) should have evicted the entry"
+
+
+def test_canonical_2d_falls_back_legacy():
+    """DIM=2 states (z extent 1): bucket-padded z windows can never fit the
+    domain, so every cluster must come back LEGACY — exercised directly
+    (the CLI sparse gates rarely fire in 2-D, but a crash here would take
+    down any large scattered 2-D run)."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+
+    n0 = 32
+    dom0 = Box((0, 0, 0), (n0 - 1, n0 - 1, 0))
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1. / n0), (False,) * 3)
+    geoms = [geom0, geom0.refine(2)]
+    ba1 = BoxArray([Box((16, 16, 0), (27, 27, 1)),
+                    Box((40, 40, 0), (51, 51, 1))])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2], ndim2=True)
+    names, data = make_level_data(geoms, meta.bas,
+                                  {"f": lambda x, y, z: x + y})
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    groups, subs, base, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1)
+    assert len(subs) == 2
+    assert not any(i.canonical for i in infos)
