@@ -29,10 +29,20 @@ Exactness: window contents are crops of the global dense arrays; hole cells
 are refilled from the window's own coarser level exactly as the global fill
 would (values are pure functions of the same coarse data); cluster
 separation (cluster_boxes ``dist``) keeps other clusters' fine data out of
-reach.  Clusters whose windows would cross the physical domain boundary are
-NOT canonicalized (the boundary distance would re-enter the graph) — they
-fall back to the round-3 exact per-cluster path, flagged in the returned
-infos.
+reach.
+
+Boundary-adjacent clusters (windows reaching past the physical domain in a
+NON-periodic dim) are canonicalized too, by PINNING the canonical domain
+edge: in each crossing dim the canonical geometry's domain carries the true
+(translated) domain edge instead of the window edge, so the fill machinery
+(_grow_level0's padded-bbox regrow, _apply_exterior_bc) applies the exact
+BC at the exact position — structurally, per boundary SIGNATURE (which
+sides cross + the frame's offset to the edge), while position along the
+boundary face stays traced data.  Equal-signature clusters share one
+compiled engine (the signature enters hier_fingerprint through the geoms).
+Only clusters crossing a PERIODIC boundary fall back to the round-3 exact
+legacy path (the wrap would need the opposite side of the domain, which no
+window holds), flagged infos[i].canonical False.
 """
 from __future__ import annotations
 
@@ -191,13 +201,47 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
 
     win_cache = {}
 
-    def eligible(shift, W_c):
+    def pinned_domain(shift, W_c) -> Optional[Box]:
+        """Level-0 canonical DOMAIN for this cluster, or None -> legacy.
+
+        Interior cluster: domain == W_c[0] (all BC positions beyond every
+        read).  A dim whose grown windows reach past the true domain edge
+        on a non-periodic side gets that edge PINNED (true edge, translated
+        to the canonical frame) so the engine's BC application lands
+        exactly where the global fill's would; a reach past a PERIODIC
+        edge cannot be served from a window -> legacy.  DIM=2 states stay
+        legacy: pinning the 1-cell z domain inside a bucket-padded z window
+        would be exact but carries granule/extent x useless z planes —
+        the legacy frame is tight in z."""
+        if meta.ndim2:
+            return None
+        cross = [[False, False] for _ in range(3)]
         for lev in range(fin + 1):
             wg = W_c[lev].shift(tuple(int(shift[d]) // F[lev]
-                                      for d in range(3)))
-            if not meta.geoms[lev].domain.contains_box(wg.grow(ngrow_max)):
-                return False
-        return True
+                                      for d in range(3))).grow(ngrow_max)
+            dom = meta.geoms[lev].domain
+            for d in range(3):
+                if wg.lo[d] < dom.lo[d]:
+                    cross[d][0] = True
+                if wg.hi[d] > dom.hi[d]:
+                    cross[d][1] = True
+        dom0 = meta.geoms[0].domain
+        W0 = W_c[0]
+        lo_c, hi_c = [], []
+        for d in range(3):
+            if (cross[d][0] or cross[d][1]) and meta.geoms[0].is_periodic[d]:
+                return None
+            s0 = int(shift[d]) // F[0]
+            # clamp to the window: when only a coarse level's GROW ring
+            # crosses (no window does), the true edge sits outside W0 —
+            # those grown positions are never read by fine outputs (reads
+            # are cbox-slices inside the windows), so the window edge is
+            # the exact round-3 semantics there
+            lo_c.append(max(dom0.lo[d] - s0, W0.lo[d])
+                        if cross[d][0] else W0.lo[d])
+            hi_c.append(min(dom0.hi[d] - s0, W0.hi[d])
+                        if cross[d][1] else W0.hi[d])
+        return Box(tuple(lo_c), tuple(hi_c))
 
     # ---- legacy fallback builder (round-3 path) ----------------------------
     def legacy_sub(g):
@@ -216,12 +260,18 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
             sub._covered[lev] = base.covered_mask(lev)
         return sub
 
-    # ---- canonical geoms/lmeta shared per bucket ---------------------------
+    # ---- canonical geoms/lmeta shared per bucket+signature -----------------
     dx0 = meta.geoms[0].dx
 
-    def canon_geoms(W_c):
-        g0 = Geometry(W_c[0], (0.0, 0.0, 0.0),
-                      tuple(W_c[0].shape[d] * dx0[d] for d in range(3)),
+    def canon_geoms(W_c, dom_c):
+        # the index->x map must stay x(i) = (i - W0.lo + 0.5)*dx regardless
+        # of where the domain box sits inside the window (pinned boundary
+        # signatures shrink it), so every shift convention downstream holds:
+        # prob_lo anchors the domain lo at its window-relative offset
+        plo = tuple((dom_c.lo[d] - W_c[0].lo[d]) * dx0[d] for d in range(3))
+        g0 = Geometry(dom_c, plo,
+                      tuple(plo[d] + dom_c.shape[d] * dx0[d]
+                            for d in range(3)),
                       (False, False, False))
         gs = [g0]
         for lev in range(1, fin + 1):
@@ -238,13 +288,16 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
     # + crop compile per cluster (measured r4: 159 s of the scattered-512^3
     # cold path was this loop).  One union pad -> one pad op + one crop
     # compile per (global, window-shape) pair.
-    plan = []                          # (W_c, W_g) or None per group
+    plan = []                          # global windows or None per group
+    doms = []                          # pinned canonical domain per group
     for gi, g in enumerate(groups):
         shift, ext_b = frames[gi]
         if ext_b not in win_cache:
             win_cache[ext_b] = windows_canonical(ext_b)
         W_c = win_cache[ext_b]
-        if not eligible(shift, W_c):
+        dom_c = pinned_domain(shift, W_c)
+        doms.append(dom_c)
+        if dom_c is None:              # crosses a periodic edge -> legacy
             plan.append(None)
             continue
         plan.append([W_c[lev].shift(tuple(int(shift[d]) // F[lev]
@@ -276,7 +329,7 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
             infos.append(CanonInfo(False, None, None))
             continue
         W_g = plan[gi]
-        geoms_c = canon_geoms(W_c)
+        geoms_c = canon_geoms(W_c, doms[gi])
         # bas must be CANONICAL for fingerprint-equality (engine sharing);
         # the true translated fine layout enters only through the pre-set
         # in_level mask (traced data) and the assembly below

@@ -725,12 +725,14 @@ def trace_streamlines_sparse(
                                           h_rk, **kw)
         # canonical frame: seeds translate into window-local physical
         # coordinates, line positions translate back; sampled fields are
-        # translation-invariant.  Local coords anchor at the canonical
-        # DOMAIN lo (W_c[0] grows below 0, so the canonical fine domain.lo
-        # is negative): x_local = (j - dom_c.lo)*dx at prob_lo=0, while
+        # translation-invariant.  General map (holds for interior AND
+        # boundary-pinned signatures, where prob_lo anchors the pinned
+        # domain inside the window): x_local = plo_c + (j - dom_c.lo)*dx,
         # x_global = plo + (j + shift - dom.lo)*dx for canonical index j.
-        dom_c_lo = np.array(subs[gi].meta.geoms[fin].domain.lo)
-        off = plo_f + (info.shift - dom_f_lo + dom_c_lo) * dxf
+        geom_c = subs[gi].meta.geoms[fin]
+        dom_c_lo = np.array(geom_c.domain.lo)
+        off = (plo_f - np.array(geom_c.prob_lo)
+               + (info.shift - dom_f_lo + dom_c_lo) * dxf)
         lines = trace_streamlines(subs[gi], seeds[sel] - off, n_rk_steps,
                                   h_rk, **kw)
         lines[:, :, :3] += off

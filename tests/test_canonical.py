@@ -133,31 +133,48 @@ def test_canonical_curvature_exact(multi_cluster_state, tmp_path,
                  "rtol=1e-9"]) == 0
 
 
-def test_boundary_cluster_falls_back_exact(tmp_path, monkeypatch):
-    """A cluster hugging the domain boundary is NOT canonicalized (the
-    boundary distance would re-enter the graph) and must still be exact
-    via the legacy global-coarse path."""
-    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
-    from peleanalysis_tpu.geom import marching_cubes as mc
-
+def _corner_state(periodic=False):
+    """One fine cluster hugging the lo corner (its windows cross the
+    domain boundary), one interior."""
     n0 = 32
     dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
-    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (periodic,) * 3)
     geoms = [geom0, geom0.refine(2)]
     ba1 = BoxArray([Box((0, 0, 0), (15, 15, 15)),        # touches lo corner
                     Box((24, 24, 24), (39, 39, 39))])    # interior
     meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2])
     names, data = make_level_data(
         geoms, [BoxArray([dom0]), ba1],
+        # corner blob at .05: its 0.5-contour CROSSES the lo domain faces,
+        # so the pinned frame's dual-cell clipping at the true boundary is
+        # exercised against the dense enum run's
         {"blob": lambda x, y, z: np.exp(
-            -((x - .12) ** 2 + (y - .12) ** 2 + (z - .12) ** 2) / .004)
+            -((x - .05) ** 2 + (y - .05) ** 2 + (z - .05) ** 2) / .004)
             + np.exp(-((x - .5) ** 2 + (y - .5) ** 2
-                       + (z - .5) ** 2) / .004)})
-    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+                       + (z - .5) ** 2) / .004),
+         "x_velocity": lambda x, y, z: 1.0 + 0.3 * np.sin(2 * np.pi * y),
+         "y_velocity": lambda x, y, z: 0.4 * np.cos(2 * np.pi * x),
+         "z_velocity": lambda x, y, z: 0.2 + 0.1 * x})
+    return AmrState.from_arrays(meta, names, data, dtype=np.float64)
+
+
+def test_boundary_cluster_pinned_exact():
+    """A cluster hugging a NON-periodic domain boundary is canonicalized
+    with the domain edge PINNED in the crossing dims (the BC lands exactly
+    where the global fill's would); the iso extraction through the pinned
+    frame matches the dense enum run exactly."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+    from peleanalysis_tpu.geom import marching_cubes as mc
+
+    st = _corner_state(periodic=False)
     _, subs, _, infos = canonical_cluster_substates(
         st, ngrow_max=1, interp_stencil=0)
-    flags = sorted(i.canonical for i in infos)
-    assert flags == [False, True]
+    assert [i.canonical for i in infos] == [True, True]
+    # the pinned signature differs from the interior one -> separate engine
+    corner = next(s for s, i in zip(subs, infos)
+                  if s.meta.geoms[0].domain != s.lmeta[0].bbox)
+    dom_c, W0 = corner.meta.geoms[0].domain, corner.lmeta[0].bbox
+    assert W0.contains_box(dom_c) and dom_c != W0
     ds = DenseAmrState.from_batched(st)
     m_ref = mc.extract_isosurface(ds, "blob", 0.5, classify="enum")
     m_sp = mc.extract_isosurface_sparse(st, "blob", 0.5)
@@ -165,6 +182,69 @@ def test_boundary_cluster_falls_back_exact(tmp_path, monkeypatch):
     n2, t2 = _canon(m_sp)
     np.testing.assert_allclose(n1, n2, atol=1e-12)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_boundary_cluster_pinned_grad_exact():
+    """grad through a pinned corner frame == the dense global run on every
+    valid fine cell (the BC at the pinned edge must land exactly where the
+    global fill's does)."""
+    from peleanalysis_tpu.amr.canonical import (canonical_cluster_substates,
+                                                global_frame)
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+
+    st = _corner_state(periodic=False)
+    ds = DenseAmrState.from_batched(st)
+    ref = compute_grad_dense(ds, "blob", interp="quadratic")
+    groups, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1)
+    assert all(i.canonical for i in infos)
+    rb = ref.lmeta[1].bbox
+    boxes = list(st.meta.bas[1])
+
+    def fab(src, bbox, b, comp):
+        sl = tuple(slice(b.lo[d] - bbox.lo[d], b.hi[d] - bbox.lo[d] + 1)
+                   for d in range(3))
+        return np.asarray(src.data[1][comp][sl])
+
+    for g, sub, info in zip(groups, subs, infos):
+        out = global_frame(compute_grad_dense(sub, "blob",
+                                              interp="quadratic"), info)
+        for bi in g:
+            a = fab(out, out.lmeta[1].bbox, boxes[bi],
+                    out.comp("||gradblob||"))
+            b = fab(ref, rb, boxes[bi], ref.comp("||gradblob||"))
+            np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_boundary_cluster_pinned_stream_exact():
+    """Sparse streamline tracing through a pinned corner frame == the dense
+    march, including lines that clamp at the true domain boundary."""
+    from peleanalysis_tpu.stream.trace import (trace_streamlines,
+                                               trace_streamlines_sparse)
+
+    st = _corner_state(periodic=False)
+    rng = np.random.default_rng(3)
+    # seeds inside the corner cluster (near the boundary) + interior ones
+    seeds = np.concatenate([
+        rng.uniform(0.03, 0.2, (8, 3)),
+        0.5 + 0.06 * (rng.random((6, 3)) - 0.5)])
+    ds = DenseAmrState.from_batched(st)
+    ref = trace_streamlines(ds, seeds, 15, 0.5, trace_field=None,
+                            march_engine="xla")
+    sp = trace_streamlines_sparse(st, seeds, 15, 0.5, trace_field=None,
+                                  march_engine="xla")
+    np.testing.assert_allclose(sp, ref, atol=1e-9)
+
+
+def test_boundary_cluster_periodic_falls_back_legacy():
+    """Crossing a PERIODIC boundary cannot be served from a window (the
+    wrap needs the opposite side of the domain) -> legacy exact path."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+
+    st = _corner_state(periodic=True)
+    _, _, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=0)
+    assert sorted(i.canonical for i in infos) == [False, True]
 
 
 def test_canonical_substates_cached_on_state(multi_cluster_state):

@@ -163,15 +163,9 @@ def test_sparse_iso_ndevices_beyond_host(scattered_state):
     np.testing.assert_array_equal(big.elements, ref.elements)
 
 
-def test_boundary_clusters_ndevices_falls_back_dense(tmp_path, monkeypatch,
-                                                     capsys):
-    """All-boundary (non-canonical) clusters + ndevices>1: the tools must
-    honor ndevices via the dense spatial mesh, not silently run
-    single-device (review finding)."""
-    from peleanalysis_tpu.cli import main
-
-    # clusters hug the domain corners: canonical windows would cross the
-    # boundary, so every cluster is legacy
+def _corner_plotfile(tmp_path):
+    """3-level hierarchy whose fine clusters hug the domain corners: their
+    canonical windows cross the boundary in every dim."""
     n0 = 48
     dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
     geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
@@ -184,15 +178,49 @@ def test_boundary_clusters_ndevices_falls_back_dense(tmp_path, monkeypatch,
     st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
     plt = str(tmp_path / "plt_bd")
     st.to_plotfile(plt)
+    return plt
+
+
+def test_boundary_clusters_periodic_ndevices_falls_back_dense(
+        tmp_path, monkeypatch, capsys):
+    """Corner clusters + PERIODIC boundaries + ndevices>1: no window can
+    serve the wrap, every cluster is legacy, and the tools must honor
+    ndevices via the dense spatial mesh, not silently run single-device
+    (review finding).  grad defaults is_per=1 1 1; curvature gets it
+    explicitly."""
+    from peleanalysis_tpu.cli import main
+
+    plt = _corner_plotfile(tmp_path)
     monkeypatch.chdir(tmp_path)
     assert main(["grad", f"infile={plt}", "gradVar=blob",
                  "outfile=g_bd", "ndevices=8"]) == 0
     assert main(["curvature", f"infile={plt}", "progressName=blob",
-                 "outfile=K_bd", "ndevices=8"]) == 0
+                 "outfile=K_bd", "is_per=1 1 1", "ndevices=8"]) == 0
     seen = capsys.readouterr().out
     assert seen.count("ndevices honored via the dense path") == 2
     g = AmrState.from_plotfile("g_bd")
     assert "||gradblob||" in g.names
+
+
+def test_boundary_clusters_pinned_ndevices_spmd_exact(tmp_path, monkeypatch,
+                                                      capsys):
+    """Corner clusters + NON-periodic boundaries: pinned canonical frames
+    ride the cluster-axis SPMD under ndevices>1, exactly matching the
+    dense run (the round-3 behavior was a dense fallback at union-bbox
+    HBM)."""
+    from peleanalysis_tpu.cli import main
+
+    plt = _corner_plotfile(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    assert main(["grad", f"infile={plt}", "gradVar=blob", "is_per=0 0 0",
+                 "outfile=g_pin", "ndevices=8", "dtype=float64"]) == 0
+    seen = capsys.readouterr().out
+    assert "2 canonical-frame" in seen
+    assert "ndevices honored via the dense path" not in seen
+    assert main(["grad", f"infile={plt}", "gradVar=blob", "is_per=0 0 0",
+                 "outfile=g_ref", "force_dense=1", "dtype=float64"]) == 0
+    assert main(["fcompare", "infile1=g_pin", "infile2=g_ref",
+                 "atol=1e-12"]) == 0
 
 
 def test_sparse_stream_canonical_matches_dense(scattered_state):
