@@ -171,9 +171,12 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
 
     # ---- bucketed, aligned, domain-fitted fine frames ----------------------
     frames = []                        # (shift (3,), ext_b (3,)) per group
+    clu_lo, clu_hi = [], []            # cluster bbox per group (fine cells)
     for g in groups:
         lo = np.min([boxes[i].lo for i in g], axis=0)
         hi = np.max([boxes[i].hi for i in g], axis=0)
+        clu_lo.append(lo)
+        clu_hi.append(hi)
         shift, ext = [], []
         for d in range(3):
             lo_al = _floor_align(int(lo[d]), R0)
@@ -201,6 +204,60 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
 
     win_cache = {}
 
+    def windows_for(ext_b):
+        if ext_b not in win_cache:
+            win_cache[ext_b] = windows_canonical(ext_b)
+        return win_cache[ext_b]
+
+    def crossing(shift, W_c):
+        """Per dim [lo, hi]: do the grown windows reach past the true
+        domain edge on that side at any level?"""
+        cross = [[False, False] for _ in range(3)]
+        for lev in range(fin + 1):
+            wg = W_c[lev].shift(tuple(int(shift[d]) // F[lev]
+                                      for d in range(3))).grow(ngrow_max)
+            dom = meta.geoms[lev].domain
+            for d in range(3):
+                if wg.lo[d] < dom.lo[d]:
+                    cross[d][0] = True
+                if wg.hi[d] > dom.hi[d]:
+                    cross[d][1] = True
+        return cross
+
+    # ---- anchor boundary-crossing dims to the domain edge ------------------
+    # A pinned domain edge enters the compile (BC position is structural),
+    # so two clusters crossing the same side at DIFFERENT offsets would get
+    # different signatures.  Anchoring the frame AT the edge in each
+    # crossing dim makes the offset canonical (0), so all clusters sharing
+    # a (crossing-pattern, bucket) pair share ONE engine — the common
+    # production case is many clusters along the same domain face.  The
+    # frame grows toward the near edge by < the window margin (crossing
+    # implies the edge is within reach), bucket-padded.
+    if not meta.ndim2:
+        for gi in range(len(groups)):
+            shift, ext_b = frames[gi]
+            cross = crossing(shift, windows_for(ext_b))
+            if not any(any(c) for c in cross):
+                continue
+            ns, ne = [int(s) for s in shift], list(ext_b)
+            for d in range(3):
+                lo_x, hi_x = cross[d]
+                if not (lo_x or hi_x) or meta.geoms[0].is_periodic[d]:
+                    continue           # periodic crossing -> legacy later
+                if lo_x:
+                    ns[d] = dom_f.lo[d]
+                    ne[d] = _ceil_to(int(clu_hi[gi][d]) - dom_f.lo[d] + 1,
+                                     gran)
+                else:                  # hi side only: anchor frame hi AT it
+                    e = _ceil_to(dom_f.hi[d] + 1
+                                 - _floor_align(int(clu_lo[gi][d]), R0),
+                                 gran)
+                    s = dom_f.hi[d] + 1 - e
+                    if s < dom_f.lo[d]:
+                        s = dom_f.lo[d]   # tiny domain: lo-anchor instead
+                    ns[d], ne[d] = s, e
+            frames[gi] = (np.asarray(ns), tuple(ne))
+
     def pinned_domain(shift, W_c) -> Optional[Box]:
         """Level-0 canonical DOMAIN for this cluster, or None -> legacy.
 
@@ -215,16 +272,7 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
         the legacy frame is tight in z."""
         if meta.ndim2:
             return None
-        cross = [[False, False] for _ in range(3)]
-        for lev in range(fin + 1):
-            wg = W_c[lev].shift(tuple(int(shift[d]) // F[lev]
-                                      for d in range(3))).grow(ngrow_max)
-            dom = meta.geoms[lev].domain
-            for d in range(3):
-                if wg.lo[d] < dom.lo[d]:
-                    cross[d][0] = True
-                if wg.hi[d] > dom.hi[d]:
-                    cross[d][1] = True
+        cross = crossing(shift, W_c)
         dom0 = meta.geoms[0].domain
         W0 = W_c[0]
         lo_c, hi_c = [], []
