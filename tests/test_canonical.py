@@ -236,6 +236,70 @@ def test_boundary_cluster_pinned_stream_exact():
     np.testing.assert_allclose(sp, ref, atol=1e-9)
 
 
+def test_boundary_cluster_anchored_shared_signature():
+    """Two clusters along the SAME domain face at different offsets share
+    one anchored signature (one engine); a corner cluster gets its own."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+    from peleanalysis_tpu.amr.dense import hier_fingerprint
+
+    n0 = 48
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2)]
+    # x-lo face at two different offsets/y-positions + an x-lo corner
+    # (y/z stay deep interior so only the x pattern crosses)
+    ba1 = BoxArray([Box((2, 24, 24), (13, 35, 35)),     # x-lo, offset 2
+                    Box((6, 52, 52), (17, 63, 63)),     # x-lo, offset 6
+                    Box((0, 0, 0), (11, 11, 11))])      # lo corner
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2])
+    names, data = make_level_data(geoms, meta.bas,
+                                  {"f": lambda x, y, z: x * y + z})
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    _, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1, extra_margin=2)
+    assert all(i.canonical for i in infos)
+    fps = [hier_fingerprint(s) for s in subs]
+    # 2 signatures for 3 clusters: the two face clusters share one engine
+    # (cluster_boxes orders groups arbitrarily — compare as a multiset)
+    from collections import Counter
+    assert sorted(Counter(fps).values()) == [1, 2]
+
+
+def test_boundary_cluster_whole_domain_dim_exact():
+    """A cluster spanning (nearly) the whole domain in one dim: the frame
+    anchors at both edges; grad through it == dense."""
+    from peleanalysis_tpu.amr.canonical import (canonical_cluster_substates,
+                                                global_frame)
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+
+    n0 = 16
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2)]
+    ba1 = BoxArray([Box((0, 8, 8), (31, 19, 19))])   # full x span
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2])
+    names, data = make_level_data(
+        geoms, meta.bas,
+        {"f": lambda x, y, z: np.sin(3 * x) + y * y + 0.5 * z})
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    _, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1)
+    assert all(i.canonical for i in infos)
+    ds = DenseAmrState.from_batched(st)
+    ref = compute_grad_dense(ds, "f", interp="quadratic")
+    out = global_frame(compute_grad_dense(subs[0], "f", interp="quadratic"),
+                       infos[0])
+    b0 = ba1[0]
+    rb, wb = ref.lmeta[1].bbox, out.lmeta[1].bbox
+    sl_r = tuple(slice(b0.lo[d] - rb.lo[d], b0.hi[d] - rb.lo[d] + 1)
+                 for d in range(3))
+    sl_w = tuple(slice(b0.lo[d] - wb.lo[d], b0.hi[d] - wb.lo[d] + 1)
+                 for d in range(3))
+    c = ref.comp("||gradf||")
+    np.testing.assert_allclose(np.asarray(out.data[1][out.comp("||gradf||")])[sl_w],
+                               np.asarray(ref.data[1][c])[sl_r], atol=1e-12)
+
+
 def test_boundary_cluster_periodic_falls_back_legacy():
     """Crossing a PERIODIC boundary cannot be served from a window (the
     wrap needs the opposite side of the domain) -> legacy exact path."""
