@@ -179,6 +179,13 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
         clu_hi.append(hi)
         shift, ext = [], []
         for d in range(3):
+            if meta.ndim2 and d == 2:
+                # DIM=2: the frame carries the EXACT fine z extent (no z
+                # bucketing — a granule-deep window of z-uniform planes is
+                # pure waste) and pins both z edges below
+                shift.append(dom_f.lo[2])
+                ext.append(dom_f.shape[2])
+                continue
             lo_al = _floor_align(int(lo[d]), R0)
             eb = _ceil_to(int(hi[d]) - lo_al + 1, gran)
             # bucket padding may poke past the domain hi: slide the frame
@@ -233,30 +240,31 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
     # production case is many clusters along the same domain face.  The
     # frame grows toward the near edge by < the window margin (crossing
     # implies the edge is within reach), bucket-padded.
-    if not meta.ndim2:
-        for gi in range(len(groups)):
-            shift, ext_b = frames[gi]
-            cross = crossing(shift, windows_for(ext_b))
-            if not any(any(c) for c in cross):
-                continue
-            ns, ne = [int(s) for s in shift], list(ext_b)
-            for d in range(3):
-                lo_x, hi_x = cross[d]
-                if not (lo_x or hi_x) or meta.geoms[0].is_periodic[d]:
-                    continue           # periodic crossing -> legacy later
-                if lo_x:
-                    ns[d] = dom_f.lo[d]
-                    ne[d] = _ceil_to(int(clu_hi[gi][d]) - dom_f.lo[d] + 1,
-                                     gran)
-                else:                  # hi side only: anchor frame hi AT it
-                    e = _ceil_to(dom_f.hi[d] + 1
-                                 - _floor_align(int(clu_lo[gi][d]), R0),
+    for gi in range(len(groups)):
+        shift, ext_b = frames[gi]
+        cross = crossing(shift, windows_for(ext_b))
+        if not any(any(c) for c in cross):
+            continue
+        ns, ne = [int(s) for s in shift], list(ext_b)
+        for d in range(3):
+            if meta.ndim2 and d == 2:
+                continue               # z already exact + edge-pinned
+            lo_x, hi_x = cross[d]
+            if not (lo_x or hi_x) or meta.geoms[0].is_periodic[d]:
+                continue               # periodic crossing -> legacy later
+            if lo_x:
+                ns[d] = dom_f.lo[d]
+                ne[d] = _ceil_to(int(clu_hi[gi][d]) - dom_f.lo[d] + 1,
                                  gran)
-                    s = dom_f.hi[d] + 1 - e
-                    if s < dom_f.lo[d]:
-                        s = dom_f.lo[d]   # tiny domain: lo-anchor instead
-                    ns[d], ne[d] = s, e
-            frames[gi] = (np.asarray(ns), tuple(ne))
+            else:                      # hi side only: anchor frame hi AT it
+                e = _ceil_to(dom_f.hi[d] + 1
+                             - _floor_align(int(clu_lo[gi][d]), R0),
+                             gran)
+                s = dom_f.hi[d] + 1 - e
+                if s < dom_f.lo[d]:
+                    s = dom_f.lo[d]       # tiny domain: lo-anchor instead
+                ns[d], ne[d] = s, e
+        frames[gi] = (np.asarray(ns), tuple(ne))
 
     def pinned_domain(shift, W_c) -> Optional[Box]:
         """Level-0 canonical DOMAIN for this cluster, or None -> legacy.
@@ -266,18 +274,20 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
         on a non-periodic side gets that edge PINNED (true edge, translated
         to the canonical frame) so the engine's BC application lands
         exactly where the global fill's would; a reach past a PERIODIC
-        edge cannot be served from a window -> legacy.  DIM=2 states stay
-        legacy: pinning the 1-cell z domain inside a bucket-padded z window
-        would be exact but carries granule/extent x useless z planes —
-        the legacy frame is tight in z."""
-        if meta.ndim2:
-            return None
+        edge cannot be served from a window -> legacy (unless the dim's
+        domain extent is 1 at every level — wrap and foextrap coincide
+        there, e.g. the z dim of a DIM=2 plotfile).  DIM=2 frames carry
+        the exact fine z extent (set in the frames loop) with both z edges
+        pinned, so 2-D scattered states share engines too."""
         cross = crossing(shift, W_c)
         dom0 = meta.geoms[0].domain
         W0 = W_c[0]
         lo_c, hi_c = [], []
         for d in range(3):
-            if (cross[d][0] or cross[d][1]) and meta.geoms[0].is_periodic[d]:
+            if ((cross[d][0] or cross[d][1])
+                    and meta.geoms[0].is_periodic[d]
+                    and any(meta.geoms[lev].domain.shape[d] > 1
+                            for lev in range(fin + 1))):
                 return None
             s0 = int(shift[d]) // F[0]
             # clamp to the window: when only a coarse level's GROW ring
@@ -323,7 +333,22 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
                       (False, False, False))
         gs = [g0]
         for lev in range(1, fin + 1):
-            gs.append(gs[-1].refine(meta.ref_ratio[lev - 1]))
+            g = gs[-1].refine(meta.ref_ratio[lev - 1])
+            if meta.ndim2:
+                # real DIM=2 hierarchies do NOT refine z (promote_2d gives
+                # every level a z domain straight from the 2-D file) — a
+                # blind refine would claim z in-domain positions the data
+                # does not have, skipping the exterior z BC and leaving
+                # coarse-upsample values in the z ghosts (measured: gz != 0
+                # on a z-uniform field).  Take each level's TRUE z bounds
+                # (z is never translated: shift[2] anchors at dom_f.lo[2]).
+                tz = meta.geoms[lev].domain
+                d = g.domain
+                g = Geometry(Box((d.lo[0], d.lo[1], tz.lo[2]),
+                                 (d.hi[0], d.hi[1], tz.hi[2])),
+                             g.prob_lo, g.prob_hi, g.is_periodic,
+                             g.coord_sys)
+            gs.append(g)
         return gs
 
     # hoist per-level host mask sources once (np; avoids re-fetching)

@@ -663,7 +663,13 @@ def trace_streamlines_sparse(
     groups, subs, base, infos = canonical_cluster_substates(
         state, ngrow_max=ngrow_fin, interp_stencil=1, dist=ngrow_fin + 1)
 
-    seeds = push_nodes_inside(np.asarray(seeds, np.float64), meta.geoms[0])
+    seeds = np.asarray(seeds, np.float64)
+    if seeds.shape[1] == 2:  # DIM=2 plotfile: promote seeds to the z center
+        g0 = meta.geoms[0]
+        zc = 0.5 * (g0.prob_lo[2] + g0.prob_hi[2])
+        seeds = np.concatenate(
+            [seeds, np.full((len(seeds), 1), zc)], axis=1)
+    seeds = push_nodes_inside(seeds, meta.geoms[0])
     # global owner level for each seed, finest checked against the real
     # BoxArray (no dense union mask needed)
     geom_f = meta.geoms[fin]

@@ -581,8 +581,9 @@ def main(args: dict) -> None:
                 fine_fabs[i] = box_fab(outs[gi], fin, boxes[i], aux_dense)
         level_data.append(fine_fabs)
         outfile = pp.query_str("outfile", infile + "_K")
-        write_plotfile(outfile, out_names, meta.time, list(meta.geoms),
-                       list(meta.ref_ratio), list(meta.bas), level_data)
+        # shared writer tail: demotes DIM=2 states back to 2-D plotfiles
+        from ..amr.hierarchy import write_level_fabs
+        write_level_fabs(meta, out_names, level_data, outfile)
         n_can = sum(1 for i in infos if i.canonical)
         print(f"wrote {outfile} ({len(groups)} clusters, "
               f"{n_can} canonical-frame)")

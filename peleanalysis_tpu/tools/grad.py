@@ -306,9 +306,9 @@ def main(args: dict) -> None:
             for i in g:
                 fine_fabs[i] = box_fab(outs[gi], fin, boxes[i])
         level_data.append(fine_fabs)
-        write_plotfile(outfile, list(coarse_out.names), meta.time,
-                       list(meta.geoms), list(meta.ref_ratio),
-                       list(meta.bas), level_data)
+        # shared writer tail: demotes DIM=2 states back to 2-D plotfiles
+        from ..amr.hierarchy import write_level_fabs
+        write_level_fabs(meta, list(coarse_out.names), level_data, outfile)
         n_can = sum(1 for i in infos if i.canonical)
         print(f"wrote {outfile} ({len(groups)} clusters, "
               f"{n_can} canonical-frame)")

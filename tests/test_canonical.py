@@ -326,24 +326,111 @@ def test_canonical_substates_cached_on_state(multi_cluster_state):
     assert c[1][0] is not a[1][0], "LRU(4) should have evicted the entry"
 
 
-def test_canonical_2d_falls_back_legacy():
-    """DIM=2 states (z extent 1): bucket-padded z windows can never fit the
-    domain, so every cluster must come back LEGACY — exercised directly
-    (the CLI sparse gates rarely fire in 2-D, but a crash here would take
-    down any large scattered 2-D run)."""
-    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+def test_canonical_2d_exact_z_frames(tmp_path):
+    """DIM=2 states: frames carry the EXACT fine z extent (no z bucketing)
+    with both z edges pinned, so scattered 2-D clusters canonicalize and
+    share engines; grad through them == the dense 2-D run.  The state
+    round-trips through a REAL 2-D plotfile (promote_2d gives every level
+    z extent 1 and an unrefined z — the form that exposed the gz!=0 bug
+    when canonical geoms blindly refined z)."""
+    from peleanalysis_tpu.amr.canonical import (canonical_cluster_substates,
+                                                global_frame)
+    from peleanalysis_tpu.amr.dense import hier_fingerprint
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
 
-    n0 = 32
+    n0 = 64
+    dom0 = Box((0, 0, 0), (n0 - 1, n0 - 1, 0))
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1. / n0), (False,) * 3)
+    geoms = [geom0, geom0.refine(2)]
+    # both deep interior (a 32-granule frame near the edge slides flush and
+    # legitimately becomes a pinned-hi signature — that case is 3-D-tested)
+    ba1 = BoxArray([Box((16, 16, 0), (27, 27, 1)),
+                    Box((80, 80, 0), (91, 91, 1))])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2], ndim2=True)
+    names, data = make_level_data(geoms, meta.bas,
+                                  {"f": lambda x, y, z: x * x + y})
+    st0 = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    plt = str(tmp_path / "plt2d_canon")
+    st0.to_plotfile(plt)
+    st = AmrState.from_plotfile(plt, dtype=np.float64)
+    assert st.meta.geoms[1].domain.shape[2] == 1   # promote_2d: unrefined z
+    ba1 = st.meta.bas[1]
+    groups, subs, base, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1)
+    assert len(subs) == 2
+    assert all(i.canonical for i in infos)
+    # z is never bucket-padded: the frame depth equals the fine z extent
+    assert all(s.lmeta[1].bbox.shape[2] == 1 for s in subs)
+    assert hier_fingerprint(subs[0]) == hier_fingerprint(subs[1])
+    ds = DenseAmrState.from_batched(st)
+    ref = compute_grad_dense(ds, "f", interp="quadratic")
+    rb = ref.lmeta[1].bbox
+    boxes = list(ba1)
+    for g, sub, info in zip(groups, subs, infos):
+        out = global_frame(compute_grad_dense(sub, "f",
+                                              interp="quadratic"), info)
+        wb = out.lmeta[1].bbox
+        for bi in g:
+            bx = boxes[bi]
+            slw = tuple(slice(bx.lo[d] - wb.lo[d], bx.hi[d] - wb.lo[d] + 1)
+                        for d in range(3))
+            slr = tuple(slice(bx.lo[d] - rb.lo[d], bx.hi[d] - rb.lo[d] + 1)
+                        for d in range(3))
+            a = np.asarray(out.data[1][out.comp("||gradf||")])[slw]
+            b = np.asarray(ref.data[1][ref.comp("||gradf||")])[slr]
+            np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_canonical_2d_sparse_stream_exact(tmp_path):
+    """2-D sparse streamline tracing through canonical frames == the dense
+    march (2-column seeds promote to the z center; this path crashed on
+    unpromoted seeds before r4)."""
+    from peleanalysis_tpu.stream.trace import (trace_streamlines,
+                                               trace_streamlines_sparse)
+
+    n0 = 64
     dom0 = Box((0, 0, 0), (n0 - 1, n0 - 1, 0))
     geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1. / n0), (False,) * 3)
     geoms = [geom0, geom0.refine(2)]
     ba1 = BoxArray([Box((16, 16, 0), (27, 27, 1)),
-                    Box((40, 40, 0), (51, 51, 1))])
+                    Box((80, 80, 0), (91, 91, 1))])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2], ndim2=True)
+    names, data = make_level_data(
+        geoms, meta.bas,
+        {"temp": lambda x, y, z: 300 + 1500 * np.exp(
+            -((x - .35) ** 2 + (y - .35) ** 2) / .01)})
+    plt = str(tmp_path / "plt2d_stream")
+    AmrState.from_arrays(meta, names, data, dtype=np.float64).to_plotfile(plt)
+    st = AmrState.from_plotfile(plt, dtype=np.float64)
+    rng = np.random.default_rng(9)
+    seeds = np.concatenate([
+        np.stack([rng.uniform(0.26, 0.42, 8),
+                  rng.uniform(0.26, 0.42, 8)], axis=1),
+        np.stack([rng.uniform(0.1, 0.9, 6),
+                  rng.uniform(0.1, 0.9, 6)], axis=1)])
+    ref = trace_streamlines(DenseAmrState.from_batched(st), seeds, 15, 0.5,
+                            trace_field="temp", march_engine="xla")
+    sp = trace_streamlines_sparse(st, seeds, 15, 0.5, trace_field="temp",
+                                  march_engine="xla")
+    np.testing.assert_allclose(sp, ref, atol=1e-12)
+
+
+def test_canonical_2d_periodic_xy_falls_back_legacy():
+    """2-D clusters crossing a PERIODIC x/y boundary still fall back to
+    the exact legacy path (extent > 1: wrap needs the opposite side)."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+
+    n0 = 64
+    dom0 = Box((0, 0, 0), (n0 - 1, n0 - 1, 0))
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1. / n0),
+                     (True, True, False))
+    geoms = [geom0, geom0.refine(2)]
+    ba1 = BoxArray([Box((0, 0, 0), (11, 11, 1)),      # hugs periodic corner
+                    Box((60, 60, 0), (71, 71, 1))])   # deep interior
     meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [2], ndim2=True)
     names, data = make_level_data(geoms, meta.bas,
                                   {"f": lambda x, y, z: x + y})
     st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
-    groups, subs, base, infos = canonical_cluster_substates(
+    _, _, _, infos = canonical_cluster_substates(
         st, ngrow_max=1, interp_stencil=1)
-    assert len(subs) == 2
-    assert not any(i.canonical for i in infos)
+    assert sorted(i.canonical for i in infos) == [False, True]
