@@ -216,6 +216,42 @@ def test_boundary_cluster_pinned_grad_exact():
             np.testing.assert_allclose(a, b, atol=1e-12)
 
 
+def test_boundary_cluster_pinned_curvature_exact():
+    """The 13-field curvature chain through a pinned corner frame == the
+    dense run (chained stencil stages read deepest into the BC layers —
+    the sharpest test of pinned-edge placement)."""
+    from peleanalysis_tpu.amr.canonical import (canonical_cluster_substates,
+                                                global_frame)
+    from peleanalysis_tpu.tools.curvature import compute_curvature_dense
+
+    st = _corner_state(periodic=False)
+    ds = DenseAmrState.from_batched(st)
+    kw = dict(do_smooth=False, do_gauss=True, prog_min=0.0, prog_max=1.0,
+              use_file_minmax=False)
+    ref = compute_curvature_dense(ds, "blob", **kw)
+    groups, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1, extra_margin=2)
+    assert all(i.canonical for i in infos)
+    rb = ref.lmeta[1].bbox
+    boxes = list(st.meta.bas[1])
+    for g, sub, info in zip(groups, subs, infos):
+        out = global_frame(compute_curvature_dense(sub, "blob", **kw), info)
+        wb = out.lmeta[1].bbox
+        for name in ("MeanCurvature_blob", "GaussianCurvature_blob"):
+            ci, co = ref.comp(name), out.comp(name)
+            for bi in g:
+                bx = boxes[bi]
+                slw = tuple(slice(bx.lo[d] - wb.lo[d],
+                                  bx.hi[d] - wb.lo[d] + 1) for d in range(3))
+                slr = tuple(slice(bx.lo[d] - rb.lo[d],
+                                  bx.hi[d] - rb.lo[d] + 1) for d in range(3))
+                a = np.asarray(out.data[1][co])[slw]
+                b = np.asarray(ref.data[1][ci])[slr]
+                f = np.isfinite(b)      # Kg is 0/0 where the gradient dies
+                scale = max(np.abs(b[f]).max(), 1e-30)
+                assert np.abs(a[f] - b[f]).max() / scale < 1e-12, name
+
+
 def test_boundary_cluster_pinned_stream_exact():
     """Sparse streamline tracing through a pinned corner frame == the dense
     march, including lines that clamp at the true domain boundary."""
