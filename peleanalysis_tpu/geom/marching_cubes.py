@@ -692,6 +692,21 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
             ghost = ~inlev_devs[lev]
             for a in range(3):
                 crossed = _edge_crossed(inside, a)
+                if lev not in emit_levels:
+                    # emit-restricted (sparse cluster) run: a non-emitted
+                    # coarse level enumerates ONLY the class-B seam parents
+                    # finer levels inject below — its own crossing refs are
+                    # merge-dedup fodder at best, and at a middle level's
+                    # window pad ring they are JUNK: the ring holds
+                    # coarse-upsampled values where the global run has real
+                    # mid-level data, so ring refs/positions disagree with
+                    # the dense run (measured: 42 bogus/corrupt seam nodes
+                    # on a 3-level scattered case; the colliding keys also
+                    # overwrote correct coarse-pass node positions in the
+                    # cross-run merge)
+                    z = jnp.zeros(crossed.shape, bool)
+                    refs[lev][a] = (z, z if lev > 0 else None)
+                    continue
                 dil = _dilate_active(act, a)
                 ref = crossed & dil
                 if lev > 0:

@@ -17,20 +17,25 @@ from peleanalysis_tpu.amr.hierarchy import AmrMeta, AmrState
 from peleanalysis_tpu.testing import make_level_data
 
 
-def _random_state(seed, ratio):
-    """Random scattered 2-level hierarchy; boxes may hug any domain face."""
+def _random_state(seed, ratio, n_levels=2):
+    """Random scattered hierarchy; finest boxes may hug any domain face.
+    n_levels=3 adds a mid level (union of grown finest parents), so the
+    canonical frames carry an INTERMEDIATE translated window too."""
     rng = np.random.default_rng(seed)
     n0 = 24 if ratio == 2 else 16
-    nf = n0 * ratio
+    R = ratio ** (n_levels - 1)
+    nf = n0 * R
     dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
     geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
-    geoms = [geom0, geom0.refine(ratio)]
+    geoms = [geom0]
+    for _ in range(n_levels - 1):
+        geoms.append(geoms[-1].refine(ratio))
     boxes = []
     # up to 3 well-separated clusters at random (possibly boundary) spots
     anchors = rng.permutation([(0, 0, 0), (1, 1, 1), (2, 0, 2),
                                (0, 2, 1), (2, 2, 2), (1, 0, 0)])[:3]
     for a in anchors:
-        ext = int(rng.integers(4, 9)) * ratio // 2
+        ext = int(rng.integers(4, 9)) * R // 2
         lo = []
         for d in range(3):
             third = nf // 3
@@ -42,42 +47,57 @@ def _random_state(seed, ratio):
                 lo.append(nf - ext)
             else:
                 lo.append(int(rng.integers(base, base + third - ext)))
-        lo = [(v // ratio) * ratio for v in lo]
+        lo = [(v // R) * R for v in lo]
         boxes.append(Box(tuple(lo), tuple(v + ext - 1 for v in lo)))
-    ba1 = BoxArray(boxes)
-    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [ratio])
+    ba_f = BoxArray(boxes)
+    bas = [BoxArray([dom0])]
+    if n_levels == 3:
+        # mid level: a DISJOINT blocky cover of the grown finest parents
+        # (naive per-cluster grown parents can overlap when clusters are
+        # near-adjacent — overlapping level boxes are invalid AMR input)
+        from peleanalysis_tpu.amr.box import decompose
+        mid_dom = geoms[1].domain
+        parents = [b.coarsen(ratio).grow(2).intersect(mid_dom)
+                   for b in boxes]
+        keep = [b for b in decompose(mid_dom, 8)
+                if any(not b.intersect(p).is_empty() for p in parents)]
+        bas.append(BoxArray(keep))
+    bas.append(ba_f)
+    meta = AmrMeta(geoms, bas, [ratio] * (n_levels - 1))
     names, data = make_level_data(
         geoms, meta.bas,
         {"temp": lambda x, y, z: 300 + 1500 * (
             np.exp(-((x - .3) ** 2 + (y - .4) ** 2 + (z - .3) ** 2) / .02)
             + np.exp(-((x - .7) ** 2 + (y - .6) ** 2
                        + (z - .8) ** 2) / .02)) + 10 * x + 5 * y * z})
-    return AmrState.from_arrays(meta, names, data, dtype=np.float64), ba1
+    return AmrState.from_arrays(meta, names, data, dtype=np.float64), ba_f
 
 
-@pytest.mark.parametrize("seed,ratio", [(0, 2), (1, 2), (2, 4), (3, 2),
-                                        (4, 4), (5, 2)])
-def test_fuzz_sparse_grad_iso_match_dense(seed, ratio):
+@pytest.mark.parametrize("seed,ratio,n_levels",
+                         [(0, 2, 2), (1, 2, 2), (2, 4, 2), (3, 2, 3),
+                          (4, 4, 2), (5, 2, 3)])
+def test_fuzz_sparse_grad_iso_match_dense(seed, ratio, n_levels):
     from peleanalysis_tpu.amr.canonical import (canonical_cluster_substates,
                                                 global_frame)
     from peleanalysis_tpu.geom import marching_cubes as mc
     from peleanalysis_tpu.tools.grad import compute_grad_dense
 
-    st, ba1 = _random_state(seed, ratio)
+    st, ba1 = _random_state(seed, ratio, n_levels)
     ds = DenseAmrState.from_batched(st)
 
     # --- grad: every cluster, every box, exact ---------------------------
+    fin = st.meta.n_levels - 1
     ref = compute_grad_dense(ds, "temp", interp="quadratic")
     groups, subs, _, infos = canonical_cluster_substates(
         st, ngrow_max=1, interp_stencil=1)
     assert all(i.canonical for i in infos)   # non-periodic: all canonical
-    rb = ref.lmeta[1].bbox
+    rb = ref.lmeta[fin].bbox
     boxes = list(ba1)
     c = ref.comp("||gradtemp||")
     for g, sub, info in zip(groups, subs, infos):
         out = global_frame(compute_grad_dense(sub, "temp",
                                               interp="quadratic"), info)
-        wb = out.lmeta[1].bbox
+        wb = out.lmeta[fin].bbox
         co = out.comp("||gradtemp||")
         for bi in g:
             bx = boxes[bi]
@@ -85,8 +105,8 @@ def test_fuzz_sparse_grad_iso_match_dense(seed, ratio):
                         for d in range(3))
             slr = tuple(slice(bx.lo[d] - rb.lo[d], bx.hi[d] - rb.lo[d] + 1)
                         for d in range(3))
-            a = np.asarray(out.data[1][co])[slw]
-            b = np.asarray(ref.data[1][c])[slr]
+            a = np.asarray(out.data[fin][co])[slw]
+            b = np.asarray(ref.data[fin][c])[slr]
             np.testing.assert_allclose(a, b, atol=1e-12,
                                        err_msg=f"seed={seed} box={bi}")
 
