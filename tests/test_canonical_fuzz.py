@@ -51,16 +51,16 @@ def _random_state(seed, ratio, n_levels=2):
         boxes.append(Box(tuple(lo), tuple(v + ext - 1 for v in lo)))
     ba_f = BoxArray(boxes)
     bas = [BoxArray([dom0])]
-    if n_levels == 3:
-        # mid level: a DISJOINT blocky cover of the grown finest parents
-        # (naive per-cluster grown parents can overlap when clusters are
-        # near-adjacent — overlapping level boxes are invalid AMR input)
-        from peleanalysis_tpu.amr.box import decompose
-        mid_dom = geoms[1].domain
-        parents = [b.coarsen(ratio).grow(2).intersect(mid_dom)
-                   for b in boxes]
-        keep = [b for b in decompose(mid_dom, 8)
-                if any(not b.intersect(p).is_empty() for p in parents)]
+    # intermediate levels: DISJOINT blocky covers of the grown finest
+    # parents (naive per-cluster grown parents can overlap when clusters
+    # are near-adjacent — overlapping level boxes are invalid AMR input)
+    from peleanalysis_tpu.amr.box import decompose
+    for l in range(1, n_levels - 1):
+        rl = ratio ** (n_levels - 1 - l)   # fine cells per level-l cell
+        ldom = geoms[l].domain
+        parents = [b.coarsen(rl).grow(2).intersect(ldom) for b in boxes]
+        keep = [bb for bb in decompose(ldom, 8)
+                if any(not bb.intersect(p).is_empty() for p in parents)]
         bas.append(BoxArray(keep))
     bas.append(ba_f)
     meta = AmrMeta(geoms, bas, [ratio] * (n_levels - 1))
@@ -75,7 +75,7 @@ def _random_state(seed, ratio, n_levels=2):
 
 @pytest.mark.parametrize("seed,ratio,n_levels",
                          [(0, 2, 2), (1, 2, 2), (2, 4, 2), (3, 2, 3),
-                          (4, 4, 2), (5, 2, 3)])
+                          (4, 4, 2), (5, 2, 3), (6, 2, 4)])
 def test_fuzz_sparse_grad_iso_match_dense(seed, ratio, n_levels):
     from peleanalysis_tpu.amr.canonical import (canonical_cluster_substates,
                                                 global_frame)
@@ -128,3 +128,57 @@ def test_fuzz_sparse_grad_iso_match_dense(seed, ratio, n_levels):
     n2, t2 = canon(m_sp)
     np.testing.assert_allclose(n1, n2, atol=1e-12)
     np.testing.assert_array_equal(t1, t2)
+
+
+@pytest.mark.parametrize("seed,ratio,n_levels", [(1, 2, 2), (3, 2, 3)])
+def test_fuzz_sparse_stream_matches_dense(seed, ratio, n_levels):
+    """Random layouts: canonical sparse streamline tracing == dense march
+    (seeds near every cluster + coarse-owned seeds)."""
+    from peleanalysis_tpu.stream.trace import (trace_streamlines,
+                                               trace_streamlines_sparse)
+
+    st, ba1 = _random_state(seed, ratio, n_levels)
+    fin = st.meta.n_levels - 1
+    geomf = st.meta.geoms[fin]
+    nf = geomf.domain.shape[0]
+    rng = np.random.default_rng(seed + 100)
+    seeds = [0.5 + 0.4 * (rng.random((4, 3)) - 0.5)]      # coarse-owned-ish
+    for b in ba1:
+        c = (np.array(b.lo) + np.array(b.hi) + 1) / 2.0 / nf
+        seeds.append(c + 0.02 * (rng.random((4, 3)) - 0.5))
+    seeds = np.concatenate(seeds)
+    ref = trace_streamlines(DenseAmrState.from_batched(st), seeds, 13, 0.5,
+                            trace_field="temp", march_engine="xla")
+    sp = trace_streamlines_sparse(st, seeds, 13, 0.5, trace_field="temp",
+                                  march_engine="xla")
+    np.testing.assert_allclose(sp, ref, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed,ratio,n_levels", [(0, 2, 2), (5, 2, 3)])
+def test_fuzz_sparse_stats_match_dense(seed, ratio, n_levels):
+    """Random layouts: the sparse conditionalMean accumulation (coarse part
+    + per-cluster finest parts, ratio^ndim rescale) == dense."""
+    from peleanalysis_tpu.amr.cluster import sparse_stats_parts
+    from peleanalysis_tpu.tools.conditional_mean import (
+        accumulate_conditional_mean)
+
+    st, _ = _random_state(seed, ratio, n_levels)
+    ds = DenseAmrState.from_batched(st)
+    args = ("temp", ["temp"], 32, 300.0, 1801.0, True)
+    ref = accumulate_conditional_mean(ds, *args)
+    ds_c, clusters, r = sparse_stats_parts(st)
+    parts = [(ds_c, float(r ** 3))] + [(c, 1.0) for c in clusters]
+    acc = None
+    for dsp, scale in parts:
+        h, s, s2, mn, mx = accumulate_conditional_mean(dsp, *args)
+        if acc is None:
+            acc = [scale * h, scale * s, scale * s2, mn, mx]
+        else:
+            acc[0] += scale * h
+            acc[1] += scale * s
+            acc[2] += scale * s2
+            acc[3] = np.minimum(acc[3], mn)
+            acc[4] = np.maximum(acc[4], mx)
+    for x, y, tag in zip(ref, acc, ("hits", "sums", "sumsq", "min", "max")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-10, atol=1e-9, err_msg=tag)
