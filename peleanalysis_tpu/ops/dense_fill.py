@@ -188,6 +188,39 @@ def _bc_block(inner: jnp.ndarray, d: int, n: int, mode: str, is_lo: bool,
     raise ValueError(f"unknown BC mode {mode}")
 
 
+def _merge_fine_level(data, mask, up, gbox: Box, geom: Geometry,
+                      ngrow: int) -> jnp.ndarray:
+    """where(mask, fine, coarse-upsample) over gbox, honouring SAME-LEVEL
+    periodic images: a grown position outside the domain along periodic
+    dims takes the fine value at its wrapped image whenever that image lies
+    inside the level's stored extent and is covered by the level's boxes
+    (AMReX FillBoundary periodic copies run before coarse interpolation —
+    reference Src/grad.cpp:136-144 FillPatchTwoLevels semantics).  Images
+    outside the stored extent or uncovered fall through to the coarse
+    upsample, exactly as a hole would.  Levels whose grown box stays inside
+    the domain (every interior AMR level) skip the remap entirely."""
+    pad = [(0, 0)] + [(ngrow, ngrow)] * 3
+    fine_p = jnp.pad(data, pad)
+    mask_p = jnp.pad(mask, pad[1:])
+    dom = geom.domain
+    for d in range(3):
+        if not geom.is_periodic[d]:
+            continue
+        pos = np.arange(gbox.lo[d], gbox.hi[d] + 1)
+        w = dom.lo[d] + (pos - dom.lo[d]) % dom.shape[d]
+        if np.array_equal(w, pos):
+            continue                   # grown box inside the domain: free
+        idx = w - gbox.lo[d]
+        valid = (idx >= 0) & (idx < len(pos))
+        take = jnp.asarray(np.where(valid, idx, 0))
+        fine_p = jnp.take(fine_p, take, axis=_ax(fine_p, d))
+        vshape = [1, 1, 1]
+        vshape[d] = len(pos)
+        mask_p = (jnp.take(mask_p, take, axis=d)
+                  & jnp.asarray(valid).reshape(vshape))
+    return jnp.where(mask_p[None], fine_p, up)
+
+
 def _combine_two_level(meta, lmeta, lev: int, ngrow: int, data, mask,
                        crse_grown: jnp.ndarray, crse_g: int,
                        bc: BCSpec, interp: str) -> jnp.ndarray:
@@ -211,10 +244,7 @@ def _combine_two_level(meta, lmeta, lev: int, ngrow: int, data, mask,
     sl = tuple(slice(gbox.lo[d] - cbox.lo[d] * r,
                      gbox.hi[d] + 1 - cbox.lo[d] * r) for d in range(3))
     up = c[(slice(None),) + sl]
-    pad = [(0, 0)] + [(ngrow, ngrow)] * 3
-    fine_p = jnp.pad(data, pad)
-    mask_p = jnp.pad(mask, pad[1:])
-    grown = jnp.where(mask_p[None], fine_p, up)
+    grown = _merge_fine_level(data, mask, up, gbox, geom, ngrow)
     return _apply_exterior_bc(grown, gbox, geom, bc)
 
 
@@ -314,11 +344,7 @@ def fill_dense_arrays(meta, lmeta, data_list, mask_list, lev: int, ngrow: int,
                      gbox.hi[d] + 1 - cbox.lo[d] * r) for d in range(3))
     up = c[(slice(None),) + sl]
 
-    mask = mask_list[lev]
-    pad = [(0, 0)] + [(ngrow, ngrow)] * 3
-    fine_p = jnp.pad(data, pad)
-    mask_p = jnp.pad(mask, pad[1:])
-    grown = jnp.where(mask_p[None], fine_p, up)
+    grown = _merge_fine_level(data, mask_list[lev], up, gbox, geom, ngrow)
     return _apply_exterior_bc(grown, gbox, geom, bc)
 
 

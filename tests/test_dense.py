@@ -85,6 +85,67 @@ def test_dense_level0_periodic_fill():
                                interior[:g, :, :], rtol=1e-13)
 
 
+def _edge_pair_state(periodic=(True, False, False)):
+    """Two-level hierarchy whose FINE level touches both x faces, so fine
+    ghost cells past a periodic x edge have fine-covered periodic images."""
+    n = 16
+    dom0 = Box((0, 0, 0), (n - 1, n - 1, n - 1))
+    geom0 = Geometry(dom0, (0.0,) * 3, (1.0,) * 3, periodic)
+    geom1 = geom0.refine(2)
+    ba0 = decompose(dom0, 8)
+    ba1 = BoxArray([Box((0, 8, 8), (7, 23, 23)),
+                    Box((24, 8, 8), (31, 23, 23))])
+    meta = AmrMeta([geom0, geom1], [ba0, ba1], [2])
+    # NOT smooth across the wrap: a coarse interpolation cannot reproduce it
+    fields = {"f": lambda x, y, z: np.sin(37.0 * x) * (1 + y) + z * z}
+    fabs = [[eval_on_box(b, g, fields) for b in ba]
+            for g, ba in zip([geom0, geom1], [ba0, ba1])]
+    return AmrState.from_arrays(meta, list(fields), fabs, dtype=np.float64)
+
+
+def test_dense_fill_fine_periodic_wrap_uses_same_level_data():
+    """Fine-level ghosts past a periodic edge must take the SAME-LEVEL data
+    at the periodic image when it is fine-covered (AMReX FillBoundary
+    periodic copies precede coarse interpolation) — not a coarse interp."""
+    st = _edge_pair_state()
+    ds = DenseAmrState.from_batched(st)
+    g = 2
+    grown = np.asarray(fill_dense(ds, 1, g))  # covers bbox.grow(g)
+    dense = np.asarray(ds.data[1])            # covers bbox x[0..31] yz[8..23]
+    # ghost planes x=-2,-1 wrap to x=30,31; y,z restricted to the covered
+    # band [8..23] -> grown index y - (8 - g)
+    ys = slice(g, 16 + g)
+    np.testing.assert_allclose(grown[0, 0, ys, ys], dense[0, 30],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(grown[0, 1, ys, ys], dense[0, 31],
+                               rtol=0, atol=0)
+    # hi side: x=32,33 wrap to 0,1
+    np.testing.assert_allclose(grown[0, -2, ys, ys], dense[0, 0],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(grown[0, -1, ys, ys], dense[0, 1],
+                               rtol=0, atol=0)
+
+
+def test_dense_fill_matches_gather_fill_periodic_edges():
+    """Dense and gather-plan fills agree on a layout whose fine level
+    touches both sides of a periodic dim (2 levels: the coarse union spans
+    the domain, so both engines' c-f interpolation sources coincide)."""
+    st = _edge_pair_state()
+    ds = DenseAmrState.from_batched(st)
+    g = 1
+    dense_grown = np.asarray(fill_dense(ds, 1, g))
+    batched_grown = np.asarray(fill_grown(st, 1, g, interp="linear"))
+    bbox = ds.lmeta[1].bbox
+    for i, b in enumerate(st.meta.bas[1]):
+        off = tuple(b.lo[d] - bbox.lo[d] for d in range(3))
+        sl = tuple(slice(off[d], off[d] + b.shape[d] + 2 * g)
+                   for d in range(3))
+        np.testing.assert_allclose(
+            dense_grown[(0,) + sl],
+            batched_grown[i, 0][tuple(slice(0, b.shape[d] + 2 * g)
+                                      for d in range(3))], rtol=1e-12)
+
+
 def test_dense_masks(synthetic_plotfile):
     sp = synthetic_plotfile
     st = AmrState.from_plotfile(sp["path"], dtype=np.float64)
