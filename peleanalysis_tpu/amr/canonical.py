@@ -40,9 +40,27 @@ BC at the exact position — structurally, per boundary SIGNATURE (which
 sides cross + the frame's offset to the edge), while position along the
 boundary face stays traced data.  Equal-signature clusters share one
 compiled engine (the signature enters hier_fingerprint through the geoms).
-Only clusters crossing a PERIODIC boundary fall back to the round-3 exact
-legacy path (the wrap would need the opposite side of the domain, which no
-window holds), flagged infos[i].canonical False.
+Clusters whose WINDOWS reach past a PERIODIC edge (common whenever margins
+are wide — e.g. curvature's chained stencils — and universal for
+fully-periodic HIT-style cases) are canonicalized too, by WRAP-CROPPING:
+the window crop indexes the global level arrays modulo the level's domain
+extent, so window cells past the edge carry the exact values (and
+in_level/covered masks) the global periodic fill would read from the
+opposite side.  The canonical geometry stays non-periodic with the domain
+spanning the window in that dim — identical to an interior cluster's, so
+wrap clusters share the INTERIOR engine (no new signature).  This is exact
+only when the wrap stays a pure ghost-data effect, gated per cluster:
+
+  * the cluster's fine boxes keep >= 2 fine cells from the periodic face
+    (so no emitted isosurface key or BC application reaches the fold the
+    dense engine applies at the seam);
+  * no fine-level in-level data lies within same-level ghost reach of the
+    grown fine window THROUGH the wrap (dense would fill those ghosts from
+    the periodic image; a window cannot);
+  * every level's window extent fits within one period.
+
+Clusters failing a gate fall back to the round-3 exact legacy path,
+flagged infos[i].canonical False.
 """
 from __future__ import annotations
 
@@ -114,6 +132,60 @@ def _crop_dev(arr, starts, size):
     if _CROP_DEV is None:
         _CROP_DEV = _crop_dev_fn()
     return _CROP_DEV(arr, np.asarray(starts, np.int32), tuple(size))
+
+
+def _take3_fn():
+    import jax
+
+    @jax.jit
+    def take3(arr, ix, iy, iz):
+        return arr[:, ix[:, None, None], iy[None, :, None],
+                   iz[None, None, :]]
+
+    return take3
+
+
+_TAKE3 = None
+
+
+def _crop_dev_wrap(arr, src_box: Box, dst_box: Box, dom: Box, wrap_dims):
+    """Window crop with TRACED per-dim index vectors: wrap dims index the
+    global array modulo the level domain ``dom``, others take the plain
+    range.  Out-of-array positions (holes reached through the wrap, or
+    exterior cells of pinned dims whose values the BC regrow overwrites)
+    clamp — never read before refill.  One compile per (global, window)
+    shape pair, shared across clusters."""
+    global _TAKE3
+    if _TAKE3 is None:
+        _TAKE3 = _take3_fn()
+    idx = []
+    for d in range(3):
+        p = np.arange(dst_box.lo[d], dst_box.hi[d] + 1)
+        if d in wrap_dims:
+            p = (p - dom.lo[d]) % dom.shape[d] + dom.lo[d]
+        i = np.clip(p - src_box.lo[d], 0, src_box.shape[d] - 1)
+        idx.append(i.astype(np.int32))
+    return _TAKE3(arr, *idx)
+
+
+def _crop_np_wrap(arr: np.ndarray, src_box: Box, dst_box: Box, dom: Box,
+                  wrap_dims, fill=False) -> np.ndarray:
+    """Host-mask analog of _crop_dev_wrap: modular indexing along wrap
+    dims, ``fill`` outside the source array (out-of-bbox positions hold no
+    level data -> not in-level, not covered)."""
+    idx, valid = [], []
+    for d in range(3):
+        p = np.arange(dst_box.lo[d], dst_box.hi[d] + 1)
+        if d in wrap_dims:
+            p = (p - dom.lo[d]) % dom.shape[d] + dom.lo[d]
+        i = p - src_box.lo[d]
+        valid.append((i >= 0) & (i < src_box.shape[d]))
+        idx.append(np.clip(i, 0, src_box.shape[d] - 1))
+    out = arr[..., idx[0][:, None, None], idx[1][None, :, None],
+              idx[2][None, None, :]]
+    mask = (valid[0][:, None, None] & valid[1][None, :, None]
+            & valid[2][None, None, :])
+    return np.where(mask, out, fill)
 
 
 def canonical_cluster_substates(state, ngrow_max: int = 1,
@@ -266,7 +338,44 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
                 ns[d], ne[d] = s, e
         frames[gi] = (np.asarray(ns), tuple(ne))
 
-    def pinned_domain(shift, W_c) -> Optional[Box]:
+    def wrap_dims_for(gi, shift, W_c, cross):
+        """Dims whose periodic window crossing is served by WRAP-CROPPING
+        (module docstring gates), or None -> the cluster must go legacy
+        (some periodic crossing is not a pure ghost-data effect)."""
+        dims = []
+        for d in range(3):
+            per = meta.geoms[0].is_periodic[d]
+            big = any(meta.geoms[lev].domain.shape[d] > 1
+                      for lev in range(fin + 1))
+            if not (per and big and (cross[d][0] or cross[d][1])):
+                continue
+            # fine boxes must keep clear of the periodic face: the dense
+            # enum engine FOLDS node keys at the seam (marching_cubes
+            # periodic-image folding); a >=2-cell gap keeps every emitted
+            # key and ghost-ring dual node strictly interior
+            if (int(clu_lo[gi][d]) - dom_f.lo[d] < 2
+                    or dom_f.hi[d] - int(clu_hi[gi][d]) < 2):
+                return None
+            # each level's window must fit in one period (modular indexing
+            # would alias itself otherwise)
+            if any(W_c[lev].shape[d]
+                   > meta.geoms[lev].domain.shape[d]
+                   for lev in range(fin + 1)):
+                return None
+            # no same-level fine data within ghost reach through the wrap
+            # (dense would fill those ghosts from the periodic image)
+            G = (W_c[fin].shift(tuple(int(shift[k]) for k in range(3)))
+                 .grow(ngrow_max))
+            for off in (-dom_f.shape[d], dom_f.shape[d]):
+                sh = [0, 0, 0]
+                sh[d] = off
+                Gs = G.shift(tuple(sh))
+                if any(not Gs.intersect(b).is_empty() for b in boxes):
+                    return None
+            dims.append(d)
+        return tuple(dims)
+
+    def pinned_domain(shift, W_c, wrap_dims) -> Optional[Box]:
         """Level-0 canonical DOMAIN for this cluster, or None -> legacy.
 
         Interior cluster: domain == W_c[0] (all BC positions beyond every
@@ -274,9 +383,11 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
         on a non-periodic side gets that edge PINNED (true edge, translated
         to the canonical frame) so the engine's BC application lands
         exactly where the global fill's would; a reach past a PERIODIC
-        edge cannot be served from a window -> legacy (unless the dim's
-        domain extent is 1 at every level — wrap and foextrap coincide
-        there, e.g. the z dim of a DIM=2 plotfile).  DIM=2 frames carry
+        edge is served by a wrap-cropped window (``wrap_dims``, gated by
+        wrap_dims_for) with interior treatment, falling back to legacy
+        when a gate fails (None here).  A periodic dim whose extent is 1
+        at every level pins instead — wrap and foextrap coincide there,
+        e.g. the z dim of a DIM=2 plotfile.  DIM=2 frames carry
         the exact fine z extent (set in the frames loop) with both z edges
         pinned, so 2-D scattered states share engines too."""
         cross = crossing(shift, W_c)
@@ -284,6 +395,13 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
         W0 = W_c[0]
         lo_c, hi_c = [], []
         for d in range(3):
+            if d in wrap_dims:
+                # periodic crossing served by wrap-cropped window data:
+                # interior treatment (no BC position enters the compile —
+                # shares the interior engine)
+                lo_c.append(W0.lo[d])
+                hi_c.append(W0.hi[d])
+                continue
             if ((cross[d][0] or cross[d][1])
                     and meta.geoms[0].is_periodic[d]
                     and any(meta.geoms[lev].domain.shape[d] > 1
@@ -363,14 +481,17 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
     # compile per (global, window-shape) pair.
     plan = []                          # global windows or None per group
     doms = []                          # pinned canonical domain per group
+    wraps = []                         # periodic wrap-crop dims per group
     for gi, g in enumerate(groups):
         shift, ext_b = frames[gi]
         if ext_b not in win_cache:
             win_cache[ext_b] = windows_canonical(ext_b)
         W_c = win_cache[ext_b]
-        dom_c = pinned_domain(shift, W_c)
+        wd = wrap_dims_for(gi, shift, W_c, crossing(shift, W_c))
+        dom_c = pinned_domain(shift, W_c, wd) if wd is not None else None
         doms.append(dom_c)
-        if dom_c is None:              # crosses a periodic edge -> legacy
+        wraps.append(wd or ())
+        if dom_c is None:              # ungated periodic crossing -> legacy
             plan.append(None)
             continue
         plan.append([W_c[lev].shift(tuple(int(shift[d]) // F[lev]
@@ -379,10 +500,22 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
     pad_data = list(base.data[:fin])
     pad_boxes = [base.lmeta[lev].bbox for lev in range(fin)]
     for lev in range(fin):
-        need = [wg[lev] for wg in plan if wg is not None]
+        # wrap dims fold back into the domain (modular crop) — they demand
+        # no union growth along that axis
+        need = []
+        pb = pad_boxes[lev]
+        for gi, wg in enumerate(plan):
+            if wg is None:
+                continue
+            b = wg[lev]
+            if wraps[gi]:
+                b = Box(tuple(pb.lo[d] if d in wraps[gi] else b.lo[d]
+                              for d in range(3)),
+                        tuple(pb.hi[d] if d in wraps[gi] else b.hi[d]
+                              for d in range(3)))
+            need.append(b)
         if not need:
             continue
-        pb = pad_boxes[lev]
         lo_n = np.min([b.lo for b in need] + [pb.lo], axis=0)
         hi_n = np.max([b.hi for b in need] + [pb.hi], axis=0)
         lo_p = [int(pb.lo[d] - lo_n[d]) for d in range(3)]
@@ -414,27 +547,43 @@ def canonical_cluster_substates(state, ngrow_max: int = 1,
                    for lev in range(fin)]
         lmeta_g.append(DenseLevelMeta(
             W_c[fin], geoms_c[fin], ba_t.total_cells() / W_c[fin].size))
-        # window data: traced dynamic_slice crops (one compile per shape)
+        # window data: traced dynamic_slice crops (one compile per shape);
+        # wrap clusters use modular index-vector crops instead (same
+        # one-compile-per-shape-pair sharing)
         data_g = []
         for lev in range(fin):
-            starts = [W_g[lev].lo[d] - pad_boxes[lev].lo[d]
-                      for d in range(3)]
-            data_g.append(_crop_dev(pad_data[lev], starts, W_c[lev].shape))
+            if wraps[gi]:
+                data_g.append(_crop_dev_wrap(
+                    pad_data[lev], pad_boxes[lev], W_g[lev],
+                    meta.geoms[lev].domain, wraps[gi]))
+            else:
+                starts = [W_g[lev].lo[d] - pad_boxes[lev].lo[d]
+                          for d in range(3)]
+                data_g.append(_crop_dev(pad_data[lev], starts,
+                                        W_c[lev].shape))
         data_g.append(_assemble_dense(state.data[fin][np.asarray(g)],
                                       ba_t, W_c[fin]))
         sub = DenseAmrState(meta_g, state.names, data_g, lmeta_g)
         for lev in range(fin):
             bb = base.lmeta[lev].bbox
-            sub._in_level[lev] = jnp.asarray(
-                _crop_np(inlev_np[lev], bb, W_g[lev]))
-            sub._covered[lev] = jnp.asarray(
-                _crop_np(cov_np[lev], bb, W_g[lev]))
+            if wraps[gi]:
+                dm = meta.geoms[lev].domain
+                sub._in_level[lev] = jnp.asarray(_crop_np_wrap(
+                    inlev_np[lev], bb, W_g[lev], dm, wraps[gi]))
+                sub._covered[lev] = jnp.asarray(_crop_np_wrap(
+                    cov_np[lev], bb, W_g[lev], dm, wraps[gi]))
+            else:
+                sub._in_level[lev] = jnp.asarray(
+                    _crop_np(inlev_np[lev], bb, W_g[lev]))
+                sub._covered[lev] = jnp.asarray(
+                    _crop_np(cov_np[lev], bb, W_g[lev]))
         # fine in_level = union of the TRANSLATED true boxes (canonical bas
         # would say all-true); covered(fin) has no finer level -> lazy zeros
         from .dense import _union_mask_np
         sub._in_level[fin] = jnp.asarray(_union_mask_np(ba_t, W_c[fin]))
         sub._canon_shift = shift
         sub._canon_windows = W_g
+        sub._canon_wraps = wraps[gi]
         subs.append(sub)
         infos.append(CanonInfo(True, shift, W_g))
     cache[ckey] = (groups, subs, base, infos)

@@ -470,3 +470,136 @@ def test_canonical_2d_periodic_xy_falls_back_legacy():
     _, _, _, infos = canonical_cluster_substates(
         st, ngrow_max=1, interp_stencil=1)
     assert sorted(i.canonical for i in infos) == [False, True]
+
+
+# ---------------------------------------------------------------------------
+# Periodic window-crossing clusters: wrap-cropped canonical frames (r4)
+# ---------------------------------------------------------------------------
+
+def _periodic_state(gap=2):
+    """Periodic-x/y domain; one fine cluster whose hi-x WINDOW crosses the
+    periodic edge while its boxes keep ``gap`` fine cells clear of the
+    face, one interior cluster of the SAME bucket extent (so the wrap
+    cluster must share the interior engine)."""
+    n0, R = 24, 2
+    nf = n0 * R
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (True, True, False))
+    geoms = [geom0, geom0.refine(R)]
+    ext = 12
+    ba1 = BoxArray([
+        Box((nf - ext - gap, 20, 8), (nf - gap - 1, 20 + ext - 1,
+                                      8 + ext - 1)),
+        # same z band as the first cluster: the ONLY structural difference
+        # between the two frames is x/y position, which wrap treatment
+        # keeps out of the compile -> fingerprints must match
+        Box((4, 4, 8), (4 + ext - 1, 4 + ext - 1, 8 + ext - 1))])
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1], [R])
+    # steep bump near the hi-x edge + a LINEAR term discontinuous across
+    # the wrap: any foextrap-instead-of-wrap ghost value shows up at
+    # O(10*dx) in the gradient, far above the 1e-12 parity bar
+    names, data = make_level_data(
+        geoms, meta.bas,
+        {"temp": lambda x, y, z: 300 + 1500 * np.exp(
+            -((x - .85) ** 2 + (y - .45) ** 2 + (z - .3) ** 2) / .02)
+            + 10 * x + 5 * y * z})
+    return AmrState.from_arrays(meta, names, data, dtype=np.float64), ba1
+
+
+def test_periodic_window_crossing_canonicalizes_exactly():
+    """A cluster whose window reaches past a PERIODIC edge (boxes >= 2
+    cells clear of the face) is served by a wrap-cropped canonical frame:
+    grad == dense at 1e-12 and the isosurface node/element sets are
+    exactly the dense enum engine's (which folds periodic-image keys)."""
+    from peleanalysis_tpu.amr.canonical import (canonical_cluster_substates,
+                                                global_frame)
+    from peleanalysis_tpu.geom import marching_cubes as mc
+    from peleanalysis_tpu.tools.grad import compute_grad_dense
+
+    st, ba1 = _periodic_state()
+    ds = DenseAmrState.from_batched(st)
+    groups, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1)
+    assert all(i.canonical for i in infos)
+    assert any(0 in getattr(s, "_canon_wraps", ()) for s in subs), \
+        "the hi-x cluster must be wrap-cropped along x"
+
+    ref = compute_grad_dense(ds, "temp", interp="quadratic")
+    rb = ref.lmeta[1].bbox
+    c = ref.comp("||gradtemp||")
+    boxes = list(ba1)
+    for g, sub, info in zip(groups, subs, infos):
+        out = global_frame(compute_grad_dense(sub, "temp",
+                                              interp="quadratic"), info)
+        wb = out.lmeta[1].bbox
+        co = out.comp("||gradtemp||")
+        for bi in g:
+            bx = boxes[bi]
+            slw = tuple(slice(bx.lo[d] - wb.lo[d],
+                              bx.hi[d] - wb.lo[d] + 1) for d in range(3))
+            slr = tuple(slice(bx.lo[d] - rb.lo[d],
+                              bx.hi[d] - rb.lo[d] + 1) for d in range(3))
+            np.testing.assert_allclose(np.asarray(out.data[1][co])[slw],
+                                       np.asarray(ref.data[1][c])[slr],
+                                       atol=1e-12, err_msg=f"box {bi}")
+
+    m_ref = mc.extract_isosurface(ds, "temp", 800.0, classify="enum")
+    m_sp = mc.extract_isosurface_sparse(st, "temp", 800.0)
+    assert m_sp.n_nodes == m_ref.n_nodes
+
+    def canon(m):
+        n = np.asarray(m.nodes)
+        e = np.asarray(m.elements)
+        order = np.lexsort(n.T[::-1])
+        inv = np.empty(len(n), np.int64)
+        inv[order] = np.arange(len(n))
+        tri = np.sort(inv[e - 1], axis=1)
+        return n[order], tri[np.lexsort(tri.T[::-1])]
+
+    n1, t1 = canon(m_ref)
+    n2, t2 = canon(m_sp)
+    np.testing.assert_allclose(n1, n2, atol=1e-12)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_periodic_wrap_cluster_shares_interior_engine():
+    """The wrap lives entirely in traced window DATA: a wrap cluster's
+    canonical hierarchy is fingerprint-identical to an equal-bucket
+    interior cluster's, so they share one compiled engine (the whole point
+    — no per-position compile returns on periodic HIT-style cases)."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+
+    st, _ = _periodic_state()
+    _, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1)
+    assert all(i.canonical for i in infos)
+    fps = {hier_fingerprint(s) for s in subs}
+    assert len(fps) == 1, "wrap + interior clusters must share one engine"
+
+
+def test_periodic_face_touching_cluster_falls_back_legacy():
+    """Fine boxes within 2 cells of a periodic face -> legacy (the dense
+    enum engine folds node keys at the seam; a window cannot reproduce
+    the fold)."""
+    from peleanalysis_tpu.amr.canonical import canonical_cluster_substates
+
+    st, _ = _periodic_state(gap=0)      # boxes touch the hi-x face
+    _, subs, _, infos = canonical_cluster_substates(
+        st, ngrow_max=1, interp_stencil=1)
+    assert sorted(i.canonical for i in infos) == [False, True]
+
+
+def test_periodic_stream_through_wrap_window_matches_dense():
+    """Streamlines seeded in the wrap cluster march on wrapped ghost data
+    exactly as the dense grow-box march does."""
+    from peleanalysis_tpu.stream.trace import (trace_streamlines,
+                                               trace_streamlines_sparse)
+
+    st, _ = _periodic_state()
+    seeds = np.array([[0.93, 0.48, 0.33], [0.90, 0.44, 0.31],
+                      [0.91, 0.50, 0.35]])
+    ref = trace_streamlines(DenseAmrState.from_batched(st), seeds, 13, 0.5,
+                            trace_field="temp", march_engine="xla")
+    sp = trace_streamlines_sparse(st, seeds, 13, 0.5, trace_field="temp",
+                                  march_engine="xla")
+    np.testing.assert_allclose(sp, ref, atol=1e-9)

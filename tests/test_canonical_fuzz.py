@@ -17,16 +17,20 @@ from peleanalysis_tpu.amr.hierarchy import AmrMeta, AmrState
 from peleanalysis_tpu.testing import make_level_data
 
 
-def _random_state(seed, ratio, n_levels=2):
+def _random_state(seed, ratio, n_levels=2, periodic=False):
     """Random scattered hierarchy; finest boxes may hug any domain face.
     n_levels=3 adds a mid level (union of grown finest parents), so the
-    canonical frames carry an INTERMEDIATE translated window too."""
+    canonical frames carry an INTERMEDIATE translated window too.
+    periodic=True makes every dim periodic with boxes biased NEAR (>= 2
+    cells clear of) the faces, so windows wrap-cross and exercise the
+    wrap-cropped canonical frames; gate-rejected clusters exercise the
+    legacy fallback — both must stay dense-exact."""
     rng = np.random.default_rng(seed)
     n0 = 24 if ratio == 2 else 16
     R = ratio ** (n_levels - 1)
     nf = n0 * R
     dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
-    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (periodic,) * 3)
     geoms = [geom0]
     for _ in range(n_levels - 1):
         geoms.append(geoms[-1].refine(ratio))
@@ -42,9 +46,9 @@ def _random_state(seed, ratio, n_levels=2):
             base = a[d] * third
             # bias toward the domain edges so pinning paths fire often
             if a[d] == 0 and rng.random() < 0.5:
-                lo.append(0)
+                lo.append(R if periodic else 0)
             elif a[d] == 2 and rng.random() < 0.5:
-                lo.append(nf - ext)
+                lo.append(nf - ext - (R if periodic else 0))
             else:
                 lo.append(int(rng.integers(base, base + third - ext)))
         lo = [(v // R) * R for v in lo]
@@ -73,16 +77,19 @@ def _random_state(seed, ratio, n_levels=2):
     return AmrState.from_arrays(meta, names, data, dtype=np.float64), ba_f
 
 
-@pytest.mark.parametrize("seed,ratio,n_levels",
-                         [(0, 2, 2), (1, 2, 2), (2, 4, 2), (3, 2, 3),
-                          (4, 4, 2), (5, 2, 3), (6, 2, 4)])
-def test_fuzz_sparse_grad_iso_match_dense(seed, ratio, n_levels):
+@pytest.mark.parametrize("seed,ratio,n_levels,periodic",
+                         [(0, 2, 2, False), (1, 2, 2, False),
+                          (2, 4, 2, False), (3, 2, 3, False),
+                          (4, 4, 2, False), (5, 2, 3, False),
+                          (6, 2, 4, False), (7, 2, 2, True),
+                          (8, 2, 3, True), (9, 4, 2, True)])
+def test_fuzz_sparse_grad_iso_match_dense(seed, ratio, n_levels, periodic):
     from peleanalysis_tpu.amr.canonical import (canonical_cluster_substates,
                                                 global_frame)
     from peleanalysis_tpu.geom import marching_cubes as mc
     from peleanalysis_tpu.tools.grad import compute_grad_dense
 
-    st, ba1 = _random_state(seed, ratio, n_levels)
+    st, ba1 = _random_state(seed, ratio, n_levels, periodic)
     ds = DenseAmrState.from_batched(st)
 
     # --- grad: every cluster, every box, exact ---------------------------
@@ -90,7 +97,10 @@ def test_fuzz_sparse_grad_iso_match_dense(seed, ratio, n_levels):
     ref = compute_grad_dense(ds, "temp", interp="quadratic")
     groups, subs, _, infos = canonical_cluster_substates(
         st, ngrow_max=1, interp_stencil=1)
-    assert all(i.canonical for i in infos)   # non-periodic: all canonical
+    if not periodic:
+        assert all(i.canonical for i in infos)   # non-periodic: always
+    # periodic: wrap-gated clusters legitimately fall back to legacy —
+    # both paths must match dense below
     rb = ref.lmeta[fin].bbox
     boxes = list(ba1)
     c = ref.comp("||gradtemp||")
