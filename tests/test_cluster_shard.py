@@ -181,24 +181,68 @@ def _corner_plotfile(tmp_path):
     return plt
 
 
-def test_boundary_clusters_periodic_ndevices_falls_back_dense(
+def test_boundary_clusters_periodic_ndevices_wrap_spmd_exact(
         tmp_path, monkeypatch, capsys):
-    """Corner clusters + PERIODIC boundaries + ndevices>1: no window can
-    serve the wrap, every cluster is legacy, and the tools must honor
-    ndevices via the dense spatial mesh, not silently run single-device
-    (review finding).  grad defaults is_per=1 1 1; curvature gets it
-    explicitly."""
+    """Corner clusters + PERIODIC boundaries + ndevices>1: round-4's
+    wrap-cropped canonical frames serve the periodic window crossings
+    (amr/canonical.py wrap_dims_for gates all pass — the fine boxes keep
+    >=2 cells clear of every periodic face), so the clusters ride
+    cluster-axis SPMD and match the dense run exactly.  grad defaults
+    is_per=1 1 1."""
     from peleanalysis_tpu.cli import main
 
     plt = _corner_plotfile(tmp_path)
     monkeypatch.chdir(tmp_path)
     assert main(["grad", f"infile={plt}", "gradVar=blob",
-                 "outfile=g_bd", "ndevices=8"]) == 0
+                 "outfile=g_bd", "ndevices=8", "dtype=float64"]) == 0
+    seen = capsys.readouterr().out
+    assert "2 canonical-frame" in seen
+    assert "ndevices honored via the dense path" not in seen
+    assert main(["grad", f"infile={plt}", "gradVar=blob",
+                 "outfile=g_bd_ref", "force_dense=1", "dtype=float64"]) == 0
+    assert main(["fcompare", "infile1=g_bd", "infile2=g_bd_ref",
+                 "atol=1e-12"]) == 0
+    g = AmrState.from_plotfile("g_bd")
+    assert "||gradblob||" in g.names
+
+
+def _face_hugging_plotfile(tmp_path):
+    """3-level hierarchy with TWO scattered fine clusters (union bbox wide
+    enough that needs_clustering fires), each TOUCHING a periodic domain
+    face: the wrap-crop gate (>=2-cell clearance so the enum engine's seam
+    key folding stays interior) rejects both, so every cluster is legacy."""
+    n0 = 48
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
+    geoms = [geom0, geom0.refine(2), geom0.refine(2).refine(2)]
+    ba1 = BoxArray([Box((82, 2, 2), (95, 17, 17)),
+                    Box((2, 78, 78), (17, 93, 95))])
+    ba2 = BoxArray([Box((168, 8, 8), (191, 31, 31)),      # hi-x = dom hi
+                    Box((8, 160, 160), (31, 183, 191))])  # hi-z = dom hi
+    meta = AmrMeta(geoms, [BoxArray([dom0]), ba1, ba2], [2, 2])
+    names, data = make_level_data(geoms, meta.bas, {"blob": _blob})
+    st = AmrState.from_arrays(meta, names, data, dtype=np.float64)
+    plt = str(tmp_path / "plt_face")
+    st.to_plotfile(plt)
+    return plt
+
+
+def test_face_hugging_periodic_ndevices_falls_back_dense(
+        tmp_path, monkeypatch, capsys):
+    """A periodic-face-touching cluster has no wrap-croppable window (gate:
+    <2 cells clearance), goes legacy, and the tools must honor ndevices>1
+    via the dense spatial mesh — not silently run single-device."""
+    from peleanalysis_tpu.cli import main
+
+    plt = _face_hugging_plotfile(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    assert main(["grad", f"infile={plt}", "gradVar=blob",
+                 "outfile=g_face", "ndevices=8"]) == 0
     assert main(["curvature", f"infile={plt}", "progressName=blob",
-                 "outfile=K_bd", "is_per=1 1 1", "ndevices=8"]) == 0
+                 "outfile=K_face", "is_per=1 1 1", "ndevices=8"]) == 0
     seen = capsys.readouterr().out
     assert seen.count("ndevices honored via the dense path") == 2
-    g = AmrState.from_plotfile("g_bd")
+    g = AmrState.from_plotfile("g_face")
     assert "||gradblob||" in g.names
 
 
