@@ -85,6 +85,13 @@ class Nasa7:
                 + a[..., 3] * T**3 / 4 + a[..., 4] * T**4 / 5
                 + a[..., 5] / T)
 
+    def s_R(self, T):
+        """Standard-state entropy S0/R (needed for equilibrium constants,
+        chem/kinetics.py)."""
+        a = np.where(np.asarray(T)[..., None] < self.t_mid, self.lo, self.hi)
+        return (a[..., 0] * np.log(T) + a[..., 1] * T + a[..., 2] * T**2 / 2
+                + a[..., 3] * T**3 / 3 + a[..., 4] * T**4 / 4 + a[..., 6])
+
 
 def parse_chemkin_thermo(path: str) -> Dict[str, Nasa7]:
     """Parse a CHEMKIN-format NASA7 thermo file (therm.dat)."""

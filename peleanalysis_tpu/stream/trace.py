@@ -226,11 +226,11 @@ def trace_streamlines(
     h_rk is in units of the finest dx (stream.cpp:700 hRK -> physical).
     march_dtype: precision of the traced vector field ONLY — the RK4
     gather is gathered-bytes bound on TPU (NOTES.md), so halving field
-    bytes speeds the march ~20%. Defaults to "bfloat16" when the state is
-    float32 (measured max path deviation 0.01 finest cells on the bench
-    surface) and full precision for float64 states; pass "float32" to
-    force full-precision marching. Positions and sampled outputs always
-    stay in the input dtype.
+    bytes speeds the march ~20%. Default is FULL input precision (the
+    reference is double everywhere, stream_nd.f90); pass "bfloat16" to
+    opt into the faster lossy march (measured max path deviation 0.01
+    finest cells on the bench surface — bench.py march_precision block).
+    Positions and sampled outputs always stay in the input dtype.
     march_engine: "pallas" = DMA-resident-block kernel (stream/pallas_march,
     f32 positions, ~3x the XLA path on TPU), "xla" = gather path, "auto" =
     pallas on TPU for float32 states when the level is big enough.
@@ -252,10 +252,14 @@ def trace_streamlines(
     meta = dstate.meta
     lmeta_cl = dstate.lmeta   # closures must not capture dstate (the
     #                           cross-instance cache would pin its data)
+    # Precision default: FULL input precision (the reference is double
+    # everywhere, stream_nd.f90:153-206).  bfloat16 field marching is ~20%
+    # faster (gathered-bytes bound) with a measured ~0.01-finest-cell path
+    # deviation — a perf option that moves answers must be OPT-IN
+    # (march_dtype="bfloat16"); it was the silent f32-state default through
+    # r4 (flipped r5, VERDICT r4 #5).  bench.py's march_precision block
+    # publishes the measured cost/deviation pair each round.
     bf16_default = False
-    if march_dtype is None and dstate.data[0].dtype == jnp.float32:
-        march_dtype = "bfloat16"
-        bf16_default = True
     if march_dtype in ("float32", "float64", "none"):
         march_dtype = None
     # reference convention: nRKh = (nRKsteps-1)/2 (stream.cpp:701-702), so

@@ -128,3 +128,43 @@ def write_synthetic_plotfile(
     names, data = make_level_data(geoms, bas, fields)
     write_plotfile(path, names, time, geoms, ratios, bas, data)
     return geoms, bas, ratios, names, data
+
+
+def make_scattered_state(
+    n0: int = 128,
+    ratio: int = 4,
+    n_clusters: int = 16,
+    fine_box: int = 32,
+    seed: int = 7,
+    fields: Optional[Dict[str, Callable]] = None,
+    dtype=np.float32,
+):
+    """Production-sparse scale case: level-0 ``n0``^3 plus ``n_clusters``
+    scattered ``fine_box``^3 patches on an (n0*ratio)^3 finest index space
+    (<1% coverage at the defaults) — the per-rank memory-scaling scenario
+    the reference gets from DistributionMapping ownership
+    (/root/reference/Src/grad.cpp:160-163).  Clusters sit on a coarse
+    lattice so they stay well separated (the clustered path's exactness
+    precondition).  Returns (AmrState, finest BoxArray)."""
+    from .amr.hierarchy import AmrMeta, AmrState
+
+    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
+    geom0 = Geometry(dom0, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (False,) * 3)
+    geom1 = geom0.refine(ratio)
+    nf = n0 * ratio
+    rng = np.random.default_rng(seed)
+    boxes = []
+    cells = [(i, j, k) for i in range(4) for j in range(4) for k in range(4)]
+    rng.shuffle(cells)
+    for (i, j, k) in cells[:n_clusters]:
+        lo = (i * nf // 4 + 8, j * nf // 4 + 8, k * nf // 4 + 8)
+        lo = tuple((v // ratio) * ratio for v in lo)  # ratio-aligned
+        boxes.append(Box(lo, tuple(v + fine_box - 1 for v in lo)))
+    ba1 = BoxArray(boxes)
+    meta = AmrMeta([geom0, geom1], [decompose(dom0, 32), ba1], [ratio])
+    if fields is None:
+        fields = {"temp": lambda x, y, z: 300 + 1500 * np.exp(
+            -((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) / 0.2 ** 2)}
+    names, data = make_level_data([geom0, geom1],
+                                  [decompose(dom0, 32), ba1], fields)
+    return AmrState.from_arrays(meta, names, data, dtype=dtype), ba1

@@ -160,6 +160,9 @@ def main(args: dict) -> None:
     # itself runs bfloat16 — see stream/trace.py fetch_compress
     fcomp = {"exact": False, "compressed": True, "auto": None}[
         pp.query_str("fetch_precision", "auto")]
+    # marchPrecision=bfloat16 opts into the ~20%-faster lossy field march
+    # (~0.01 finest-cell path deviation); default full input precision
+    mdtype = pp.query_str("marchPrecision", None)
     with phase("stream integrate"):
         if sparse:
             from ..stream.trace import trace_streamlines_sparse
@@ -167,6 +170,7 @@ def main(args: dict) -> None:
                 st, seeds, n_rk, h_rk,
                 trace_field=None if trace_along_v else progress_name,
                 sample_names=sample,
+                march_dtype=mdtype,
                 march_engine=pp.query_str("marchEngine", "auto"),
                 ngrow=pp.query_int("nGrow", None),
                 fetch_compress=fcomp)
@@ -175,6 +179,7 @@ def main(args: dict) -> None:
                 ds, seeds, n_rk, h_rk,
                 trace_field=None if trace_along_v else progress_name,
                 sample_names=sample,
+                march_dtype=mdtype,
                 march_engine=pp.query_str("marchEngine", "auto"),
                 ngrow=pp.query_int("nGrow", None),
                 fetch_compress=fcomp)

@@ -6,39 +6,14 @@ DistributionMapping (/root/reference/Src/grad.cpp:160-163)."""
 import numpy as np
 import pytest
 
-from peleanalysis_tpu.amr.box import Box, BoxArray, decompose
-from peleanalysis_tpu.amr.geometry import Geometry
-from peleanalysis_tpu.amr.hierarchy import AmrMeta, AmrState
-from peleanalysis_tpu.testing import make_level_data
+from peleanalysis_tpu.testing import make_scattered_state
 
 
 def scattered_hierarchy(n0=128, ratio=4, n_clusters=16, fine_box=32,
                         seed=7):
-    """Level 0 n0^3; finest level (n0*ratio)^3 index space with n_clusters
-    scattered fine_box^3 patches (coverage n_clusters*fine_box^3 /
-    (n0*ratio)^3)."""
-    dom0 = Box((0, 0, 0), (n0 - 1,) * 3)
-    geom0 = Geometry(dom0, (0., 0., 0.), (1., 1., 1.), (False,) * 3)
-    geom1 = geom0.refine(ratio)
-    nf = n0 * ratio
-    rng = np.random.default_rng(seed)
-    boxes = []
-    # place clusters on a coarse lattice so they stay well separated
-    cells = [(i, j, k) for i in range(4) for j in range(4) for k in range(4)]
-    rng.shuffle(cells)
-    for (i, j, k) in cells[:n_clusters]:
-        lo = (i * nf // 4 + 8, j * nf // 4 + 8, k * nf // 4 + 8)
-        # keep alignment with the refinement ratio
-        lo = tuple((v // ratio) * ratio for v in lo)
-        boxes.append(Box(lo, tuple(v + fine_box - 1 for v in lo)))
-    ba1 = BoxArray(boxes)
-    meta = AmrMeta([geom0, geom1], [decompose(dom0, 32), ba1],
-                   [ratio])
-    fields = {"temp": lambda x, y, z: 300 + 1500 * np.exp(
-        -((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) / 0.2 ** 2)}
-    names, data = make_level_data(
-        [geom0, geom1], [decompose(dom0, 32), ba1], fields)
-    return AmrState.from_arrays(meta, names, data, dtype=np.float32), ba1
+    """Shared builder (peleanalysis_tpu.testing.make_scattered_state — also
+    driven by bench.py's sparse_512 block)."""
+    return make_scattered_state(n0, ratio, n_clusters, fine_box, seed)
 
 
 def test_cluster_working_set_scales_with_valid_cells():
