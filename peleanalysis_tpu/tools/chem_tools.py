@@ -10,7 +10,7 @@ import numpy as np
 
 from ..amr.hierarchy import AmrState
 from ..chem.mechanism import Mechanism, SimpleTransport, parse_chemkin_thermo
-from ..chem.qpd import edge_fluxes, get_edges, parse_reaction
+from ..chem.qpd import Reaction, edge_fluxes, get_edges
 from ..io.plotfile import PlotfileReader
 from ..parmparse import ParmParse
 
@@ -103,75 +103,130 @@ def _transport(args: dict, lewis_out: bool) -> None:
     print("wrote output")
 
 
+def _qpd_rates_from_state(pp: ParmParse, infile: str, kin,
+                          meta2d: bool) -> tuple:
+    """Volume-integrated Qf/Qr per reaction from the plotfile's own
+    T/density/X fields — the reference's CKPX+CKKFKR per-cell chain with
+    covered cells zeroed and refinement-volume weighting
+    (plotQPD.cpp:113-186)."""
+    ns = len(kin.species)
+    avail = PlotfileReader(infile).var_names
+    xnames = [f"X({s})" for s in kin.species]
+    missing = [n for n in xnames if n not in avail]
+    if missing:
+        raise ValueError(f"plotQPD: plotfile lacks mole-fraction comps "
+                         f"{missing}")
+    tname = pp.query_str("TName", "temp" if "temp" in avail else "Temp")
+    rname = pp.query_str("RName", "density")
+    for n in (tname, rname):
+        if n not in avail:
+            raise ValueError(f"plotQPD: plotfile lacks '{n}'")
+    st = AmrState.from_plotfile(infile, names=xnames + [tname, rname],
+                                max_level=pp.query_int("finestLevel", None),
+                                dtype=np.float64)
+    # density MKS->CGS like the reference (plotQPD.cpp:144: R*1e-3);
+    # densityUnits=cgs skips the conversion for CGS plotfiles
+    rho_scale = 1.0 if pp.query_str("densityUnits", "mks") == "cgs" else 1e-3
+    Qfsum = np.zeros(kin.n_reactions)
+    Qrsum = np.zeros(kin.n_reactions)
+    for lev in range(st.meta.n_levels):
+        arr = np.asarray(st.data[lev])            # [nbox, ns+2, ...]
+        mask = np.asarray(st.valid_mask(lev))     # in-box and not covered
+        X = np.moveaxis(arr[:, :ns], 1, -1)[mask]   # [Ncells, ns]
+        T = arr[:, ns][mask]
+        rho = arr[:, ns + 1][mask] * rho_scale
+        if T.size == 0:
+            continue
+        Qf, Qr = kin.qf_qr_from_state(T, rho, X)
+        dx = st.meta.geoms[lev].dx
+        vol = float(np.prod(dx[:2] if meta2d else dx))
+        Qfsum += Qf.sum(axis=0) * vol
+        Qrsum += Qr.sum(axis=0) * vol
+    return Qfsum, Qrsum
+
+
 def _qpd(args: dict) -> None:
+    from ..chem.kinetics import Kinetics, parse_chemkin
     pp = ParmParse(args)
-    mech_file = pp.get_str("mech_file")   # text file of reaction lines
+    mech_file = pp.get_str("mech_file")   # CHEMKIN mech (or bare reactions)
     # QPDatom is the reference's key (plotQPD.cpp:190); trace_element kept
     elt = pp.query_str("QPDatom", pp.query_str("trace_element", "C"))
-    reactions = []
-    with open(mech_file) as f:
-        for ln in f:
-            ln = ln.split("!")[0].strip()
-            if not ln or "=" not in ln:
-                continue
-            try:
-                reactions.append(parse_reaction(ln))
-            except ValueError:
-                continue
+    species, krxns, thermo = parse_chemkin(mech_file)
+    if pp.contains("thermo_file"):
+        thermo.update(parse_chemkin_thermo(pp.get_str("thermo_file")))
+    reactions = [Reaction(r.reactants, r.products, r.reversible, r.label)
+                 for r in krxns]
     edges = get_edges(reactions, elt)
     print(f"{len(reactions)} reactions, {len(edges)} {elt}-transfer edges")
     if pp.query_bool("dump_edges", False):     # plotQPD.cpp:204-209
         for e in edges:
             print(e)
 
-    rates = None
+    have_kinetics = bool(krxns) and all(r.has_arrhenius for r in krxns)
+    Qfsum = np.ones(len(reactions))
+    Qrsum = np.zeros(len(reactions))
     if pp.contains("infile"):
-        # region-integrated reaction rates from plotfile comps rate_0..N-1
-        from ..amr.dense import DenseAmrState
-        from .integral import integrate_along
         infile = pp.get_str("infile")
-        rate_base = pp.query_str("rateBase", "rate")
-        names = [f"{rate_base}_{i}" for i in range(len(reactions))]
         avail = PlotfileReader(infile).var_names
-        missing = [n for n in names if n not in avail]
-        if missing:
+        rate_base = pp.query_str("rateBase", None)
+        rate_names = [f"{rate_base}_{i}" for i in range(len(reactions))] \
+            if rate_base else []
+        if rate_base and all(n in avail for n in rate_names):
+            # override: net rates pre-baked as plotfile comps rate_0..N-1
+            from ..amr.dense import DenseAmrState
+            from .integral import integrate_along
+            st = AmrState.from_plotfile(infile, names=rate_names,
+                                        dtype=np.float64)
+            ds = DenseAmrState.from_batched(st)
+            _, _, fields = integrate_along(ds, rate_names, [0, 1, 2])
+            Qfsum = np.array([float(v) for v in fields])
+            Qrsum = np.zeros(len(reactions))
+        elif have_kinetics:
+            kin = Kinetics(species, krxns, thermo)
+            Qfsum, Qrsum = _qpd_rates_from_state(
+                pp, infile, kin, meta2d=False)
+        else:
+            bad = [r.label for r in krxns if not r.has_arrhenius][:3]
             raise ValueError(
-                f"plotQPD needs reaction-rate components {names} in the "
-                f"plotfile (missing {missing}); set rateBase= or omit "
-                "infile= to weight edges uniformly")
-        st = AmrState.from_plotfile(infile, names=names, dtype=np.float64)
-        ds = DenseAmrState.from_batched(st)
-        _, _, fields = integrate_along(ds, names, [0, 1, 2])
-        rates = np.array([float(v) for v in fields])
-    else:
-        rates = np.ones(len(reactions))
-    flux = edge_fluxes(edges, rates)
-    # normalization: fluxes are MULTIPLIED by normVal = 1/(net CH4->CH3
-    # flux) * scaleNorm — "normalize to CH4 destruction on the CH4->CH3
-    # edge" (plotQPD.cpp:214-244); without that edge normVal stays 1
+                "plotQPD: mechanism has reactions without Arrhenius data "
+                f"(e.g. {bad}) and the plotfile carries no rateBase= "
+                "components — cannot evaluate rates")
+    # per-edge forward/reverse fluxes (plotQPD.cpp:212-230)
+    Qf_e = edge_fluxes(edges, Qfsum)
+    Qr_e = edge_fluxes(edges, Qrsum)
+    # normalization: normVal = 1/(net CH4->CH3 flux) * scaleNorm —
+    # "normalize to CH4 destruction on the CH4->CH3 edge"
+    # (plotQPD.cpp:214-244); without that edge normVal stays 1
     norm = 1.0
-    for (s1, s2), w in flux.items():   # last matching edge wins, like the
-        if {s1, s2} == {"CH4", "CH3"} and w != 0:   # reference's loop
-            norm = 1.0 / w
-            if s2 == "CH4":
-                norm = -norm
+    for (s1, s2) in Qf_e:
+        if {s1, s2} == {"CH4", "CH3"}:
+            net = Qf_e[(s1, s2)] - Qr_e[(s1, s2)]
+            if net != 0:
+                norm = 1.0 / net
+                if s2 == "CH4":
+                    norm = -norm
     if pp.contains("scaleNorm"):
         norm *= pp.get_float("scaleNorm")
     print(f"NormVal: {norm}")
     if norm != 0:
-        flux = {k: w * norm for k, w in flux.items()}
+        Qf_e = {k: w * norm for k, w in Qf_e.items()}
+        Qr_e = {k: w * norm for k, w in Qr_e.items()}
+    net = {k: Qf_e[k] - Qr_e[k] for k in Qf_e}
     if pp.contains("fuelSpec"):
         fuel = pp.get_str("fuelSpec")
-        for (s1, s2), w in sorted(flux.items(), key=lambda kv: -abs(kv[1])):
+        for (s1, s2), w in sorted(net.items(), key=lambda kv: -abs(kv[1])):
             if fuel in (s1, s2):
                 print(f"{s1} -> {s2}: {w:e}")
     out = pp.query_str(
         "QPDfileName", pp.query_str("outfile", "QPD_edges.dat"))
+    # reference format (plotQPD.cpp:196-246): label line, species line,
+    # then 'left right Qf -Qr' per edge
     with open(out, "w") as f:
-        if pp.contains("QPDlabel"):
-            f.write(f"# {pp.get_str('QPDlabel')}\n")
-        for (s1, s2), w in sorted(flux.items(), key=lambda kv: -abs(kv[1])):
-            f.write(f"{s1} {s2} {w:e}\n")
+        f.write(pp.query_str("QPDlabel",
+                             pp.query_str("infile", mech_file)) + "\n")
+        f.write(" ".join(species) + " \n")
+        for (s1, s2), w in sorted(net.items(), key=lambda kv: -abs(kv[1])):
+            f.write(f"{s1} {s2} {Qf_e[(s1, s2)]:e} {-Qr_e[(s1, s2)]:e}\n")
     print(f"wrote {out}")
 
 
