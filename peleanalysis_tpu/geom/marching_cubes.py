@@ -653,7 +653,7 @@ def _coarsen_edge_mask(m: jnp.ndarray, a: int, r: int, gbox_lo, cshape,
 
 def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
                    tri_cap, unwraps, spans_all, emit_levels=None,
-                   want_eids=False, counts_only=False):
+                   want_eids=False, counts_only=False, wide_tris=False):
     """Jitted fill->classify->enumerate->emit over the whole hierarchy;
     returns ONE packed int32 vector
     [counts | elements | (eids) | bitcast(nodes)].
@@ -898,13 +898,19 @@ def _build_enum_fn(meta, lmeta, consts, bc, nf, iso_comp, caps, node_caps,
         n_tri = jnp.sum(TV)
         tri_idx = _compact_indices(TV, tri_cap, n=n_tri)
         elements = TN[tri_idx]
-        # 3 node ids -> 2 int32 words (21 bits each; n_nodes < 2^21 checked
-        # host-side via counts) — the element payload is the largest fetch
-        # chunk on the tunnel, this shaves a third off it
-        e0, e1, e2 = elements[:, 0], elements[:, 1], elements[:, 2]
-        w0 = e0 | ((e1 & 0x7FF) << 21)
-        w1 = (e1 >> 11) | (e2 << 10)
-        epacked = jnp.stack([w0, w1], axis=1)
+        if wide_tris:
+            # full-width ids: 3 int32 words per triangle — no node-count
+            # ceiling (surfaces past 2^21 nodes re-dispatch with this)
+            epacked = elements
+        else:
+            # 3 node ids -> 2 int32 words (21 bits each; n_nodes < 2^21
+            # checked host-side via counts, auto-retried wide) — the
+            # element payload is the largest fetch chunk on the tunnel,
+            # this shaves a third off it
+            e0, e1, e2 = elements[:, 0], elements[:, 1], elements[:, 2]
+            w0 = e0 | ((e1 & 0x7FF) << 21)
+            w1 = (e1 >> 11) | (e2 << 10)
+            epacked = jnp.stack([w0, w1], axis=1)
 
         counts = jnp.concatenate(
             [jnp.stack([n_nodes_tot, n_tri]).astype(jnp.int32),
@@ -978,15 +984,20 @@ def _valid_node_rows(rows, node_caps, n_nod, width):
 
 def _decode_packed(packed: np.ndarray, *, nl, ne, node_caps, tri_cap,
                    want_eids, words, nf, names, iso_val, label, lmeta,
-                   n_nod, n_tri):
+                   n_nod, n_tri, wide_tris=False):
     """Host-side decode of the enum engine's packed result vector."""
     base = 2 + ne + nl + ne
-    ep = packed[base: base + tri_cap * 2].reshape(tri_cap, 2)[:n_tri]
-    w0, w1 = ep[:, 0], ep[:, 1]
-    elements = np.stack([w0 & 0x1FFFFF,
-                         (w0 >> 21) & 0x7FF | (w1 & 0x3FF) << 11,
-                         (w1 >> 10) & 0x1FFFFF], axis=1)
-    base += tri_cap * 2
+    tw = 3 if wide_tris else 2
+    if wide_tris:
+        elements = packed[base: base + tri_cap * 3].reshape(
+            tri_cap, 3)[:n_tri]
+    else:
+        ep = packed[base: base + tri_cap * 2].reshape(tri_cap, 2)[:n_tri]
+        w0, w1 = ep[:, 0], ep[:, 1]
+        elements = np.stack([w0 & 0x1FFFFF,
+                             (w0 >> 21) & 0x7FF | (w1 & 0x3FF) << 11,
+                             (w1 >> 10) & 0x1FFFFF], axis=1)
+    base += tri_cap * tw
     node_lev = node_eid = None
     if want_eids:
         # decode the level-local flat edge ids into GLOBAL packed keys
@@ -1042,11 +1053,12 @@ def _decode_packed(packed: np.ndarray, *, nl, ne, node_caps, tri_cap,
 
 
 @partial(jax.jit, static_argnames=("node_caps", "tri_cap", "ne", "nl",
-                                  "want_eids", "words", "nfm1"))
-def _xyz_slice(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1):
+                                  "want_eids", "words", "nfm1", "tri_words"))
+def _xyz_slice(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1,
+               tri_words=2):
     """Device slice of the packed vector down to the node xyz columns
     (cap-padded rows; host slices the valid prefixes)."""
-    base = 2 + ne + nl + ne + tri_cap * 2
+    base = 2 + ne + nl + ne + tri_cap * tri_words
     if want_eids:
         base += sum(node_caps)
     nbits = packed[base:].reshape(sum(node_caps), nfm1 * words)
@@ -1059,15 +1071,16 @@ def _xyz_slice(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1):
 
 
 @partial(jax.jit, static_argnames=("node_caps", "tri_cap", "ne", "nl",
-                                  "want_eids", "words", "nfm1"))
-def _head_xyz(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1):
+                                  "want_eids", "words", "nfm1", "tri_words"))
+def _head_xyz(packed, node_caps, tri_cap, ne, nl, want_eids, words, nfm1,
+              tri_words=2):
     """Count header + bitcast node xyz columns as ONE int32 vector — one
     tunnel transfer covers both the cap check and the seed positions a
     downstream stream stage needs (a second fetch costs a full latency).
     xyz ships in the state's native float width (exactness preserved)."""
     head = packed[: 2 + ne + nl + ne]
     xyz = _xyz_slice(packed, node_caps, tri_cap, ne, nl, want_eids, words,
-                     nfm1)
+                     nfm1, tri_words)
     xb = jax.lax.bitcast_convert_type(xyz, jnp.int32)
     return jnp.concatenate([head, xb.reshape(-1)])
 
@@ -1220,25 +1233,30 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
             ncaps_d[lev] = _pad_gran(max(int(pc[ne + lev]), 1), gran, gran)
         tri_cap = dstate._mc_enum_tricap = _pad_gran(
             max(int(pc[ne + nl]), 1), gran, gran)
+        if sum(int(pc[ne + lev]) for lev in range(nl)) >= (1 << 21):
+            dstate._mc_enum_wide = True    # id packing won't fit: go wide
 
-    for _attempt in range(4):
+    wide = bool(getattr(dstate, "_mc_enum_wide", False))
+    for _attempt in range(5):
         caps = tuple(caps_d.get(lev, 1 << 14) for lev in range(nl))
         node_caps = tuple(ncaps_d.get(lev, 1 << 14) for lev in range(nl))
         key = (len(names), bc, caps, node_caps, tri_cap, str(dtype),
-               emit, want_eids)
+               emit, want_eids, wide)
         if key not in fns:
             fns[key] = _enum_fn_shared(
                 dstate, key,
                 lambda: _build_enum_fn(meta, dstate.lmeta, consts, bc, nf,
                                        3, caps, node_caps, tri_cap, unwraps,
-                                       spans_all, emit, want_eids))
+                                       spans_all, emit, want_eids,
+                                       wide_tris=wide))
         packed_dev = fns[key](data_levels, masks, inlev_devs,
                               ok_devs, iso_val)
         if defer:
             # one small fetch: count header + bitcast xyz columns; the
             # full payload stays on device
             hx = np.asarray(_head_xyz(packed_dev, node_caps, tri_cap, ne,
-                                      nl, want_eids, words, nf - 1))
+                                      nl, want_eids, words, nf - 1,
+                                      3 if wide else 2))
             head = hx[: 2 + ne + nl + ne]
             xyz_rows = hx[2 + ne + nl + ne:].view(
                 np.float64 if words == 2 else np.float32).reshape(-1, 3)
@@ -1262,16 +1280,18 @@ def extract_isosurface_enum(dstate: DenseAmrState, iso_name: str,
         if n_tri > tri_cap:
             tri_cap = dstate._mc_enum_tricap = _pad_gran(n_tri, gran, gran)
             ok = False
-        if n_uniq >= (1 << 21):
-            raise ValueError("enum engine supports < 2^21 nodes per surface; "
-                             "use classify='device' for larger extractions")
+        if n_uniq >= (1 << 21) and not wide:
+            # id packing tops out at 2^21 nodes: re-dispatch with
+            # full-width (3×int32) element ids — no node-count ceiling
+            wide = dstate._mc_enum_wide = True
+            ok = False
         if ok:
             break
     decode_kw = dict(nl=nl, ne=ne, node_caps=node_caps,
                      tri_cap=tri_cap, want_eids=want_eids, words=words,
                      nf=nf, names=names, iso_val=iso_val, label=label,
                      lmeta=decode_lmeta or dstate.lmeta, n_nod=n_nod,
-                     n_tri=n_tri)
+                     n_tri=n_tri, wide_tris=wide)
     if defer:
         surf = DeferredSurface(packed_dev, decode_kw,
                                (n_uniq, n_tri), xyz_rows=xyz_rows)
@@ -1674,23 +1694,27 @@ def _extract_enum_batched(subs, decode_lmetas, iso_name, iso_val,
     if ncaps_d is None:
         ncaps_d = tpl._mc_enum_ncaps = {}
     tri_cap = getattr(tpl, "_mc_enum_tricap", 1 << 15)
+    wide = bool(getattr(tpl, "_mc_enum_wide", False))
 
-    for _attempt in range(4):
+    for _attempt in range(5):
         caps = tuple(caps_d.get(lev, 1 << 14) for lev in range(nl))
         node_caps = tuple(ncaps_d.get(lev, 1 << 14) for lev in range(nl))
         key = ("batched", Kp, ndev, len(names), bc, caps, node_caps,
-               tri_cap, str(dtype), emit)
+               tri_cap, str(dtype), emit, wide)
         fn = _enum_fn_shared(
             tpl, key,
             lambda: jax.jit(jax.vmap(
                 _build_enum_fn(meta, tpl.lmeta, consts, bc, nf, 3, caps,
                                node_caps, tri_cap, unwraps, spans_all,
-                               emit, want_eids=True),
+                               emit, want_eids=True, wide_tris=wide),
                 in_axes=(0, 0, 0, 0, None))))
         all_packed = np.asarray(fn(datas, masks_s, inls, oks, iso_val))
         ok = True
         for k in range(K):
             head = all_packed[k]
+            if int(head[0]) >= (1 << 21) and not wide:
+                wide = tpl._mc_enum_wide = True
+                ok = False
             n_act = [int(v) for v in head[2: 2 + ne]]
             n_nod = [int(v) for v in head[2 + ne: 2 + ne + nl]]
             for j, lev in enumerate(emit):
@@ -1714,17 +1738,14 @@ def _extract_enum_batched(subs, decode_lmetas, iso_name, iso_val,
     for k in range(K):
         head = all_packed[k]
         n_uniq, n_tri = int(head[0]), int(head[1])
-        if n_uniq >= (1 << 21):
-            raise ValueError("enum engine supports < 2^21 nodes per "
-                             "surface; use classify='device' for larger "
-                             "extractions")
         n_nod = [int(v) for v in head[2 + ne: 2 + ne + nl]]
         tri_ns = [int(v) for v in head[2 + ne + nl: 2 + ne + nl + ne]]
         mef, node_lev, node_eid = _decode_packed(
             all_packed[k], nl=nl, ne=ne, node_caps=node_caps,
             tri_cap=tri_cap, want_eids=True, words=words, nf=nf,
             names=names, iso_val=iso_val, label=label,
-            lmeta=decode_lmetas[k], n_nod=n_nod, n_tri=n_tri)
+            lmeta=decode_lmetas[k], n_nod=n_nod, n_tri=n_tri,
+            wide_tris=wide)
         results.append((mef, node_lev, node_eid, tri_ns))
     return results
 
@@ -1888,18 +1909,11 @@ def extract_isosurface(
         return extract_isosurface_fused(dstate, iso_name, iso_val,
                                         extra_names, bc, label)
     if classify == "enum":
-        try:
-            return extract_isosurface_enum(dstate, iso_name, iso_val,
-                                           extra_names, bc, label,
-                                           defer=defer)
-        except ValueError as e:
-            if "2^21" not in str(e):
-                raise
-            # giant surface: the enum id packing tops out; the two-fetch
-            # device engine has no node-count ceiling
-            print("isosurface: surface exceeds the enum engine's 2^21-node "
-                  "packing — falling back to the device engine")
-            classify = "device"
+        # no node-count ceiling: surfaces past 2^21 nodes automatically
+        # re-dispatch with full-width (3x int32) element ids
+        return extract_isosurface_enum(dstate, iso_name, iso_val,
+                                       extra_names, bc, label,
+                                       defer=defer)
     meta = dstate.meta
     names = [iso_name] + [n for n in extra_names if n != iso_name]
     comps = [dstate.comp(n) for n in names]
