@@ -300,7 +300,115 @@ def slice_mef(mef: MEF, direction: int, locs: Sequence[float]) -> List[MEF]:
 
 def assemble_polylines(seg_mef: MEF) -> List[np.ndarray]:
     """Chain segments into polylines (MakeCLines analog,
-    isosurface.cpp:1159-1271).  Returns node-index chains."""
+    isosurface.cpp:1159-1271).  Returns node-index chains; closed loops
+    repeat their first node at the end.
+
+    Array-based for manifold contours (every node on <=2 segments — the
+    marching-squares output): directed-edge successor arrays + pointer
+    doubling give each segment its (chain root, position) in O(ne log ne)
+    vectorized work, no per-segment Python.  Junction nodes (degree >=3)
+    fall back to the greedy walk."""
+    segs = np.asarray(seg_mef.elements, dtype=np.int64)
+    ne = len(segs)
+    if ne == 0:
+        return []
+    n_nodes = int(segs.max()) + 1
+    deg = np.bincount(segs.ravel(), minlength=n_nodes)
+    if deg.max() > 2:
+        return _assemble_polylines_walk(seg_mef)
+
+    # directed edge ids: 2s = a->b (tail a, head b); 2s+1 = b->a.
+    # incidence slot ids coincide: slot 2s holds a (tail of 2s, head of
+    # 2s+1), slot 2s+1 holds b — so slot sl is the head of (sl^1) and the
+    # tail of sl.
+    m = 2 * ne
+    order = np.argsort(segs.ravel(), kind="stable")
+    starts_of = np.concatenate([[0], np.cumsum(deg)])[:-1]
+    nxt = np.full(m, -1, dtype=np.int64)
+    two = np.nonzero(deg == 2)[0]
+    if len(two):
+        s1 = order[starts_of[two]]       # the node's two incidence slots
+        s2 = order[starts_of[two] + 1]
+        nxt[s1 ^ 1] = s2                 # arrive via s1's segment, leave s2
+        nxt[s2 ^ 1] = s1
+
+    def _pred_of(nx):
+        pr = np.full(m, -1, dtype=np.int64)
+        has = nx >= 0
+        pr[nx[has]] = np.nonzero(has)[0]
+        return pr
+
+    rounds = max(1, int(np.ceil(np.log2(max(m, 2)))) + 1)
+
+    def _roots_depths(pr):
+        """(root, depth) per directed edge by pointer doubling; edges in
+        cycles come back with root == -1."""
+        root = np.full(m, -1, dtype=np.int64)
+        is_root = pr < 0
+        root[is_root] = np.nonzero(is_root)[0]
+        ptr = pr.copy()
+        dist = (pr >= 0).astype(np.int64)
+        for _ in range(rounds):
+            live = np.nonzero(ptr >= 0)[0]
+            if len(live) == 0:
+                break
+            p = ptr[live]
+            rp = root[p]
+            done = rp >= 0
+            root[live[done]] = rp[done]
+            dist[live] += dist[p]
+            ptr[live] = ptr[p]
+        return root, dist
+
+    pred = _pred_of(nxt)
+    root, depth = _roots_depths(pred)
+
+    dropped_roots: set = set()
+    closed_roots: set = set()
+    if (root < 0).any():
+        # cycles: each loop appears as two directed cycles with
+        # complementary ids.  The cycle containing 2*min_segment has an
+        # EVEN min id (the mirror\'s min is that id + 1) — keep even-min
+        # cycles, cut every cycle just before its min edge, re-ladder.
+        cyc = np.nonzero(root < 0)[0]
+        mn = np.arange(m, dtype=np.int64)
+        jump = nxt.copy()
+        for _ in range(rounds):
+            ok = jump[cyc] >= 0
+            c = cyc[ok]
+            mn[c] = np.minimum(mn[c], mn[jump[c]])
+            jump[c] = jump[jump[c]]
+        cyc_roots = np.unique(mn[cyc])
+        closed_roots = set(int(r) for r in cyc_roots[(cyc_roots & 1) == 0])
+        dropped_roots = set(int(r) for r in cyc_roots[(cyc_roots & 1) == 1])
+        nxt[pred[cyc_roots]] = -1
+        pred = _pred_of(nxt)
+        root, depth = _roots_depths(pred)
+
+    # one direction per open chain: the mirror chain\'s root is
+    # (terminal ^ 1); keep the smaller root.  Loops already emit once.
+    ordered = np.lexsort((depth, root))
+    r_sorted = root[ordered]
+    bounds = np.nonzero(np.diff(r_sorted))[0] + 1
+    chain_starts = np.concatenate([[0], bounds])
+    chain_ends = np.concatenate([bounds, [len(ordered)]]) - 1
+    out: List[np.ndarray] = []
+    for cs, ce in zip(chain_starts, chain_ends):
+        r = int(r_sorted[cs])
+        if r in dropped_roots:
+            continue
+        if r not in closed_roots and (int(ordered[ce]) ^ 1) < r:
+            continue                     # mirror chain wins
+        edges = ordered[cs: ce + 1]
+        chain = np.empty(len(edges) + 1, dtype=np.int64)
+        chain[0] = segs[r >> 1, r & 1]                  # tail of root
+        chain[1:] = segs[edges >> 1, 1 - (edges & 1)]   # heads in order
+        out.append(chain)
+    return out
+
+
+def _assemble_polylines_walk(seg_mef: MEF) -> List[np.ndarray]:
+    """Greedy walk (handles junction nodes of any degree)."""
     from collections import defaultdict
     adj = defaultdict(list)
     for si, (a, b) in enumerate(seg_mef.elements):

@@ -22,7 +22,7 @@ Output: MEF with element-centered values duplicated at the element's nodes
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -78,31 +78,95 @@ def _tri_area(a, b, c):
     return 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1)
 
 
+def element_adjacency_pairs(elements: np.ndarray,
+                            n_nodes: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Deduplicated element-adjacency pair list (a, b): element b shares at
+    least one node with element a (self included once).  Fully vectorized:
+    group node→element incidence, emit all within-group pairs, unique.
+    Pair count ≈ ne × mean 1-ring size (~13 for a manifold triangulation)."""
+    ne = len(elements)
+    k = elements.shape[1]
+    inc_n = elements.ravel()
+    inc_e = np.repeat(np.arange(ne, dtype=np.int32), k)
+    order = np.argsort(inc_n, kind="stable")
+    n_sorted = inc_n[order]
+    e_sorted = inc_e[order]
+    counts = np.bincount(n_sorted, minlength=n_nodes)
+    starts = (np.concatenate([[0], np.cumsum(counts)])[:-1]
+              .astype(np.int64))
+    # pair (a, b) construction without div/mod: each incidence slot t (node
+    # g, element a) contributes a run of that node's full element list —
+    # a = slot's element repeated s times, b = the group's slot range.
+    rep = counts[n_sorted]                       # per-slot group size
+    tot = int(rep.sum(dtype=np.int64))
+    a = np.repeat(e_sorted, rep)
+    run_off = np.concatenate([[0], np.cumsum(rep)[:-1]]).astype(np.int64)
+    idx = (np.arange(tot, dtype=np.int64)
+           - np.repeat(run_off, rep) + np.repeat(starts[n_sorted], rep))
+    b = e_sorted[idx]
+    # dedup (a,b) across shared nodes — the reference's per-element `seen`
+    # set (streamTubeStats.cpp:284-293) counts each neighbor once even
+    # when it shares 2-3 nodes
+    key = np.unique(a.astype(np.int64) * ne + b)
+    return (key // ne), (key % ne)
+
+
 def smooth_values(vals: np.ndarray, areas: np.ndarray,
                   elements: np.ndarray, n_nodes: int,
                   n_smooth: int) -> np.ndarray:
     """Area-weighted node-neighbor elemental smoothing (smoothVals,
     streamTubeStats.cpp:275-299): each element averages over elements
-    sharing any of its nodes."""
+    sharing any of its nodes, each neighbor counted ONCE even when it
+    shares 2-3 nodes (the reference's per-element `seen` set).
+
+    Vectorized by inclusion–exclusion over segment sums: a neighbor
+    sharing m nodes appears m times in the node-incidence sum, C(m,2)
+    times in the edge-incidence sum, and C(m,3) times in the
+    same-triple sum, and m − C(m,2) + C(m,3) = 1 for m ∈ {1,2,3} — so
+    acc = Σ_nodes S_n − Σ_edges S_e + S_triple, three bincount/gather
+    passes, O(ne) per iteration with no pair list at all (the same
+    segment-sum shape the device stats path uses, SURVEY §2.7.6).
+    Degenerate elements (repeated nodes) fall back to an explicit
+    deduplicated pair list."""
+    if n_smooth <= 0:
+        return vals.copy()
     ne = len(elements)
-    node_elts: List[List[int]] = [[] for _ in range(n_nodes)]
-    for e, tri in enumerate(elements):
-        for n in tri:
-            node_elts[n].append(e)
+    e = np.asarray(elements, dtype=np.int64)
+    degenerate = ((e[:, 0] == e[:, 1]) | (e[:, 1] == e[:, 2])
+                  | (e[:, 0] == e[:, 2])).any()
+    if degenerate:
+        pa, pb = element_adjacency_pairs(elements, n_nodes)
+        wacc = np.maximum(np.bincount(pa, weights=areas[pb], minlength=ne),
+                          1e-300)
+        out = vals.copy()
+        for _ in range(n_smooth):
+            acc = np.bincount(pa, weights=out[pb] * areas[pb], minlength=ne)
+            out = acc / wacc
+        return out
+    # segment ids: nodes (given), undirected edges, sorted node triples
+    es = np.sort(e, axis=1)
+    edge_keys = np.stack([es[:, 0] * n_nodes + es[:, 1],
+                          es[:, 1] * n_nodes + es[:, 2],
+                          es[:, 0] * n_nodes + es[:, 2]], axis=1)
+    ue, edge_id = np.unique(edge_keys, return_inverse=True)
+    edge_id = edge_id.reshape(ne, 3)
+    pair12 = np.unique(es[:, 0] * n_nodes + es[:, 1], return_inverse=True)
+    tri_keys = pair12[1].astype(np.int64) * n_nodes + es[:, 2]
+    ut, tri_id = np.unique(tri_keys, return_inverse=True)
+
+    def one_ring_sum(w):
+        s_node = np.bincount(e.ravel(), weights=np.repeat(w, 3),
+                             minlength=n_nodes)
+        s_edge = np.bincount(edge_id.ravel(), weights=np.repeat(w, 3),
+                             minlength=len(ue))
+        s_tri = np.bincount(tri_id, weights=w, minlength=len(ut))
+        return (s_node[e].sum(axis=1) - s_edge[edge_id].sum(axis=1)
+                + s_tri[tri_id])
+
+    wacc = np.maximum(one_ring_sum(areas), 1e-300)
     out = vals.copy()
     for _ in range(n_smooth):
-        acc = np.zeros(ne)
-        wacc = np.zeros(ne)
-        for e, tri in enumerate(elements):
-            seen = set()
-            for n in tri:
-                for e2 in node_elts[n]:
-                    if e2 not in seen:
-                        seen.add(e2)
-                        acc[e] += out[e2] * areas[e2]
-                        wacc[e] += areas[e2]
-            acc[e] /= max(wacc[e], 1e-300)
-        out = acc
+        out = one_ring_sum(out * areas) / wacc
     return out
 
 

@@ -611,3 +611,51 @@ def test_tecplot_native_formatter_bytes():
         chunks.append("\n".join(rows[i]))
         chunks.append("\n")
     assert native == "".join(chunks).encode()
+
+
+def test_smooth_values_matches_reference_loop():
+    """The inclusion-exclusion segment-sum smoother reproduces the
+    reference's per-element seen-set semantics (smoothVals,
+    streamTubeStats.cpp:275-299) exactly, including edge-sharing
+    neighbors, duplicate triangles, and degenerate elements."""
+    import numpy as np
+
+    from peleanalysis_tpu.tools.stream_tube_stats import smooth_values
+
+    def smooth_ref(vals, areas, elements, n_nodes, n_smooth):
+        ne = len(elements)
+        node_elts = [[] for _ in range(n_nodes)]
+        for e, tri in enumerate(elements):
+            for n in tri:
+                node_elts[n].append(e)
+        out = vals.copy()
+        for _ in range(n_smooth):
+            acc = np.zeros(ne)
+            wacc = np.zeros(ne)
+            for e, tri in enumerate(elements):
+                seen = set()
+                for n in tri:
+                    for e2 in node_elts[n]:
+                        if e2 not in seen:
+                            seen.add(e2)
+                            acc[e] += out[e2] * areas[e2]
+                            wacc[e] += areas[e2]
+                acc[e] /= max(wacc[e], 1e-300)
+            out = acc
+        return out
+
+    rng = np.random.default_rng(0)
+    nn = 150
+    el = np.array([rng.choice(nn, 3, replace=False) for _ in range(300)])
+    el = np.vstack([el, el[:10]])            # duplicate triangles
+    vals = rng.normal(size=len(el))
+    areas = rng.uniform(0.1, 2.0, len(el))
+    got = smooth_values(vals, areas, el, nn, 3)
+    want = smooth_ref(vals, areas, el, nn, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
+    # degenerate elements exercise the pair-list fallback
+    el2 = el.copy()
+    el2[7, 1] = el2[7, 0]
+    got2 = smooth_values(vals, areas, el2, nn, 2)
+    want2 = smooth_ref(vals, areas, el2, nn, 2)
+    np.testing.assert_allclose(got2, want2, rtol=1e-13, atol=1e-14)
