@@ -641,19 +641,28 @@ def sec_stats(ctx) -> None:
     fused_dev = jax.jit(_fused_dev)
     acc = fused_dev(list(dstate.data), smasks, f1, f2, jnp.zeros(()))
     _ = float(acc)
-    K = 32
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for _ in range(K):
-        acc = fused_dev(list(dstate.data), smasks, f1, f2, acc)
-    _ = float(acc)
-    chain_s = time.perf_counter() - t0
-    # MXU accounting for the one-hot contractions: condMean does 2 einsums
-    # (sums, sumsq) + 1 hit-sum; jpdf 3 einsums of [C,64]x[C,64] per chunk.
-    # FLOPs ~ 2*cells*nbins per einsum (+ onehot build, not counted).
-    stats_gflop = (2 * tot_cells * 64 * (1 + 2)
-                   + 2 * tot_cells * 64 * 3) / 1e9
-    rl = {"gflop": round(stats_gflop, 1)}
+    # adaptive chain: grow K until the chain dominates the fetch latency
+    # (r3 recorded device_ms=0.5 from a chain barely past the 2x-lat
+    # threshold — subtraction noise), bounded by the section budget
+    K, chain_s = 8, 0.0
+    while True:
+        t0 = time.perf_counter()
+        acc = jnp.zeros(())
+        for _ in range(K):
+            acc = fused_dev(list(dstate.data), smasks, f1, f2, acc)
+        _ = float(acc)
+        chain_s = time.perf_counter() - t0
+        if chain_s > max(4.0 * lat, 0.15) or K >= 256 or _remaining() < 20:
+            break
+        K *= 2
+    # MXU accounting for the one-hot contractions (r5 FIX: the jpdf einsums
+    # are [C,64]x[C,64] -> 2*C*nbins^2 FLOPs each; r3 counted 2*C*nbins and
+    # under-stated the achieved MXU fraction 64x on the jpdf side):
+    # condMean = one [64,C]@[C,3] fused matmul (hits+sum+sumsq, ncomp=1);
+    # jpdf = one batched 3x [64,C]@[C,64].  Onehot build not counted.
+    stats_gflop = (2 * tot_cells * 64 * 3
+                   + 2 * tot_cells * 64 * 64 * 3) / 1e9
+    rl = {"gflop": round(stats_gflop, 1), "chain_len": K}
     if chain_s > 2.0 * lat:
         stats_dev_ms = (chain_s - lat) / K * 1e3
         rl.update(

@@ -51,6 +51,57 @@ def _jpdf_all(f1s, f2s, ms, vols, bounds, nbins):
         b, bx1, bx2 = b + bb, bx1 + b1, bx2 + b2
     return b, bx1, bx2, c1, c2
 
+@partial(jax.jit, static_argnames=("nbins", "pairs"))
+def _jpdf_multi_all(vals_list, ms, vols, lo, hi, nbins, pairs):
+    """All levels x all pairs in one dispatch (r5): per-variable moment
+    shifts from the level-0 masked means, then joint_pdf_multi per level
+    accumulated.  Returns (b, bx1', bx2', shifts)."""
+    import jax.numpy as jnp
+    from ..ops.stats import joint_pdf_multi, masked_mean
+    nv = vals_list[0].shape[0]
+    sh = jnp.stack([masked_mean(vals_list[0][v], ms[0], vols[0])
+                    for v in range(nv)])
+    b = bx1 = bx2 = 0.0
+    for lev in range(len(vals_list)):
+        bb, b1, b2 = joint_pdf_multi(vals_list[lev], vols[lev], ms[lev],
+                                     lo, hi, nbins, pairs, shifts=sh)
+        b, bx1, bx2 = b + bb, bx1 + b1, bx2 + b2
+    return b, bx1, bx2, sh
+
+
+def compute_jpdf_pairs(dstate: DenseAmrState, field_levels, lo, hi,
+                       nbins, pairs, cond_levels=None):
+    """All-pairs jpdf accumulation over all levels: ONE dispatch + ONE
+    fetch for the whole n(n-1)/2 pair family (the per-pair path paid a
+    tunnel roundtrip per pair).  field_levels: [nv] of [lev] -> [*bbox];
+    lo/hi: [nv].  Returns (b, bx1, bx2) each [npairs, nbins, nbins]
+    float64 with raw (unshifted) bx columns."""
+    import jax.numpy as jnp
+    n_lev = dstate.meta.n_levels
+    nv = len(field_levels)
+    vols = tuple(float(np.prod(dstate.meta.geoms[lev].dx))
+                 for lev in range(n_lev))
+    masks = []
+    for lev in range(n_lev):
+        m = dstate.valid_mask(lev)
+        if cond_levels is not None:
+            m = m & cond_levels[lev]
+        masks.append(m)
+    vals_list = [jnp.stack([field_levels[v][lev] for v in range(nv)])
+                 for lev in range(n_lev)]
+    edt = np.float64 if vals_list[0].dtype == np.float64 else np.float32
+    b, bx1_s, bx2_s, sh = jax.device_get(_jpdf_multi_all(
+        vals_list, masks, vols, np.asarray(lo, edt),
+        np.asarray(hi, edt), nbins, tuple(map(tuple, pairs))))
+    b64 = np.asarray(b, np.float64)
+    sh = np.asarray(sh, np.float64)
+    ii = np.asarray([p[0] for p in pairs])
+    jj = np.asarray([p[1] for p in pairs])
+    bx1 = np.asarray(bx1_s, np.float64) + sh[ii][:, None, None] * b64
+    bx2 = np.asarray(bx2_s, np.float64) + sh[jj][:, None, None] * b64
+    return b64, bx1, bx2
+
+
 SMALL = 1.0e-7
 
 
@@ -293,17 +344,23 @@ def main(args: dict) -> None:
             base = plt
         os.makedirs(base, exist_ok=True)
 
+        # all pairs in ONE dispatch + ONE fetch per part (r5: shared
+        # per-variable one-hots; the old loop paid a roundtrip per pair)
+        pairs = tuple((a, bvar) for a in range(nvars)
+                      for bvar in range(a + 1, nvars))
+        lo = [vmin[n] for n in names_all]
+        hi = [vmax[n] for n in names_all]
+        bP = bx1P = bx2P = 0.0
+        for ds, fields, cond_levels in parts:
+            bb, b1, b2 = compute_jpdf_pairs(
+                ds, [fields[n] for n in names_all], lo, hi, nbins, pairs,
+                cond_levels)
+            bP, bx1P, bx2P = bP + bb, bx1P + b1, bx2P + b2
         ipair = 0
         for a in range(nvars):
             for bvar in range(a + 1, nvars):
                 n1, n2 = names_all[a], names_all[bvar]
-                b = bx1 = bx2 = 0.0
-                for ds, fields, cond_levels in parts:
-                    bb, b1, b2 = compute_jpdf_pair(
-                        ds, fields[n1], fields[n2],
-                        vmin[n1], vmax[n1], vmin[n2], vmax[n2], nbins,
-                        cond_levels)
-                    b, bx1, bx2 = b + bb, bx1 + b1, bx2 + b2
+                b, bx1, bx2 = bP[ipair], bx1P[ipair], bx2P[ipair]
                 if do_avg:
                     if avg[ipair] is None:
                         avg[ipair] = [np.zeros_like(b) for _ in range(3)]
