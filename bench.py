@@ -682,6 +682,51 @@ def sec_stats(ctx) -> None:
                       "time below the measurement floor this run")
     DETAIL["roofline"]["stats_matmul"] = rl
 
+    # all-pairs jpdf (r5, VERDICT r4 #6): 3 vars -> 3 pairs sharing
+    # per-variable one-hots in one dispatch (tools/jpdf.compute_jpdf_pairs)
+    if _remaining() > 30:
+        from peleanalysis_tpu.tools.jpdf import _jpdf_multi_all
+        f3 = [dstate.data[l][state.comp("density")] for l in range(n_lev)]
+        vals_list = [jnp.stack([f1[l], f2[l], f3[l]]) for l in range(n_lev)]
+        mlo = np.asarray([300.0, -0.1, 0.05], np.float32)
+        mhi = np.asarray([1801.0, 1.1, 1.3], np.float32)
+        mpairs = ((0, 1), (0, 2), (1, 2))
+
+        def _multi_dev(vl, ml, tok):
+            b, bx1, bx2, _sh = _jpdf_multi_all(vl, ml, svols, mlo, mhi,
+                                               64, mpairs)
+            return tok + jnp.sum(b) + jnp.sum(bx1) + jnp.sum(bx2)
+
+        multi_dev = jax.jit(_multi_dev)
+        _ = float(multi_dev(vals_list, smasks, jnp.zeros(())))
+        K2, chain2 = 8, 0.0
+        while True:
+            t0 = time.perf_counter()
+            acc = jnp.zeros(())
+            for _ in range(K2):
+                acc = multi_dev(vals_list, smasks, acc)
+            _ = float(acc)
+            chain2 = time.perf_counter() - t0
+            if chain2 > max(4.0 * lat, 0.15) or K2 >= 256 \
+                    or _remaining() < 15:
+                break
+            K2 *= 2
+        gf_multi = 3 * 2 * tot_cells * 64 * 64 * 3 / 1e9
+        rl2 = {"gflop": round(gf_multi, 1), "chain_len": K2,
+               "case": "3 vars -> 3 pairs, shared one-hots, one dispatch"}
+        if chain2 > 2.0 * lat:
+            dev2_ms = (chain2 - lat) / K2 * 1e3
+            rl2.update(
+                device_ms=round(dev2_ms, 2),
+                device_ms_per_pair=round(dev2_ms / 3, 2),
+                gflop_s=round(gf_multi / (dev2_ms * 1e-3), 1),
+                pct_mxu_f32_peak=round(100 * gf_multi * 1e9
+                                       / (dev2_ms * 1e-3) / MXU_F32_PEAK,
+                                       2))
+        else:
+            rl2["device_ms_upper_bound"] = round(chain2 / K2 * 1e3, 2)
+        DETAIL["roofline"]["stats_jpdf_multi"] = rl2
+
 
 def sec_chain(ctx) -> None:
     """Device-resident chained composite (pipeline mode): grad -> curvature

@@ -209,9 +209,10 @@ def joint_pdf_multi(vals: jnp.ndarray, vol, mask: jnp.ndarray,
         .astype(dt).reshape(-1)
     fs = flat - sh[:, None]
 
-    # keep the per-chunk batched one-hot working set (3P+P+2nv slabs of
-    # [C, nbins]) near the single-pair footprint
-    chunk = max(4096, _CHUNK // max(1, (3 * P + P) // 4))
+    # measured (r5, v5e): 16k chunks beat 64k (49.1% vs 42.8% of f32 MXU
+    # peak at 3 pairs) — the smaller one-hot slabs stay resident across
+    # the per-pair dots
+    chunk = 16384
     n = w.size
     m = ((n + chunk - 1) // chunk) * chunk
     pad = m - n
@@ -221,19 +222,21 @@ def joint_pdf_multi(vals: jnp.ndarray, vol, mask: jnp.ndarray,
     f_c = jnp.pad(fs, ((0, 0), (0, pad))).reshape(nv, -1, chunk) \
         .transpose(1, 0, 2)
     bins = jnp.arange(nbins, dtype=jnp.int32)
-    ii = tuple(p[0] for p in pairs)
-    jj = tuple(p[1] for p in pairs)
 
     def body(acc, args):
         ic, wc, fc = args                                    # [nv,C],[C],[nv,C]
         oh = (ic[:, :, None] == bins[None, None, :]).astype(dt)  # [nv,C,n]
         ow = oh * wc[None, :, None]
-        owi = ow[ii, :, :]                                   # [P,C,n] static
-        fi = fc[ii, :][:, :, None]
-        fj = fc[jj, :][:, :, None]
-        lhs = jnp.stack([owi, owi * fi, owi * fj])           # [3,P,C,n]
-        acc = acc + jnp.einsum("xpcb,pcd->xpbd", lhs, oh[jj, :, :],
-                               preferred_element_type=dt)
+        # per-pair batched-3 dots reusing the shared one-hots (measured r5:
+        # 2.3x faster than one [3,P,C,n]-stacked einsum, which materializes
+        # the stack through HBM; the loop is static — P dots fused by XLA)
+        outs = []
+        for i, j in pairs:
+            lhs = jnp.stack([ow[i], ow[i] * fc[i][:, None],
+                             ow[i] * fc[j][:, None]])        # [3,C,n]
+            outs.append(jnp.einsum("xcb,cd->xbd", lhs, oh[j],
+                                   preferred_element_type=dt))
+        acc = acc + jnp.stack(outs, axis=1)                  # [3,P,n,n]
         return acc, None
 
     init = jnp.zeros((3, P, nbins, nbins), dt)
