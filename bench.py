@@ -1072,10 +1072,12 @@ def main():
     section("stream", 45, sec_stream, ctx)
     section("stats", 45, sec_stats, ctx)
     section("chain", 45, sec_chain, ctx)
+    # e2e_512 before the CLI chains: the scale story (VERDICT r4 #3) is
+    # worth more than warm-chain timings when the budget is tight
     section("sparse_512", 240, sec_sparse512, ctx)
+    section("e2e_512", 200, sec_e2e_512, ctx)
     section("cli32", 150, sec_cli32, ctx)
     section("server", 120, sec_server, ctx)
-    section("e2e_512", 300, sec_e2e_512, ctx)
     if os.environ.get("PELE_BENCH_LARGE", "1") != "0":
         section("large", 240, sec_large, ctx)
     _emit()

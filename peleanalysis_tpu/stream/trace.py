@@ -724,6 +724,18 @@ def trace_streamlines_sparse(
     # the remote compile service (measured r3; see marching_cubes sparse)
     from concurrent.futures import ThreadPoolExecutor
 
+    def _pad_pow2(s):
+        """Canonical clusters share field shapes, but a per-cluster seed
+        COUNT is also a compile shape — pad to a power-of-two bucket
+        (repeating the last seed; duplicates are computed then sliced off)
+        so equal-bucket clusters share ONE march compile regardless of how
+        the seeds scatter (r5: 12 per-cluster compiles -> ~3 buckets)."""
+        n = len(s)
+        m = 1 << max(6, int(np.ceil(np.log2(n))))
+        if m > n:
+            s = np.concatenate([s, np.repeat(s[-1:], m - n, axis=0)])
+        return s, n
+
     def run_one(job):
         gi, sel = job
         if gi == -1:
@@ -743,8 +755,9 @@ def trace_streamlines_sparse(
         dom_c_lo = np.array(geom_c.domain.lo)
         off = (plo_f - np.array(geom_c.prob_lo)
                + (info.shift - dom_f_lo + dom_c_lo) * dxf)
-        lines = trace_streamlines(subs[gi], seeds[sel] - off, n_rk_steps,
-                                  h_rk, **kw)
+        s_pad, n_sel = _pad_pow2(seeds[sel] - off)
+        lines = trace_streamlines(subs[gi], s_pad, n_rk_steps,
+                                  h_rk, **kw)[:n_sel]
         lines[:, :, :3] += off
         return sel, lines
 

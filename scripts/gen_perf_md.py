@@ -60,6 +60,13 @@ def main() -> None:
     if roof:
         lines += ["", "## Roofline / split detail", "", "```json",
                   json.dumps(roof, indent=2), "```", ""]
+    # r5: dict-valued detail blocks (sparse_512 scale story, e2e_512,
+    # march_precision parity, server/CLI chains, section ledger)
+    blocks = {k: v for k, v in det.items()
+              if isinstance(v, dict) and k != "roofline"}
+    if blocks:
+        lines += ["", "## Case blocks", "", "```json",
+                  json.dumps(blocks, indent=2), "```", ""]
     lines += [
         "Tunnel weather (latency/bandwidth in the `tunnel` entry above)"
         " moves the e2e numbers run to run; the device-only splits are the"

@@ -272,6 +272,47 @@ def test_boundary_cluster_pinned_stream_exact():
     np.testing.assert_allclose(sp, ref, atol=1e-9)
 
 
+def test_sparse_stream_seed_counts_bucketed(multi_cluster_state,
+                                            monkeypatch):
+    """r5: per-cluster seed COUNT is a compile shape too — canonical
+    clusters must pad their seed batches to shared power-of-two buckets
+    (bench r5 caught 12 per-cluster march compiles at scattered-512^3),
+    and the padded march must still return the exact unpadded lines."""
+    import peleanalysis_tpu.stream.trace as tr
+
+    st = multi_cluster_state
+    rng = np.random.default_rng(7)
+    # deliberately unequal per-cluster seed counts (5 / 9 / 17 seeds) in
+    # three of the four clusters + a few coarse-owned seeds
+    centers = [(0.25, 0.25, 0.25), (0.65, 0.65, 0.65), (0.70, 0.20, 0.45)]
+    seeds = np.concatenate(
+        [np.asarray(c) + 0.05 * (rng.random((n, 3)) - 0.5)
+         for c, n in zip(centers, (5, 9, 17))]
+        + [np.array([[0.45, 0.45, 0.1]]) + 0.01 * rng.random((3, 3))])
+
+    calls = []
+    orig = tr.trace_streamlines
+
+    def spy(ds, s, *a, **kw):
+        calls.append(len(s))
+        return orig(ds, s, *a, **kw)
+
+    monkeypatch.setattr(tr, "trace_streamlines", spy)
+    sp = tr.trace_streamlines_sparse(st, seeds, 11, 0.5,
+                                     trace_field="blob",
+                                     march_engine="xla")
+    monkeypatch.undo()
+    # every canonical-cluster march saw the SAME padded bucket (>= 64)
+    cluster_counts = [c for c in calls if c >= 64 and (c & (c - 1)) == 0]
+    assert len(cluster_counts) == 3, calls
+    assert len(set(cluster_counts)) == 1, calls
+    # and the padding is invisible in the result: dense parity
+    ref = tr.trace_streamlines(DenseAmrState.from_batched(st), seeds, 11,
+                               0.5, trace_field="blob",
+                               march_engine="xla")
+    np.testing.assert_allclose(sp, ref, atol=1e-9)
+
+
 def test_boundary_cluster_anchored_shared_signature():
     """Two clusters along the SAME domain face at different offsets share
     one anchored signature (one engine); a corner cluster gets its own."""
