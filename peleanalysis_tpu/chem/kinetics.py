@@ -152,6 +152,22 @@ def parse_kinetic_reaction(line: str, ea_to_cal: float = 1.0
     return rxn
 
 
+def _has_end(toks: List[str]) -> bool:
+    return any(t.upper() == "END" for t in toks)
+
+
+def _species_toks(toks: List[str]) -> List[str]:
+    """Species names up to a trailing END terminator — CHEMKIN allows
+    'SPECIES H2 O2 N2 END' on one line (r5 review fix: END was being
+    collected as a species name)."""
+    out = []
+    for t in toks:
+        if t.upper() == "END":
+            break
+        out.append(t)
+    return out
+
+
 def parse_chemkin(path: str) -> Tuple[List[str], List[KineticReaction],
                                       Dict[str, Nasa7]]:
     """Parse a CHEMKIN mechanism file → (species, reactions, thermo).
@@ -182,7 +198,9 @@ def parse_chemkin(path: str) -> Tuple[List[str], List[KineticReaction],
             continue
         if head in ("SPECIES", "SPEC"):
             section = "species"
-            species.extend(s.split()[1:])
+            species.extend(_species_toks(s.split()[1:]))
+            if _has_end(s.split()[1:]):
+                section = ""
             continue
         if head in ("THERMO", "THER"):
             section = "thermo"
@@ -198,7 +216,9 @@ def parse_chemkin(path: str) -> Tuple[List[str], List[KineticReaction],
             section = ""
             continue
         if section == "species":
-            species.extend(s.split())
+            species.extend(_species_toks(s.split()))
+            if _has_end(s.split()):
+                section = ""
         elif section == "thermo":
             thermo_lines.append(raw[i - 1].rstrip("\n"))
         elif section == "reactions" or (section == "" and
@@ -248,9 +268,10 @@ def _apply_aux_line(s: str, reactions: List[KineticReaction],
             raise ValueError(
                 f"unsupported CHEMKIN aux keyword {key} on {rxn.label!r}")
         return
-    # bare efficiency line: SP/val/ SP/val/ ...
+    # bare efficiency line: SP/val/ SP/val/ ...  (Fortran D exponents legal)
     for name, val in _EFF_RE.findall(s):
-        rxn.efficiencies[name] = float(val)
+        rxn.efficiencies[name] = float(
+            val.replace("d", "e").replace("D", "E"))
 
 
 def _parse_thermo_lines(lines: List[str]) -> Dict[str, Nasa7]:
@@ -310,6 +331,8 @@ class Kinetics:
         self.nuf = np.zeros((nr, ns))
         self.nur = np.zeros((nr, ns))
         self.lnA = np.zeros(nr)
+        self.kf_sign = np.ones(nr)        # CHEMKIN allows negative A
+        self.rev_sign = np.ones(nr)       # (DUPLICATE fit pairs)
         self.beta = np.zeros(nr)
         self.EaR = np.zeros(nr)           # Ea/R in Kelvin
         self.rev_mask = np.zeros(nr)
@@ -334,13 +357,18 @@ class Kinetics:
                 self.nuf[i, sidx[sp]] += c
             for sp, c in r.products.items():
                 self.nur[i, sidx[sp]] += c
-            self.lnA[i] = np.log(r.A)
+            # negative pre-exponentials are legal CHEMKIN (negative-A
+            # DUPLICATE fit pairs): carry the sign outside the log
+            self.lnA[i] = (np.log(abs(r.A)) if r.A != 0.0 else -np.inf)
+            self.kf_sign[i] = -1.0 if r.A < 0 else 1.0
             self.beta[i] = r.beta
             self.EaR[i] = r.Ea / R_CAL
             self.rev_mask[i] = 1.0 if r.reversible else 0.0
             if r.rev is not None:
                 self.rev_arrh[i] = True
-                self.rev_lnA[i] = np.log(r.rev[0])
+                self.rev_lnA[i] = (np.log(abs(r.rev[0]))
+                                   if r.rev[0] != 0.0 else -np.inf)
+                self.rev_sign[i] = -1.0 if r.rev[0] < 0 else 1.0
                 self.rev_beta[i] = r.rev[1]
                 self.rev_EaR[i] = r.rev[2] / R_CAL
             if r.falloff_partner:
@@ -356,6 +384,10 @@ class Kinetics:
                 if r.low is None:
                     raise ValueError(f"falloff reaction without LOW: "
                                      f"{r.label!r}")
+                if r.low[0] <= 0.0 or r.A < 0:
+                    raise ValueError(
+                        f"non-positive A on falloff reaction {r.label!r}: "
+                        "the k0/kinf blend needs positive rate constants")
                 self.low_lnA[i] = np.log(r.low[0])
                 self.low_beta[i] = r.low[1]
                 self.low_EaR[i] = r.low[2] / R_CAL
@@ -463,8 +495,13 @@ class Kinetics:
                    + xp.asarray(self.rev_beta) * lnT[..., None]
                    - xp.asarray(self.rev_EaR) * invT[..., None])
         lnkr = xp.where(xp.asarray(self.rev_arrh), lnkr_ar, lnkr_eq)
-        Qf = xp.exp(lnkf + ln_pf)
-        Qr = xp.exp(lnkr + ln_pr) * xp.asarray(self.rev_mask)
+        # signs live outside the log-space math (negative-A duplicates);
+        # an equilibrium reverse inherits the forward sign (kr = kf/Kc)
+        qr_sign = xp.where(xp.asarray(self.rev_arrh),
+                           xp.asarray(self.rev_sign),
+                           xp.asarray(self.kf_sign))
+        Qf = xp.exp(lnkf + ln_pf) * xp.asarray(self.kf_sign)
+        Qr = xp.exp(lnkr + ln_pr) * xp.asarray(self.rev_mask) * qr_sign
         # third-body concentration (one more matmul)
         ctb = C @ xp.asarray(self.alpha.T)
         mult = 1.0 + xp.asarray(self.tb_mask) * (ctb - 1.0)
@@ -479,13 +516,19 @@ class Kinetics:
             F = xp.ones_like(Pr)
             if self.troe_mask.any():
                 a = xp.asarray(self.troe[:, 0])
-                t3 = xp.asarray(np.where(self.troe[:, 1] == 0.0, np.inf,
+                # Fuego convention (r5 review fix): a zero T***/T* means the
+                # corresponding Fcent term is ZERO (exp(-T/T3) -> 0 as
+                # T3 -> 0+), not exp(-T/inf) = 1
+                m3 = xp.asarray((self.troe[:, 1] != 0.0).astype(float))
+                m1 = xp.asarray((self.troe[:, 2] != 0.0).astype(float))
+                t3 = xp.asarray(np.where(self.troe[:, 1] == 0.0, 1.0,
                                          self.troe[:, 1]))
-                t1 = xp.asarray(np.where(self.troe[:, 2] == 0.0, np.inf,
+                t1 = xp.asarray(np.where(self.troe[:, 2] == 0.0, 1.0,
                                          self.troe[:, 2]))
                 t2 = xp.asarray(self.troe[:, 3])
                 Tb = T[..., None]
-                Fcent = ((1.0 - a) * xp.exp(-Tb / t3) + a * xp.exp(-Tb / t1)
+                Fcent = ((1.0 - a) * m3 * xp.exp(-Tb / t3)
+                         + a * m1 * xp.exp(-Tb / t1)
                          + xp.asarray(self.troe_has_t2) * xp.exp(-t2
                                                                  * invT[...,
                                                                         None]))
@@ -500,14 +543,17 @@ class Kinetics:
             if self.sri_mask.any():
                 a_s = xp.asarray(self.sri[:, 0])
                 b_s = xp.asarray(self.sri[:, 1])
-                c_s = xp.asarray(np.where(self.sri[:, 2] == 0.0, np.inf,
+                # c == 0: the exp(-T/c) term vanishes (same limit convention
+                # as the Troe fix above)
+                mc = xp.asarray((self.sri[:, 2] != 0.0).astype(float))
+                c_s = xp.asarray(np.where(self.sri[:, 2] == 0.0, 1.0,
                                           self.sri[:, 2]))
                 d_s = xp.asarray(self.sri[:, 3])
                 e_s = xp.asarray(self.sri[:, 4])
                 Tb = T[..., None]
                 x = 1.0 / (1.0 + log10Pr * log10Pr)
                 base = a_s * xp.exp(-b_s * invT[..., None]) \
-                    + xp.exp(-Tb / c_s)
+                    + mc * xp.exp(-Tb / c_s)
                 F_sri = d_s * xp.maximum(base, 1e-300) ** x * Tb ** e_s
                 F = xp.where(xp.asarray(self.sri_mask) > 0, F_sri, F)
             blend = Pr / (1.0 + Pr) * F

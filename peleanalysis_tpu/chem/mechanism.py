@@ -86,8 +86,9 @@ class Nasa7:
                 + a[..., 5] / T)
 
     def s_R(self, T):
-        """Standard-state entropy S0/R (needed for equilibrium constants,
-        chem/kinetics.py)."""
+        """Standard-state entropy S0/R.  Kinetics._g_RT evaluates the same
+        polynomials from batched per-mechanism tables; this per-species form
+        is the test oracle for it (tests/test_kinetics.py)."""
         a = np.where(np.asarray(T)[..., None] < self.t_mid, self.lo, self.hi)
         return (a[..., 0] * np.log(T) + a[..., 1] * T + a[..., 2] * T**2 / 2
                 + a[..., 3] * T**3 / 3 + a[..., 4] * T**4 / 4 + a[..., 6])

@@ -226,8 +226,13 @@ def bin_mef(mef: MEF, bin_comps: Sequence[str], bin_min: Sequence[float],
         edges = np.linspace(lo, hi, nb + 1)
         w = (hi - lo) / nb
         vc = cur[:, :, c]
-        blo = np.floor((vc.min(axis=1) - lo) / w).astype(np.int64)
-        bhi = np.floor((vc.max(axis=1) - lo) / w).astype(np.int64)
+        # per-vertex bin; a vertex exactly AT bin_max belongs to the last
+        # bin (the recursive clipper's [edges[b], edges[b+1]] kept it there;
+        # r5 review fix — floor() alone pushed it to bin nb and dropped it)
+        bv = np.floor((vc - lo) / w)
+        bv = np.where(vc == hi, nb - 1, bv).astype(np.int64)
+        blo = bv.min(axis=1)
+        bhi = bv.max(axis=1)
         inside = (blo == bhi) & (blo >= 0) & (blo < nb)
         keep = cur[inside]
         keep[:, :, ID] = keep[:, :, ID] * nb + blo[inside, None]

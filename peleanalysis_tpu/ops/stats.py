@@ -198,6 +198,9 @@ def joint_pdf_multi(vals: jnp.ndarray, vol, mask: jnp.ndarray,
     nv = vals.shape[0]
     P = len(pairs)
     dt = jnp.result_type(vals.dtype, jnp.float32)
+    if P == 0:
+        z = jnp.zeros((0, nbins, nbins), dt)
+        return z, z, z
     sh = (jnp.zeros((nv,), dt) if shifts is None
           else jnp.asarray(shifts, dt))
     lo = jnp.asarray(lo, dt)

@@ -171,8 +171,18 @@ def _qpd(args: dict) -> None:
         rate_base = pp.query_str("rateBase", None)
         rate_names = [f"{rate_base}_{i}" for i in range(len(reactions))] \
             if rate_base else []
-        if rate_base and all(n in avail for n in rate_names):
-            # override: net rates pre-baked as plotfile comps rate_0..N-1
+        if rate_base:
+            # explicit override: net rates pre-baked as plotfile comps
+            # rate_0..N-1.  An explicit rateBase= with missing comps is an
+            # ERROR (r5 review fix: it silently fell through to the
+            # kinetics path — different numbers, no indication)
+            missing = [n for n in rate_names if n not in avail]
+            if missing:
+                raise ValueError(
+                    f"plotQPD: rateBase={rate_base!r} was given but the "
+                    f"plotfile lacks {missing[:3]}"
+                    f"{'...' if len(missing) > 3 else ''} "
+                    f"({len(missing)}/{len(rate_names)} missing)")
             from ..amr.dense import DenseAmrState
             from .integral import integrate_along
             st = AmrState.from_plotfile(infile, names=rate_names,

@@ -351,7 +351,7 @@ def main(args: dict) -> None:
         lo = [vmin[n] for n in names_all]
         hi = [vmax[n] for n in names_all]
         bP = bx1P = bx2P = 0.0
-        for ds, fields, cond_levels in parts:
+        for ds, fields, cond_levels in (parts if pairs else []):
             bb, b1, b2 = compute_jpdf_pairs(
                 ds, [fields[n] for n in names_all], lo, hi, nbins, pairs,
                 cond_levels)

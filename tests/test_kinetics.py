@@ -111,6 +111,100 @@ def test_troe_falloff_matches_direct_formula(tmp_path):
     np.testing.assert_allclose(Qf[0, 2], q, rtol=1e-10)
 
 
+def test_troe_zero_param_term_vanishes(tmp_path):
+    # r5 review fix: Fuego guards |T***|>1e-100 else the term is ZERO
+    # (exp(-T/T3) -> 0 as T3 -> 0+); zero params must not become exp(0)=1
+    text = """
+REACTIONS
+OH + OH (+M) => H2O + O   1.0E13 0.0 0.
+  LOW / 1.0E16 0.0 0.0 /
+  TROE / 0.6 0.0 1000.0 /
+"""
+    sp, rxns, _ = parse_chemkin(_mech(tmp_path, text, "tz.inp"))
+    kin = Kinetics(sp, rxns)
+    T = np.array([1500.0])
+    C = np.full((1, len(sp)), 1e-6)
+    Qf, _ = kin.qf_qr(T, C)
+    kinf, k0 = 1.0e13, 1.0e16
+    ctb = C[0].sum()
+    Pr = k0 * ctb / kinf
+    a, t1 = 0.6, 1000.0
+    Fc = a * np.exp(-T[0] / t1)          # (1-a)-term GONE (T***=0)
+    lf = np.log10(Fc)
+    c_, n_ = -0.4 - 0.67 * lf, 0.75 - 1.27 * lf
+    f1 = (np.log10(Pr) + c_) / (n_ - 0.14 * (np.log10(Pr) + c_))
+    F = 10 ** (lf / (1 + f1 * f1))
+    ioh = sp.index("OH")
+    q = kinf * Pr / (1 + Pr) * F * C[0, ioh] ** 2
+    np.testing.assert_allclose(Qf[0, 0], q, rtol=1e-10)
+
+
+def test_negative_A_duplicate_pair(tmp_path):
+    # negative pre-exponentials are legal CHEMKIN (negative-A DUPLICATE fit
+    # pairs, e.g. Aramco-family OH+HO2); r5 review fix: log(A<0) made NaN
+    text = """
+REACTIONS
+OH + HO2 => H2O + O2     1.0E13  0.0  0.
+DUPLICATE
+OH + HO2 => H2O + O2    -2.0E12  0.0  0.
+DUPLICATE
+"""
+    sp, rxns, _ = parse_chemkin(_mech(tmp_path, text, "na.inp"))
+    kin = Kinetics(sp, rxns)
+    T = np.array([1000.0])
+    C = np.full((1, len(sp)), 2e-7)
+    Qf, Qr = kin.qf_qr(T, C)
+    assert np.isfinite(Qf).all()
+    i1, i2 = sp.index("OH"), sp.index("HO2")
+    np.testing.assert_allclose(Qf[0, 0], 1.0e13 * C[0, i1] * C[0, i2],
+                               rtol=1e-12)
+    np.testing.assert_allclose(Qf[0, 1], -2.0e12 * C[0, i1] * C[0, i2],
+                               rtol=1e-12)
+    # the pair sums to the intended net rate
+    assert Qf[0].sum() > 0
+
+
+def test_species_end_on_one_line_and_d_exponents(tmp_path):
+    # r5 review fixes: 'SPECIES ... END' on one line must not collect END
+    # as a species; efficiency values with Fortran D exponents must parse
+    text = """
+SPECIES H O2 HO2 H2O N2 END
+REACTIONS
+H + O2 + M => HO2 + M     6.0D17 -0.8 0.
+  H2O/6.0D0/ N2/1.5d0/
+"""
+    sp, rxns, _ = parse_chemkin(_mech(tmp_path, text, "de.inp"))
+    assert sp == ["H", "O2", "HO2", "H2O", "N2"]
+    assert rxns[0].efficiencies == {"H2O": 6.0, "N2": 1.5}
+    assert rxns[0].A == 6.0e17
+
+
+def test_g_RT_matches_nasa7_oracle():
+    # Kinetics._g_RT (batched tables) == Nasa7.h_RT - Nasa7.s_R per species
+    th = _h2o_thermo()
+    kin = Kinetics(["H2O"], [_simple_rxn()], {"H2O": th})
+    T = np.array([400.0, 1500.0])
+    g = kin._g_RT(T, np)
+    want = th.h_RT(T) - th.s_R(T)
+    np.testing.assert_allclose(g[:, 0], want, rtol=1e-13)
+
+
+def _simple_rxn():
+    from peleanalysis_tpu.chem.kinetics import KineticReaction
+    return KineticReaction({"H2O": 1.0}, {"H2O": 1.0}, A=1.0, beta=0.0,
+                           Ea=0.0, reversible=False, label="ident")
+
+
+def _h2o_thermo():
+    lo = np.array([4.19864056, -2.0364341e-3, 6.52040211e-6,
+                   -5.48797062e-9, 1.77197817e-12, -3.02937267e4,
+                   -0.849032208])
+    hi = np.array([3.03399249, 2.17691804e-3, -1.64072518e-7,
+                   -9.7041987e-11, 1.68200992e-14, -3.00042971e4,
+                   4.9667701])
+    return Nasa7(200.0, 1000.0, 3500.0, lo, hi)
+
+
 def test_lindemann_limits(tmp_path):
     text = """
 SPECIES
@@ -267,3 +361,19 @@ def test_plotqpd_ratebase_override(tmp_path):
     # normalized to CH4->CH3: CO->CO2 = 6/2 = 3
     np.testing.assert_allclose(vals[("CH4", "CH3")], 1.0, rtol=1e-10)
     np.testing.assert_allclose(vals[("CO", "CO2")], 3.0, rtol=1e-10)
+
+
+def test_plotqpd_explicit_ratebase_missing_comps_raises(tmp_path):
+    # r5 review fix: an explicit rateBase= with missing comps must ERROR,
+    # not silently fall through to the kinetics-evaluated path
+    from peleanalysis_tpu.cli import main
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+
+    text = "CH4 + OH => CH3 + H2O\nCO + OH => CO2 + H\n"
+    mf = _mech(tmp_path, text, "bare2.inp")
+    plt = str(tmp_path / "plt_norates")
+    write_synthetic_plotfile(plt, n_cell=8, n_levels=1,
+                             fields={"rate_0": lambda x, y, z: 2.0 + 0 * x})
+    with pytest.raises(ValueError, match="rateBase.*lacks"):
+        main(["plotQPD", f"mech_file={mf}", f"infile={plt}",
+              "rateBase=rate"])

@@ -132,6 +132,17 @@ def test_bin_mef_matches_recursive_reference(sphere):
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15)
 
 
+def test_bin_mef_value_exactly_at_bin_max():
+    # r5 review fix: fragments whose bin coordinate sits exactly AT bin_max
+    # (e.g. a saturated progress variable == 1.0) belong to the LAST bin —
+    # floor() alone pushed them past it and dropped the area
+    tris = np.array([[[0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [0.0, 1.0, 1.0]],
+                     [[0.0, 0.0, 0.4], [1.0, 0.0, 0.4], [0.0, 1.0, 0.4]]])
+    mef = G.tris_to_mef(tris, ["xf", "yf", "zf"], dedup=False)
+    out = G.bin_mef(mef, ["zf"], [0.0], [1.0], [4])
+    np.testing.assert_allclose(out, [0.0, 0.5, 0.0, 0.5], atol=1e-15)
+
+
 def test_bin_mef_scales_to_1m_elements():
     # r5 (VERDICT r4 missing #3 tail): 1M random triangles, 3-coordinate
     # 16^3 binning in seconds (the recursive form clipped the full set

@@ -125,6 +125,17 @@ def test_jpdf_multi_matches_per_pair(ds):
         np.testing.assert_allclose(bx2P[p], bx2, atol=2e-7 * scale)
 
 
+def test_cli_jpdf_single_variable_no_pairs(tmp_path, monkeypatch):
+    # r5 review fix: vars= with ONE variable has zero pairs — the batched
+    # path must no-op cleanly (the reference loop was a clean no-op too)
+    from peleanalysis_tpu.cli import main
+    path = str(tmp_path / "plt1")
+    write_synthetic_plotfile(path, n_cell=8, n_levels=1)
+    monkeypatch.chdir(tmp_path)
+    assert main(["jpdf", f"infile={path}", "vars=temp", "nBins=8",
+                 "output_plotfile=0", "output_gnuplot=1"]) == 0
+
+
 def test_integral_volume(ds):
     # integral of 1-like field: use density; compare against direct sum
     coords, w, fields = integrate_along(ds, ["density"], [0, 1, 2])
