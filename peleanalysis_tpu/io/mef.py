@@ -112,6 +112,23 @@ def write_mef_tecplot(path: str, mef: MEF) -> None:
         savetxt_fast(f, mef.elements + 1, fmt="%d")
 
 
+def _zone_fields(zone: str) -> dict:
+    """Parse a Tecplot ZONE line into {KEY: value}.  Quoted values are
+    captured first (titles may contain spaces or '=' — r5 review fix:
+    dict(kv.split('=')) crashed on 'T="t=0.00125"'), then bare KEY=VALUE
+    tokens with at most one split."""
+    import re
+    out = {}
+    for k, v in re.findall(r'(\w+)\s*=\s*"([^"]*)"', zone):
+        out[k.upper()] = v
+    z = re.sub(r'"[^"]*"', '""', zone)
+    for kv in z.replace(",", " ").split():
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            out.setdefault(k.upper(), v)
+    return out
+
+
 def read_mef_tecplot(path: str) -> MEF:
     """Tecplot ASCII FEPOINT -> MEF (surfDATtoMEF analog,
     reference: Src/surfDATtoMEF.cpp:10-35)."""
@@ -121,9 +138,7 @@ def read_mef_tecplot(path: str) -> MEF:
                  var_line.split("=", 1)[1].replace(",", " ").split()]
         names = [n for n in names if n]
         zone = f.readline()
-        fields = dict(
-            kv.split("=") for kv in zone.replace(",", " ").split() if "=" in kv
-        )
+        fields = _zone_fields(zone)
         if "N" not in fields and "I" in fields:
             # line zones (the stream tool's per-line output): chain each
             # zone's points into 2-node segments (the reference's datToVTP
@@ -140,8 +155,7 @@ def read_mef_tecplot(path: str) -> MEF:
                 zone = f.readline()
                 if not zone.strip():
                     break
-                fields = dict(kv.split("=") for kv in
-                              zone.replace(",", " ").split() if "=" in kv)
+                fields = _zone_fields(zone)
                 npts = int(fields["I"])
             return MEF("lines", names, np.concatenate(all_nodes),
                        np.concatenate(all_segs).astype(np.int32))
@@ -150,5 +164,5 @@ def read_mef_tecplot(path: str) -> MEF:
         nodes = np.loadtxt(f, max_rows=n_nodes).reshape(n_nodes, len(names))
         elems = np.loadtxt(f, max_rows=n_elts, dtype=np.int64)
         elems = np.atleast_2d(elems).astype(np.int32) - 1
-    label = fields.get("T", "surface").strip('"')
+    label = fields.get("T", "surface").strip('"') or "surface"
     return MEF(label, names, nodes, elems)

@@ -148,7 +148,12 @@ def write_stream_data(path: str, sd: StreamData, meta=None,
     with open(os.path.join(path, "Elements"), "w") as f:
         npe = sd.elements.shape[1] if sd.elements.size else 3
         f.write(f"{len(sd.elements)}\n{npe}\n")
-        f.write(" ".join(str(int(v) + 1) for v in sd.elements.ravel()))
+        if len(sd.elements):
+            # native row formatter (readers are token-based, so one
+            # element per line parses identically; the per-value Python
+            # join was the last slow ASCII writer, r5 review)
+            from ..native import savetxt_fast
+            savetxt_fast(f, np.asarray(sd.elements, np.int64) + 1, fmt="%d")
         f.write(" \n")
         for lev in range(sd.n_levels):
             nz = [(j, ids) for j, ids in enumerate(sd.inside_nodes[lev])

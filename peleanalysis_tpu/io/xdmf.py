@@ -18,7 +18,11 @@ def write_xdmf(outfile_base: str, mef: MEF, iso_comp_name: str = "",
     field_names = mef.names[ndim:]
     mesh_file = outfile_base + ".mesh"
 
-    conn_bytes = 4 * ndim * n_elts if ndim == 2 else 4 * 3 * n_elts
+    npe = mef.nodes_per_elt
+    # conn size follows the ACTUAL nodes per element (r5 review fix: a 3-D
+    # segment MEF — e.g. assembled lines — has npe=2, and assuming 3 put
+    # every Seek 4*n_elts bytes past the real data)
+    conn_bytes = 4 * npe * n_elts
     seek = conn_bytes
     with open(outfile_base + ".xmf", "w") as f:
         f.write('<?xml version="1.0"?>\n')
@@ -30,7 +34,7 @@ def write_xdmf(outfile_base: str, mef: MEF, iso_comp_name: str = "",
                 f'Value="{iso_comp_name}"/>\n')
         f.write(f'      <Information Name="IsoValue" Value="{iso_val}"/>\n')
         f.write(f'      <Time Value="{time}"/>\n')
-        if ndim == 2:
+        if npe == 2:
             f.write(f'         <Topology TopologyType="Polyline" '
                     f'NodesPerElement="2" NumberOfElements="{n_elts}">\n')
         else:

@@ -56,8 +56,9 @@ def level_fe_mesh(ds: DenseAmrState, lev: int, names: Sequence[str],
             box_mask[sl] = True
         valid = valid & box_mask
     ci = [ds.comp(n) for n in names]
+    two_d = valid.shape[2] == 1     # promoted DIM=2 plotfile (nz == 1)
     if not connect_cc:
-        return _corner_mesh(valid, data[np.asarray(ci)], bbox, geom)
+        return _corner_mesh(valid, data[np.asarray(ci)], bbox, geom, two_d)
     node_id = np.full(valid.shape, -1, dtype=np.int64)
     idx = np.argwhere(valid)
     node_id[valid] = np.arange(len(idx))
@@ -66,6 +67,26 @@ def level_fe_mesh(ds: DenseAmrState, lev: int, names: Sequence[str],
            + 0.5) * np.array(dx) + np.array(geom.prob_lo)
     comps = [data[c][valid] for c in ci]
     nodes = np.column_stack([pos] + comps)
+
+    def nid(base, o):
+        return node_id[base[:, 0] + o[0], base[:, 1] + o[1],
+                       base[:, 2] + o[2]]
+
+    if two_d:
+        # 4-node quads in the z=0 plane (r5 review fix: the 2x2x2 brick
+        # stencil has zero z-extent on a promoted 2-D plotfile, so the
+        # docstring's "4-node quads in 2D" never materialized)
+        ok = valid[:-1, :-1, :]
+        for off in ((1, 0, 0), (0, 1, 0), (1, 1, 0)):
+            ok = ok & valid[off[0]:valid.shape[0] - 1 + off[0],
+                            off[1]:valid.shape[1] - 1 + off[1], :]
+        base = np.argwhere(ok)
+        if len(base) == 0:
+            return nodes, np.zeros((0, 4), dtype=np.int64)
+        quads = np.column_stack([
+            nid(base, (0, 0, 0)), nid(base, (1, 0, 0)),
+            nid(base, (1, 1, 0)), nid(base, (0, 1, 0))])
+        return nodes, quads
     # bricks: 2x2x2 corners all valid
     ok = valid[:-1, :-1, :-1]
     for off in ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (1, 0, 1),
@@ -76,28 +97,28 @@ def level_fe_mesh(ds: DenseAmrState, lev: int, names: Sequence[str],
     base = np.argwhere(ok)
     if len(base) == 0:
         return nodes, np.zeros((0, 8), dtype=np.int64)
-    def nid(o):
-        return node_id[base[:, 0] + o[0], base[:, 1] + o[1], base[:, 2] + o[2]]
     # Tecplot FEBRICK corner ordering
     bricks = np.column_stack([
-        nid((0, 0, 0)), nid((1, 0, 0)), nid((1, 1, 0)), nid((0, 1, 0)),
-        nid((0, 0, 1)), nid((1, 0, 1)), nid((1, 1, 1)), nid((0, 1, 1))])
+        nid(base, (0, 0, 0)), nid(base, (1, 0, 0)), nid(base, (1, 1, 0)),
+        nid(base, (0, 1, 0)), nid(base, (0, 0, 1)), nid(base, (1, 0, 1)),
+        nid(base, (1, 1, 1)), nid(base, (0, 1, 1))])
     return nodes, bricks
 
 
-def _corner_mesh(valid, data, bbox, geom):
-    """connect_cc=0: one brick per valid cell; nodes at cell corners with
-    values averaged from the adjacent valid cells."""
+def _corner_mesh(valid, data, bbox, geom, two_d=False):
+    """connect_cc=0: one brick (quad in 2D) per valid cell; nodes at cell
+    corners with values averaged from the adjacent valid cells."""
     shp = valid.shape
-    nshape = tuple(s + 1 for s in shp)
-    # corner adjacency: accumulate cell values/counters onto 8 corners
+    z_offs = (0,) if two_d else (0, 1)
+    nshape = (shp[0] + 1, shp[1] + 1, shp[2] + (0 if two_d else 1))
+    # corner adjacency: accumulate cell values/counters onto the corners
     ncomp = data.shape[0]
     acc = np.zeros((ncomp,) + nshape)
     cnt = np.zeros(nshape)
     v = valid.astype(np.float64)
     for oi in (0, 1):
         for oj in (0, 1):
-            for ok in (0, 1):
+            for ok in z_offs:
                 sl = (slice(oi, shp[0] + oi), slice(oj, shp[1] + oj),
                       slice(ok, shp[2] + ok))
                 cnt[sl] += v
@@ -110,15 +131,21 @@ def _corner_mesh(valid, data, bbox, geom):
     dx = np.array(geom.dx)
     pos = ((idx + np.array(bbox.lo) - np.array(geom.domain.lo)) * dx
            + np.array(geom.prob_lo))
+    if two_d:   # cell-center z for the single plane
+        pos[:, 2] += 0.5 * dx[2]
     nodes = np.column_stack([pos] + [vals[c][used] for c in range(ncomp)])
     base = np.argwhere(valid)
+    npe = 4 if two_d else 8
     if len(base) == 0:
-        return nodes, np.zeros((0, 8), dtype=np.int64)
+        return nodes, np.zeros((0, npe), dtype=np.int64)
 
     def nid(o):
         return node_id[base[:, 0] + o[0], base[:, 1] + o[1],
                        base[:, 2] + o[2]]
 
+    if two_d:
+        return nodes, np.column_stack([
+            nid((0, 0, 0)), nid((1, 0, 0)), nid((1, 1, 0)), nid((0, 1, 0))])
     bricks = np.column_stack([
         nid((0, 0, 0)), nid((1, 0, 0)), nid((1, 1, 0)), nid((0, 1, 0)),
         nid((0, 0, 1)), nid((1, 0, 1)), nid((1, 1, 1)), nid((0, 1, 1))])
@@ -131,11 +158,13 @@ def write_tec_febrick(path: str, names: Sequence[str], zones) -> None:
         for zi, (nodes, bricks) in enumerate(zones):
             if len(nodes) == 0:
                 continue
+            npe = bricks.shape[1] if bricks.ndim == 2 else 8
+            et = "QUADRILATERAL" if npe == 4 else "BRICK"
             f.write(f'ZONE T="level{zi}" N={len(nodes)} E={max(len(bricks),1)}'
-                    " F=FEPOINT ET=BRICK\n")
+                    f" F=FEPOINT ET={et}\n")
             savetxt_fast(f, nodes, fmt="%.9g")
             if len(bricks) == 0:
-                f.write(" ".join(["1"] * 8) + "\n")
+                f.write(" ".join(["1"] * npe) + "\n")
             else:
                 savetxt_fast(f, bricks + 1, fmt="%d")
 
@@ -158,14 +187,19 @@ def main(args: dict) -> None:
     [box=lo... hi...] [finestLevel=] outfile="""
     pp = ParmParse(args)
     infile = pp.get_str("infile")
+    from ..io.plotfile import PlotfileReader
     from ..session import load_state
-    st = load_state(args, infile,
-                    max_level=pp.query_int("finestLevel", None))
+    avail = PlotfileReader(infile).var_names
     names = pp.query_str_list(
-        "comps", None) or pp.query_str_list("vars", st.names)
+        "comps", None) or pp.query_str_list("vars", avail)
     if pp.contains("sComp") or pp.contains("nComp"):
         s = pp.query_int("sComp", 0)        # comp range (amrToFE.cpp:365-367)
-        names = st.names[s: s + pp.query_int("nComp", 1)]
+        names = avail[s: s + pp.query_int("nComp", 1)]
+    # load only the selected comps (r5 review fix: a vars= subset still
+    # parsed+uploaded every component of the plotfile)
+    st = load_state(args, infile,
+                    names=None if set(names) == set(avail) else list(names),
+                    max_level=pp.query_int("finestLevel", None))
     if pp.query_bool("doBin", False):
         print("amrToFE: doBin=1 (binary Tecplot, USE_TEC_BIN_IO build "
               "option) is not supported — writing ASCII")

@@ -2,10 +2,15 @@
 (/root/reference/Src/stream2plt.cpp, 752 LoC).
 
 Selects comps, downsamples to nLines, applies per-line filters —
-distance-at-value (distComp/distVal), cylindrical radius RXY with sign,
-per-comp Max/Min/at-value predicates with sign strings
-(stream2plt.cpp:371-481) — and writes the surviving lines as one FAB on Box
-(0:nKeep-1, slo:shi, 0) (stream2plt.cpp:498-560).
+cylindrical radius RXY with sign, per-comp Max/Min/at-value predicates
+with sign strings (stream2plt.cpp:371-481) — appends the auxiliary
+``distance_from_<comp>_eq_<val>`` component when distComp/distVal are
+given (arclength from the line start, shifted to zero at the first
+crossing of the selected comp through distVal; 2x-total-length marker
+on lines with no crossing — stream2plt.cpp:654-713; r5 review fix: this
+was wrongly implemented as a keep-filter), and writes the surviving
+lines as one FAB on Box (0:nKeep-1, slo:shi, 0)
+(stream2plt.cpp:498-560).
 """
 from __future__ import annotations
 
@@ -25,8 +30,12 @@ def _cmp(vals: np.ndarray, val: float, sgn: str) -> np.ndarray:
     raise ValueError(f"bad sign string {sgn!r}")
 
 
-def select_lines(lines: np.ndarray, names, pp: ParmParse) -> np.ndarray:
-    """Boolean keep-mask over lines applying the stream2plt filters."""
+def select_lines(lines: np.ndarray, names, pp: ParmParse,
+                 sel_ci=None) -> np.ndarray:
+    """Boolean keep-mask over lines applying the stream2plt filters.
+    Integer comp tokens index the SELECTED comp list when ``sel_ci`` is
+    given (the reference's maxComps etc. index into comps[],
+    stream2plt.cpp:464-471); name tokens index the raw variable list."""
     nl, npts, _ = lines.shape
     keep = np.ones(nl, dtype=bool)
     if pp.query_bool("no_filter", False):
@@ -34,15 +43,11 @@ def select_lines(lines: np.ndarray, names, pp: ParmParse) -> np.ndarray:
     mid = (npts - 1) // 2
 
     def cidx(tok):
-        return int(tok) if tok.isdigit() else names.index(tok)
+        if tok.lstrip("-").isdigit():
+            i = int(tok)
+            return sel_ci[i] if sel_ci is not None else i
+        return names.index(tok)
 
-    # distance along line from seed reaches distVal at distComp crossing
-    if pp.query_int("distComp", -1) >= 0 or pp.contains("distVal"):
-        from ..stream.surface import _crossings_from_mid, arc_length
-        c = pp.query_int("distComp", -1)
-        dval = pp.get_float("distVal")
-        jlo, frac, found = _crossings_from_mid(lines[:, :, c], dval)
-        keep &= found
     rxy = pp.query_float("RXY", -1.0)
     if rxy > 0:
         sgn = pp.query_str("RXYsgn", "+")
@@ -107,11 +112,40 @@ def main(args: dict) -> None:
     if n_lines and n_lines < lines.shape[0]:
         stride = lines.shape[0] // n_lines
         lines = lines[::stride][:n_lines]  # downsampleStreamData analog
-    keep = select_lines(lines, sd.names, pp)
+    keep = select_lines(lines, sd.names, pp, sel_ci=ci)
     out = lines[keep][:, :, ci]
     if out.shape[0] == 0:
         raise ValueError("stream2plt: no lines survive the filters "
                          "(check finestLevel=/predicates)")
+    out_names = list(names)
+    dcomp = pp.query_int("distComp", -1)
+    if dcomp >= 0:
+        # auxiliary distance component (stream2plt.cpp:654-713): arclength
+        # from the line start, shifted to zero at the first strict crossing
+        # of selected comp dcomp through distVal; lines with no crossing get
+        # a constant 2x-total-length "off the line" marker
+        dval = pp.get_float("distVal")
+        if dcomp >= len(out_names) or len(out_names) <= 3:
+            raise ValueError(
+                f"distComp={dcomp} must index the selected comps (have "
+                f"{len(out_names)}, first three must be X,Y,Z)")
+        seg = np.sqrt(((out[:, 1:, :3] - out[:, :-1, :3]) ** 2).sum(-1))
+        dist = np.concatenate(
+            [np.zeros((out.shape[0], 1)), np.cumsum(seg, axis=1)], axis=1)
+        v = out[:, :, dcomp]
+        vlo, vhi = v[:, :-1], v[:, 1:]
+        cross = ((vlo > dval) & (vhi < dval)) | ((vlo < dval) & (vhi > dval))
+        found = cross.any(axis=1)
+        j = np.argmax(cross, axis=1)
+        r = np.arange(out.shape[0])
+        denom = np.where(vhi[r, j] != vlo[r, j], vhi[r, j] - vlo[r, j], 1.0)
+        alpha = (dval - vlo[r, j]) / denom
+        off = dist[r, j] + alpha * (dist[r, j + 1] - dist[r, j])
+        d = dist - np.where(found, off, 0.0)[:, None]
+        d[~found] = 2.0 * dist[~found, -1:]
+        out = np.concatenate([out, d[:, :, None]], axis=2)
+        out_names.append(f"distance_from_{out_names[dcomp]}_eq_{dval:g}")
+        print(f"stream2plt: appended {out_names[-1]}")
     n_half = (out.shape[1] - 1) // 2
     box = Box((0, -n_half, 0), (max(out.shape[0] - 1, 0), n_half, 0))
     with open(outfile, "wb") as f:

@@ -6,8 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..io.stream_data import (StreamData, compute_inside_nodes,
-                              read_stream_data, write_stream_data)
+from ..io.stream_data import StreamData, write_stream_data
 from ..parmparse import ParmParse
 
 
@@ -29,17 +28,19 @@ def main(args: dict) -> None:
     if pp.contains("comps"):
         names = [sd.names[int(c)] if c.isdigit() else c
                  for c in pp.get_str_list("comps")]
-        for c in ("X", "Y", "Z"):
-            if c not in names:
-                names = [c] + names
+        # coordinates always lead, in X,Y,Z order (r5 review fix: a
+        # prepend-in-order loop produced [Z,Y,X,...] — every StreamData
+        # consumer treats comps 0-2 as X,Y,Z)
+        names = [c for c in ("X", "Y", "Z") if c not in names] + names
     else:
         names = list(sd.names)
     ci = [sd.names.index(n) for n in names]
 
     used = np.unique(sd.elements[elt_ids].ravel())
     lines = sd.lines[used][:, :, ci]
-    # re-own the kept lines per level/box using seed positions; connectivity
-    # dropped per reference semantics
+    # all kept lines in one level-0 box: connectivity (and with it the
+    # original level ownership) is dropped per reference semantics
+    # (streamSub.cpp:86-126)
     inside = [[np.arange(1, len(used) + 1, dtype=np.int64)]]
     out = StreamData(names, np.zeros((0, 3), np.int32), inside, lines)
     write_stream_data(outfile, out)

@@ -119,6 +119,45 @@ def test_xdmf_writer(tmp_path):
     assert len(blob) == 4 * 12 + 8 * 21 + 8 * 14
 
 
+def test_xdmf_writer_3d_segments(tmp_path):
+    # r5 review fix: a 3-D MEF with 2-node elements (assembled lines) must
+    # size the connectivity block by nodes_per_elt, not assume triangles —
+    # and declare a Polyline topology
+    from peleanalysis_tpu.io.xdmf import write_xdmf
+    rng = np.random.default_rng(4)
+    nodes = rng.normal(size=(6, 4))
+    segs = np.array([[0, 1], [1, 2], [3, 4]], dtype=np.int32)
+    mef = MEF("l", ["X", "Y", "Z", "v"], nodes, segs)
+    base = str(tmp_path / "lines")
+    write_xdmf(base, mef)
+    xmf = open(base + ".xmf").read()
+    assert 'TopologyType="Polyline"' in xmf
+    blob = open(base + ".mesh", "rb").read()
+    assert len(blob) == 4 * 6 + 8 * 18 + 8 * 6
+    # geometry seek points at the coordinates, not 4*n_elts past them
+    assert f'Seek="{4 * 6}"' in xmf
+
+
+def test_mef_tecplot_zone_title_with_equals_and_spaces(tmp_path):
+    # r5 review fix: dict(kv.split('=')) crashed on T="t=0.00125" and
+    # truncated titles with spaces
+    from peleanalysis_tpu.io.mef import read_mef_tecplot, write_mef_tecplot
+    rng = np.random.default_rng(5)
+    nodes = rng.normal(size=(5, 4))
+    elems = np.array([[0, 1, 2], [2, 3, 4]], dtype=np.int32)
+    mef = MEF("t", ["X", "Y", "Z", "v"], nodes, elems)
+    p = str(tmp_path / "z.dat")
+    write_mef_tecplot(p, mef)
+    txt = open(p).read().splitlines()
+    txt[1] = 'ZONE T="iso t=0.00125 surface", N=5, E=2, ' \
+             'F=FEPOINT ET=TRIANGLE'
+    open(p, "w").write("\n".join(txt) + "\n")
+    back = read_mef_tecplot(p)
+    assert back.label == "iso t=0.00125 surface"
+    assert back.n_nodes == 5 and back.n_elts == 2
+    np.testing.assert_allclose(back.nodes, mef.nodes, rtol=1e-9)
+
+
 def test_converter_scripts(tmp_path):
     """Smoke-test the scripts/ converters (reference PythonScripts parity)."""
     import subprocess

@@ -132,6 +132,27 @@ def test_amr_to_fe(plt, tmp_path):
     assert txt.startswith("VARIABLES = X Y Z temp")
 
 
+def test_amr_to_fe_2d_quads(tmp_path, monkeypatch):
+    # r5 review fix: on a promoted DIM=2 plotfile the brick stencil had
+    # zero z-extent and no elements were ever emitted; 2-D meshes are
+    # 4-node quads (the module docstring's promise, amrToFE.cpp 2-D build)
+    from peleanalysis_tpu.testing import write_synthetic_plotfile
+    monkeypatch.chdir(tmp_path)
+    p2 = str(tmp_path / "plt2d")
+    write_synthetic_plotfile(p2, n_cell=16, n_levels=2, ndim=2)
+    assert main(["amrToFE", f"infile={p2}", "vars=temp", "outType=tec",
+                 "outfile=fe2.dat"]) == 0
+    txt = open("fe2.dat").read()
+    assert "ET=QUADRILATERAL" in txt
+    zone = txt.splitlines()[1]
+    ne = int(zone.split("E=")[1].split()[0])
+    assert ne > 100            # real connectivity, not the dummy element
+    assert main(["amrToFE", f"infile={p2}", "vars=temp", "outType=tec",
+                 "connect_cc=0", "outfile=fe2c.dat"]) == 0
+    t2 = open("fe2c.dat").read()
+    assert "ET=QUADRILATERAL" in t2
+
+
 def test_template(plt, tmp_path):
     out = str(tmp_path / "tmpl")
     assert main(["template", f"infile={plt}", f"outfile={out}"]) == 0

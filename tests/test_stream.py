@@ -148,6 +148,24 @@ def test_stream_cli_and_downstream(ds, tmp_path, monkeypatch):
     rc = main(["streamSub", f"infile={sfile}", "sElt=0", "nElt=0"])
     assert rc == 0 or True  # no elements in rake -> tool may raise
 
+    # stream2plt distComp appends the shifted-arclength component
+    # (stream2plt.cpp:654-713; r5 review fix: it was wrongly a filter)
+    rc = main(["stream2plt", f"infile={sfile}", "outfile=dist.fab",
+               "no_filter=1", "distComp=3", "distVal=0.5"])
+    assert rc == 0
+    from peleanalysis_tpu.io.fab import read_fab
+    with open("dist.fab", "rb") as f:
+        _, arr = read_fab(f)
+    d = arr[5]                                 # appended comp, [nl, npts, 1]
+    # every line either crosses progress=0.5 (distance passes through 0
+    # within a station spacing) or carries the constant 2x-total marker
+    for i in range(d.shape[0]):
+        di = d[i, :, 0]
+        step = np.abs(np.diff(di)).max()
+        crossed = np.abs(di).min() <= step + 1e-12
+        marker = np.allclose(di, di[0])
+        assert crossed or marker, (i, di)
+
 
 def test_stream_tube_stats(ds, tmp_path, monkeypatch):
     from peleanalysis_tpu.cli import main
@@ -176,6 +194,18 @@ def test_stream_tube_stats(ds, tmp_path, monkeypatch):
     # element avg of progress at seeds should be ~0.5 (seed surface at 0.5)
     np.testing.assert_allclose(mef.field("progress_avg").mean(), 0.5,
                                atol=0.05)
+
+    # streamSub with comps=: coordinates lead in X,Y,Z order and the
+    # coordinate DATA follows (r5 review fix: a prepend loop wrote [Z,Y,X])
+    rc = main(["streamSub", f"infile={sfile}", "sElt=0", "nElt=5",
+               "comps=progress", "outfile=sub"])
+    assert rc == 0
+    sub = read_stream_data("sub")
+    assert sub.names[:3] == ["X", "Y", "Z"]
+    src = read_stream_data(sfile)
+    used = np.unique(src.elements[:5].ravel())
+    np.testing.assert_allclose(sub.lines[:, :, :3],
+                               src.lines[used][:, :, :3], rtol=1e-12)
 
 
 def test_particle_plotfile_roundtrip(tmp_path):
