@@ -109,7 +109,10 @@ def binned_stats(bin_vals: jnp.ndarray, avg_vals: jnp.ndarray,
 def masked_mean(vals: jnp.ndarray, mask: jnp.ndarray, weight) -> jnp.ndarray:
     """Weighted masked mean — used as the moment shift (see binned_stats)."""
     w = jnp.where(mask, jnp.broadcast_to(weight, vals.shape), 0.0)
-    return jnp.sum(w * vals) / jnp.maximum(jnp.sum(w), 1e-300)
+    den = jnp.sum(w)
+    # 1e-300 underflows to 0.0 in float32 (all-masked input -> NaN shift)
+    tiny = 1e-30 if jnp.result_type(den) == jnp.float32 else 1e-300
+    return jnp.sum(w * vals) / jnp.maximum(den, tiny)
 
 
 def reconstruct_moments(hits, sums_s, sumsq_s, shift):

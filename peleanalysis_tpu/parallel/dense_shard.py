@@ -132,22 +132,14 @@ def pad_state_to(dstate, sizes: Sequence[int]):
 def shard_dense_state(dstate, mesh: Mesh):
     """Place every level's dense array (and masks) sharded over the mesh's
     spatial axes, padding non-divisible levels first."""
-    sizes = _dim_sizes(mesh)
+    # pad_state_divisible guarantees every level divides the mesh axes, so
+    # the spatial sharding always applies (a replicated fallback here was
+    # dead code, r5 review)
     dstate = pad_state_divisible(dstate, mesh)
     sh = dense_sharding(mesh)
     msh = mask_sharding(mesh)
-    rep = NamedSharding(mesh, P())
-
-    def divisible(shape3):
-        return all(shape3[d] % sizes[d] == 0 for d in range(3))
-
-    new_data = []
-    for lev, arr in enumerate(dstate.data):
-        target = sh if divisible(arr.shape[1:]) else rep
-        new_data.append(jax.device_put(arr, target))
+    new_data = [jax.device_put(arr, sh) for arr in dstate.data]
     out = dstate.with_data(dstate.names, new_data)
     for lev in range(dstate.meta.n_levels):
-        m = dstate.in_level_mask(lev)
-        out._in_level[lev] = jax.device_put(
-            m, msh if divisible(m.shape) else rep)
+        out._in_level[lev] = jax.device_put(dstate.in_level_mask(lev), msh)
     return out

@@ -99,94 +99,124 @@ def serve(args: dict) -> int:
     try:
         while True:
             conn, _ = srv.accept()
-            with conn:
-                if idle_timeout:
-                    conn.settimeout(idle_timeout)
-                f = conn.makefile("wb")
-                for line in _recv_lines(conn):
-                    try:
-                        req = json.loads(line)
-                    except json.JSONDecodeError as e:
-                        rep = {"rc": 2, "out": "", "err": f"bad json: {e}"}
-                        f.write(json.dumps(rep).encode() + b"\n")
-                        f.flush()
-                        continue
-                    cmd = req.get("cmd")
-                    if cmd == "shutdown":
-                        try:
-                            sess.flush_writes()
-                            rep = {"rc": 0, "out": "bye", "err": ""}
-                        except Exception as e:
-                            rep = {"rc": 1, "out": "",
-                                   "err": f"pending write failed: {e}"}
-                        f.write(json.dumps(rep).encode() + b"\n")
-                        f.flush()
-                        return 0
-                    if cmd == "ping":
-                        f.write(b'{"rc": 0, "out": "pong", "err": ""}\n')
-                        f.flush()
-                        continue
-                    if cmd == "flush":
-                        try:
-                            sess.flush_writes()
-                            rep = {"rc": 0, "out": "flushed", "err": ""}
-                        except Exception as e:
-                            rep = {"rc": 1, "out": "",
-                                   "err": f"pending write failed: {e}"}
-                        f.write(json.dumps(rep).encode() + b"\n")
-                        f.flush()
-                        continue
-                    if cmd == "reset":
-                        try:
-                            sess.reset()   # flushes pending writes first
-                            rep = {"rc": 0, "out": "reset", "err": ""}
-                        except Exception as e:
-                            rep = {"rc": 1, "out": "",
-                                   "err": f"pending write failed: {e}"}
-                        f.write(json.dumps(rep).encode() + b"\n")
-                        f.flush()
-                        continue
-                    argv = req.get("argv") or []
-                    if verbose:
-                        print(f"<- {' '.join(argv)}", flush=True)
-                    out, err = io.StringIO(), io.StringIO()
-                    try:
-                        from .cli import main as cli_main
-                        with contextlib.redirect_stdout(out), \
-                                contextlib.redirect_stderr(err):
-                            # settle pending write-backs this command might
-                            # read from disk (paths named in its argv)
-                            sess.flush_writes(match=argv)
-                            rc = cli_main(argv, session=sess)
-                    except SystemExit as e:       # tools should return, but
-                        rc = int(e.code or 0)     # be robust to sys.exit
-                    except Exception as e:        # keep the server alive:
-                        import traceback          # one bad command must not
-                        rc = 1                    # kill warm engine caches
-                        err.write(traceback.format_exc())
-                        err.write(f"\n{type(e).__name__}: {e}")
-                    if req.get("sync") and rc == 0:
-                        # external caller wants the files on reply: settle
-                        # every pending write-back (a write failure is THIS
-                        # command's failure from the caller's view)
-                        try:
-                            sess.flush_writes()
-                        except Exception as e:
-                            rc = 1
-                            err.write(f"pending write failed: {e}")
-                    rep = {"rc": rc, "out": out.getvalue(),
-                           "err": err.getvalue()}
-                    f.write(json.dumps(rep).encode() + b"\n")
-                    f.flush()
-                    n_req += 1
-                    if max_requests and n_req >= max_requests:
-                        return 0
+            try:
+                rc_done, n_req = _serve_conn(conn, sess, idle_timeout,
+                                             verbose, max_requests, n_req)
+            except (BrokenPipeError, ConnectionResetError, OSError) as e:
+                # a client that vanished mid-request (its send_command
+                # timeout fired, it was killed, ...) must not take the
+                # server's warm Session/engines with it (r5 review fix:
+                # reply writes raised outside any try and escaped the
+                # accept loop)
+                print(f"server: client connection dropped ({e}); "
+                      "keeping engines warm", flush=True)
+                continue
+            if rc_done is not None:
+                return rc_done
     finally:
         with contextlib.suppress(Exception):
             sess.flush_writes()
         srv.close()
         with contextlib.suppress(OSError):
             os.unlink(path)
+
+
+def _serve_conn(conn, sess, idle_timeout, verbose, max_requests, n_req):
+    """Handle one client connection.  Returns (rc, n_req): rc is an exit
+    code to stop the server (shutdown / max_requests reached) or None to
+    keep accepting; n_req is the updated cross-connection request count."""
+    with conn:
+        if idle_timeout:
+            conn.settimeout(idle_timeout)
+        f = conn.makefile("wb")
+
+        def reply(rep):
+            f.write(json.dumps(rep).encode() + b"\n")
+            f.flush()
+
+        for line in _recv_lines(conn):
+            try:
+                req = json.loads(line)
+            except json.JSONDecodeError as e:
+                reply({"rc": 2, "out": "", "err": f"bad json: {e}"})
+                continue
+            cmd = req.get("cmd")
+            if cmd == "shutdown":
+                try:
+                    sess.flush_writes()
+                    rep = {"rc": 0, "out": "bye", "err": ""}
+                except Exception as e:
+                    rep = {"rc": 1, "out": "",
+                           "err": f"pending write failed: {e}"}
+                reply(rep)
+                return 0, n_req
+            if cmd == "ping":
+                reply({"rc": 0, "out": "pong", "err": ""})
+                continue
+            if cmd == "flush":
+                try:
+                    sess.flush_writes()
+                    rep = {"rc": 0, "out": "flushed", "err": ""}
+                except Exception as e:
+                    rep = {"rc": 1, "out": "",
+                           "err": f"pending write failed: {e}"}
+                reply(rep)
+                continue
+            if cmd == "reset":
+                try:
+                    sess.reset()   # flushes pending writes first
+                    rep = {"rc": 0, "out": "reset", "err": ""}
+                except Exception as e:
+                    rep = {"rc": 1, "out": "",
+                           "err": f"pending write failed: {e}"}
+                reply(rep)
+                continue
+            if cmd is not None:
+                # r5 review fix: a typo'd cmd fell through to cli_main([])
+                reply({"rc": 2, "out": "", "err": f"unknown cmd: {cmd}"})
+                continue
+            argv = req.get("argv") or []
+            if verbose:
+                print(f"<- {' '.join(argv)}", flush=True)
+            out, err = io.StringIO(), io.StringIO()
+            try:
+                from .cli import main as cli_main
+                with contextlib.redirect_stdout(out), \
+                        contextlib.redirect_stderr(err):
+                    # settle pending write-backs this command might
+                    # read from disk (paths named in its argv)
+                    sess.flush_writes(match=argv)
+                    rc = cli_main(argv, session=sess)
+            except SystemExit as e:
+                # tools should return, but be robust to sys.exit — incl.
+                # sys.exit("message"), whose code is a str (r5 review fix:
+                # int(str) raised out of this handler and killed the loop)
+                code = e.code
+                if isinstance(code, int) or code is None:
+                    rc = code or 0
+                else:
+                    rc = 1
+                    err.write(str(code))
+            except Exception as e:        # keep the server alive:
+                import traceback          # one bad command must not
+                rc = 1                    # kill warm engine caches
+                err.write(traceback.format_exc())
+                err.write(f"\n{type(e).__name__}: {e}")
+            if req.get("sync") and rc == 0:
+                # external caller wants the files on reply: settle
+                # every pending write-back (a write failure is THIS
+                # command's failure from the caller's view)
+                try:
+                    sess.flush_writes()
+                except Exception as e:
+                    rc = 1
+                    err.write(f"pending write failed: {e}")
+            reply({"rc": rc, "out": out.getvalue(),
+                   "err": err.getvalue()})
+            n_req += 1
+            if max_requests and n_req >= max_requests:
+                return 0, n_req
+    return None, n_req
 
 
 def send_command(path: str, argv=None, cmd=None, timeout=600.0,

@@ -36,7 +36,11 @@ def _accumulate_all(data_list, mask_list, ib, ia, weights, bin_min, bin_max,
         w = jnp.where(mask_list[lev], float(weights[lev]), 0.0)
         num = num + jnp.sum(w[None] * v, axis=tuple(range(1, v.ndim)))
         den = den + jnp.sum(w)
-    shift = num / jnp.maximum(den, 1e-300)
+    # f32-safe zero guard (r5 review fix: 1e-300 underflows to 0.0 in
+    # float32, so an empty selection made shift = 0/0 = NaN and poisoned
+    # every output column — same footgun ops/solve.py documents)
+    tiny = 1e-30 if jnp.result_type(den) == jnp.float32 else 1e-300
+    shift = num / jnp.maximum(den, tiny)
     acc = None
     for lev in range(len(data_list)):
         out = binned_stats(data_list[lev][ib],

@@ -43,9 +43,14 @@ def energy_spectrum(u: np.ndarray, v: np.ndarray, w=None,
     K = np.meshgrid(*ks, indexing="ij")
     kmag = np.sqrt(sum(k ** 2 for k in K))
     kmax = int(min(nn // 2 for nn in n))
-    kbin = np.clip(np.round(kmag).astype(int), 0, kmax)
+    kbin = np.round(kmag).astype(int)
+    # corner modes with |k| > kmax are DROPPED, not clipped into the last
+    # shell (r5 review fix: the clip piled ~4x the shell count into E(kmax),
+    # corrupting the dissipation-range tail; shell-spectrum codes — the
+    # AmrDeriveSpectrum pipeline this replaces — drop them)
+    sel = kbin <= kmax
     E = np.zeros(kmax + 1)
-    np.add.at(E, kbin.ravel(), e3.ravel())
+    np.add.at(E, kbin[sel].ravel(), e3[sel].ravel())
     return np.arange(kmax + 1), E
 
 

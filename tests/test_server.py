@@ -196,3 +196,26 @@ def test_stalled_client_does_not_wedge_server(tmp_path):
     stalled.close()
     send_command(sock, cmd="shutdown")
     t.join(timeout=10)
+
+
+def test_vanished_client_keeps_server_alive(server, tmp_path):
+    # r5 review fix: a client that disconnects before reading its reply
+    # (send_command timeout fired / killed) raised BrokenPipeError out of
+    # the accept loop and took the warm Session down with it
+    import socket as sk
+    c = sk.socket(sk.AF_UNIX, sk.SOCK_STREAM)
+    c.connect(server)
+    c.sendall(b'{"cmd": "flush"}\n')
+    c.close()                                # vanish before the reply
+    time.sleep(0.2)
+    for _ in range(3):
+        c = sk.socket(sk.AF_UNIX, sk.SOCK_STREAM)
+        c.connect(server)
+        c.sendall(b'{"cmd": "ping"}\n')
+        c.close()
+    assert send_command(server, cmd="ping")["out"] == "pong"
+
+
+def test_unknown_cmd_is_an_error(server):
+    rep = send_command(server, cmd="flus")
+    assert rep["rc"] != 0 and "unknown cmd" in rep["err"]

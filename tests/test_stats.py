@@ -87,6 +87,22 @@ def test_conditional_std_float32_no_cancellation(tmp_path):
     np.testing.assert_allclose(std, amp / np.sqrt(2), rtol=2e-2)
 
 
+def test_conditional_mean_empty_selection_is_zero_not_nan(tmp_path):
+    # r5 review fix: the 1e-300 divide guard underflows to 0.0 in float32,
+    # so an empty bounds= selection made the moment shift 0/0 = NaN and
+    # poisoned every output column
+    path = str(tmp_path / "plt32")
+    write_synthetic_plotfile(path, n_cell=16, n_levels=1)
+    d32 = DenseAmrState.from_batched(
+        AmrState.from_plotfile(path, dtype=np.float32))
+    hits, sums, sumsq, _, _ = accumulate_conditional_mean(
+        d32, "temp", ["density"], nbins=4, bin_min=300.0, bin_max=1800.0,
+        bounds=((2.0, 2.0, 2.0), (3.0, 3.0, 3.0)))   # outside the domain
+    assert np.isfinite(hits).all() and np.isfinite(sums).all()
+    assert np.isfinite(sumsq).all()
+    assert hits.sum() == 0
+
+
 def test_jpdf_mass_conservation(ds):
     f1 = [ds.data[l][ds.comp("temp")] for l in range(3)]
     f2 = [ds.data[l][ds.comp("progress")] for l in range(3)]
