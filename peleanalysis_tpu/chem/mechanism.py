@@ -34,11 +34,26 @@ SPECIAL_FORMULAS = {
 
 
 def parse_formula(name: str) -> Dict[str, int]:
-    """Element composition from a species name like CH4, C2H5OH, HO2."""
+    """Element composition from a species name like CH4, C2H5OH, HO2.
+
+    Combustion-mechanism isomer conventions are handled before parsing
+    (r5 review fix: 'NC7H16' parsed a phantom nitrogen, 'N-C4H10' became
+    bare N=14): a leading n-/i-/N-/I-/NEO prefix on a C_xH_y(O_z) skeleton
+    marks normal/iso/neopentyl isomers, not elements."""
     key = name.upper().strip()
     if key in SPECIAL_FORMULAS:
         return dict(SPECIAL_FORMULAS[key])
-    key = key.split("(")[0].split("-")[0]
+    key = key.split("(")[0]
+    # N-C4H10 / I-C8H18: the dash separates the isomer prefix
+    m = re.fullmatch(r"(N|I|NEO|T|S)-(.+)", key)
+    if m:
+        key = m.group(2)
+    else:
+        key = key.split("-")[0]
+        # NC7H16 / IC8H18 / NEOC5H12: prefix + pure hydrocarbon skeleton
+        m = re.fullmatch(r"(N|I|NEO)(C\d*H\d+[A-Z0-9]*)", key)
+        if m and m.group(1) in ("N", "I", "NEO"):
+            key = m.group(2)
     comp: Dict[str, int] = {}
     i = 0
     while i < len(key):
@@ -99,6 +114,18 @@ def parse_chemkin_thermo(path: str) -> Dict[str, Nasa7]:
     out: Dict[str, Nasa7] = {}
     with open(path) as f:
         lines = [ln.rstrip("\n") for ln in f]
+    # THERMO header default temperature ranges: 'THERMO' then a line of
+    # 'Tlow Tmid Thigh' — species with a blank T_common field use the
+    # global default (CHEMKIN semantics; r5 review fix: such species were
+    # silently dropped and consumers later KeyError'd)
+    default_mid = 1000.0
+    for j, ln in enumerate(lines):
+        if ln.strip().upper().startswith("THER"):
+            nums = re.findall(r"[-+]?[\d.]+(?:[eE][-+]?\d+)?",
+                              lines[j + 1] if j + 1 < len(lines) else "")
+            if len(nums) >= 3:
+                default_mid = float(nums[1])
+            break
     i = 0
     while i < len(lines):
         ln = lines[i]
@@ -107,7 +134,8 @@ def parse_chemkin_thermo(path: str) -> Dict[str, Nasa7]:
             try:
                 t_low = float(ln[45:55])
                 t_high = float(ln[55:65])
-                t_mid = float(ln[65:73])
+                mid_s = ln[65:73].strip()
+                t_mid = float(mid_s) if mid_s else default_mid
             except ValueError:
                 i += 1
                 continue

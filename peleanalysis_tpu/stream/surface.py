@@ -15,26 +15,39 @@ import numpy as np
 
 
 def _crossings_from_mid(vals: np.ndarray, target: float):
-    """For each line, the first station pair bracketing `target`, scanning
-    outward from the midpoint (the reference scans from the seed at j=0).
-    vals: [nl, npts].  Returns (jlo [nl], frac [nl], found [nl])."""
+    """The reference's per-line crossing scan, vectorized (all three
+    decorators share it: stream.cpp:1895-1930 / 1420-1446 / 1670-1700).
+    From the line's LOW end, take the first upward bracket
+    ``lVal <= target < rVal``; when ``target <= v[lo]`` clamp to the low
+    endpoint (frac=0), when ``target > v[hi]`` clamp to the last interval
+    (frac=1); a non-monotone line with no upward bracket walks to the last
+    interval and lerps from it, exactly like the reference's loop falling
+    through.  (r5 review fix: the previous version scanned outward from
+    the MIDPOINT and zero-filled unfound lines.)
+
+    vals: [nl, npts].  Returns (jlo [nl], frac [nl], found [nl]) — found
+    marks a genuine bracket; clamped values are still usable (the
+    reference uses them unconditionally)."""
     nl, npts = vals.shape
-    mid = (npts - 1) // 2
-    # candidate segments ordered by distance from the midpoint
-    below = (vals[:, :-1] - target) * (vals[:, 1:] - target) <= 0.0
-    seg_idx = np.arange(npts - 1)
-    dist = np.abs(seg_idx - mid)
-    order = np.argsort(dist, kind="stable")
-    found = np.zeros(nl, dtype=bool)
-    jlo = np.zeros(nl, dtype=np.int64)
-    for j in order:
-        hit = below[:, j] & ~found
-        jlo[hit] = j
-        found |= hit
-    a = vals[np.arange(nl), jlo]
-    b = vals[np.arange(nl), jlo + 1]
-    denom = np.where(np.abs(b - a) > 1e-300, b - a, 1.0)
-    frac = np.clip((target - a) / denom, 0.0, 1.0)
+    r = np.arange(nl)
+    up = (vals[:, :-1] <= target) & (vals[:, 1:] > target)
+    found = up.any(axis=1)
+    jlo = np.argmax(up, axis=1).astype(np.int64)
+    a = vals[r, jlo]
+    b = vals[r, jlo + 1]
+    frac = np.where(b != a, (target - a) / np.where(b != a, b - a, 1.0),
+                    0.0)
+    above = target > vals[:, -1]           # clamp to the hi end
+    at_lo = ~above & ~(target > vals[:, 0])  # clamp to the lo end
+    # unfound within range: the reference's scan exhausts and lerps from
+    # the last interval
+    tail = ~found & ~above & ~at_lo
+    la, lb = vals[:, -2], vals[:, -1]
+    f_last = np.where(lb != la, (target - la) / np.where(lb != la,
+                                                         lb - la, 1.0), 0.0)
+    jlo = np.where(above | tail, npts - 2, np.where(at_lo, 0, jlo))
+    frac = np.where(above, 1.0,
+                    np.where(at_lo, 0.0, np.where(tail, f_last, frac)))
     return jlo, frac, found
 
 
@@ -65,7 +78,10 @@ def build_surface_at_isoval(lines: np.ndarray, names, comp_name: str,
     s_cross = (s[np.arange(nl), jlo]
                + frac * (s[np.arange(nl), jlo + 1]
                          - s[np.arange(nl), jlo]))
-    dist = np.where(found, np.abs(s_cross - s[:, mid]), 0.0)
+    # SIGNED distance from the seed station (stream.cpp:1946-1977 subtracts
+    # when the crossing lies upstream of j=0; r5 review fix: abs() hid
+    # which side of the seed surface the alt surface sits on)
+    dist = s_cross - s[:, mid]
     return pts, found, dist
 
 
@@ -89,9 +105,9 @@ def thermal_thickness(lines: np.ndarray, names, thick_comp: str,
                                       - s[np.arange(nl), jl])
     sh = s[np.arange(nl), jh] + fh * (s[np.arange(nl), jh + 1]
                                       - s[np.arange(nl), jh])
-    out = np.abs(sh - sl)
-    out[~(okl & okh)] = 0.0
-    return out
+    # clamped crossings are used as-is, like the reference's fall-through
+    # loop (stream.cpp:1670-1760); no zero-fill
+    return np.abs(sh - sl)
 
 
 def cold_strain(lines: np.ndarray, names, strain_comp: str, t_comp: str,
@@ -100,26 +116,32 @@ def cold_strain(lines: np.ndarray, names, strain_comp: str, t_comp: str,
     stream.cpp:1369-1553)."""
     ct = names.index(t_comp)
     cs = names.index(strain_comp)
-    jlo, frac, found = _crossings_from_mid(lines[:, :, ct], t_val)
-    vals = _interp_at(lines, jlo, frac)[:, cs]
-    vals[~found] = 0.0
-    return vals
+    jlo, frac, _found = _crossings_from_mid(lines[:, :, ct], t_val)
+    # clamped crossings are sampled as-is (stream.cpp:1448-1451 uses
+    # lIdx/rIdx/frac unconditionally)
+    return _interp_at(lines, jlo, frac)[:, cs]
 
 
-def inclination_angle(lines: np.ndarray, up_dir: int = 1) -> np.ndarray:
-    """Angle (deg) of the line through the two points bracketing the line
-    midpoint vs the up axis (add_angle_to_surf, stream.cpp:1211-1368)."""
+def inclination_angle(lines: np.ndarray, up_dir: int = 2) -> np.ndarray:
+    """Angle (RADIANS, [0, pi]) of the line through the two points
+    bracketing the midpoint vs vertical: acos(dx[up]/|dx|) with
+    dx = pth(mid-1) - pth(mid+1) (add_angle_to_surf, stream.cpp:1248-1266;
+    r5 review fix: this returned degrees from the Y axis with the sign
+    folded by abs(), so no value could exceed 90 deg)."""
     mid = (lines.shape[1] - 1) // 2
-    d = lines[:, mid + 1, :3] - lines[:, mid - 1, :3]
+    d = lines[:, mid - 1, :3] - lines[:, mid + 1, :3]
     n = np.linalg.norm(d, axis=1)
-    cosang = np.abs(d[:, up_dir]) / np.maximum(n, 1e-300)
-    return np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+    cosang = d[:, up_dir] / np.maximum(n, 1e-300)
+    return np.arccos(np.clip(cosang, -1.0, 1.0))
 
 
 def advect_points(points: np.ndarray, names, dt: float) -> np.ndarray:
-    """Advance surface points by u*dt (stream.cpp:1038-1103)."""
-    vel_idx = [names.index(n) for n in
-               ("x_velocity", "y_velocity", "z_velocity")]
+    """Advance surface points by u*dt (stream.cpp:1038-1103).  Only the
+    velocity components present advance their axis (a DIM=2 plotfile has
+    no z_velocity — r5 review fix: names.index raised after the whole
+    integration had completed)."""
     out = points.copy()
-    out[:, :3] += dt * points[:, vel_idx]
+    for d, n in enumerate(("x_velocity", "y_velocity", "z_velocity")):
+        if n in names:
+            out[:, d] += dt * points[:, names.index(n)]
     return out

@@ -31,19 +31,49 @@ from ..ops.dense_fill import fill_dense
 from ..parmparse import ParmParse
 
 
-def _accumulate_one(ds, lev, names, ubox, interp, acc):
-    """Fill one input's level onto the union bbox and add it into acc."""
-    bbox = ds.lmeta[lev].bbox
+def _accumulate_one(ds, lev, names, ubox, interp, acc, rvecs=None):
+    """Fill one input's level onto the union bbox and add it into acc.
+    An input that LACKS this level fills from its finest level and
+    interpolates up (the reference's fillPatchFromPlt falls back to the
+    file's coarser data, avgPlotfiles.cpp:82-84,180-186); rvecs[l] is the
+    per-dim refinement between output levels l and l+1."""
     comps = [ds.comp(n) for n in names]
-    # grow this input's fill so it spans the union bbox; cells beyond
-    # the input's own refinement get its coarse-interpolated values
-    g = max([0] + [bbox.lo[d] - ubox.lo[d] for d in range(3)]
-            + [ubox.hi[d] - bbox.hi[d] for d in range(3)])
-    filled = np.asarray(fill_dense(ds, lev, g, comps=comps, interp=interp))
-    gb = bbox.grow(g)
-    sl = tuple(slice(ubox.lo[d] - gb.lo[d],
-                     ubox.hi[d] - gb.lo[d] + 1) for d in range(3))
-    acc += filled[(slice(None),) + sl]
+    if lev < ds.meta.n_levels:
+        bbox = ds.lmeta[lev].bbox
+        # grow this input's fill so it spans the union bbox; cells beyond
+        # the input's own refinement get its coarse-interpolated values
+        g = max([0] + [bbox.lo[d] - ubox.lo[d] for d in range(3)]
+                + [ubox.hi[d] - bbox.hi[d] for d in range(3)])
+        filled = np.asarray(fill_dense(ds, lev, g, comps=comps,
+                                       interp=interp))
+        gb = bbox.grow(g)
+        sl = tuple(slice(ubox.lo[d] - gb.lo[d],
+                         ubox.hi[d] - gb.lo[d] + 1) for d in range(3))
+        acc += filled[(slice(None),) + sl]
+        return
+    from ..ops.dense_fill import _upsample_axis
+    lf = ds.meta.n_levels - 1
+    stages = [tuple(rv) for rv in rvecs[lf:lev]]
+    rtot = tuple(int(np.prod([s[d] for s in stages])) for d in range(3))
+    cbox = ubox.coarsen(rtot)
+    bboxf = ds.lmeta[lf].bbox
+    # one spare coarse cell so _upsample_axis's edge clamp never shows
+    g = max([1] + [bboxf.lo[d] - cbox.lo[d] + 1 for d in range(3)]
+            + [cbox.hi[d] - bboxf.hi[d] + 1 for d in range(3)])
+    filled = fill_dense(ds, lf, g, comps=comps, interp=interp)
+    gb = bboxf.grow(g)
+    work_box = cbox.grow(1)
+    sl = tuple(slice(work_box.lo[d] - gb.lo[d],
+                     work_box.hi[d] - gb.lo[d] + 1) for d in range(3))
+    cur = filled[(slice(None),) + sl]
+    for rv in stages:
+        for d in range(3):
+            if rv[d] > 1:
+                cur = _upsample_axis(cur, d, int(rv[d]), interp)
+        work_box = work_box.refine(rv)
+    sl = tuple(slice(ubox.lo[d] - work_box.lo[d],
+                     ubox.hi[d] - work_box.lo[d] + 1) for d in range(3))
+    acc += np.asarray(cur[(slice(None),) + sl])
 
 
 def average_states(states: Sequence[AmrState], names: Sequence[str],
@@ -52,33 +82,42 @@ def average_states(states: Sequence[AmrState], names: Sequence[str],
     """In-memory ensemble average (Python-API path; the CLI streams via
     :func:`average_paths`).  Returns per-level union data/footprints."""
     metas = [st.meta for st in states]
-    n_lev = min(m.n_levels for m in metas)
+    # MAX levels (avgPlotfiles.cpp:83): shallower inputs interpolate up
+    n_lev = max(m.n_levels for m in metas)
     if output_max_level is not None:
         n_lev = min(n_lev, output_max_level + 1)
+    deep = max(metas, key=lambda m: m.n_levels)
     for m in metas:
+        nl = min(n_lev, m.n_levels)
         if m.geoms[0].domain != metas[0].geoms[0].domain:
             raise ValueError("avgPlotfiles: domains differ")
-        if m.ref_ratio[: n_lev - 1] != metas[0].ref_ratio[: n_lev - 1]:
+        if m.ref_ratio[: nl - 1] != deep.ref_ratio[: nl - 1]:
             raise ValueError("avgPlotfiles: ref ratios differ")
+    ndim2 = getattr(deep, "ndim2", False)
+    rvecs = [(int(r), int(r), 1 if ndim2 else int(r))
+             for r in deep.ref_ratio[: n_lev - 1]]
 
     denses = [DenseAmrState.from_batched(st) for st in states]
     out_data, lmeta = [], []
     for lev in range(n_lev):
-        bbs = [ds.lmeta[lev].bbox for ds in denses]
+        bbs = [ds.lmeta[lev].bbox for ds in denses
+               if lev < ds.meta.n_levels]
         ubox = Box(tuple(min(b.lo[d] for b in bbs) for d in range(3)),
                    tuple(max(b.hi[d] for b in bbs) for d in range(3)))
         union = np.zeros(ubox.shape, dtype=bool)
         acc = np.zeros((len(names),) + ubox.shape)
         for ds in denses:
-            _accumulate_one(ds, lev, names, ubox, interp, acc)
-            bbox = ds.lmeta[lev].bbox
-            msl = tuple(slice(bbox.lo[d] - ubox.lo[d],
-                              bbox.hi[d] - ubox.lo[d] + 1) for d in range(3))
-            union[msl] |= ds.in_level_mask_np(lev)
+            _accumulate_one(ds, lev, names, ubox, interp, acc, rvecs)
+            if lev < ds.meta.n_levels:
+                bbox = ds.lmeta[lev].bbox
+                msl = tuple(slice(bbox.lo[d] - ubox.lo[d],
+                                  bbox.hi[d] - ubox.lo[d] + 1)
+                            for d in range(3))
+                union[msl] |= ds.in_level_mask_np(lev)
         acc /= len(denses)
         out_data.append(jnp.asarray(acc))
         lmeta.append((ubox, union))
-    return out_data, lmeta, metas[0], n_lev
+    return out_data, lmeta, deep, n_lev
 
 
 def average_paths(args: dict, paths: Sequence[str], names, interp: str,
@@ -90,16 +129,29 @@ def average_paths(args: dict, paths: Sequence[str], names, interp: str,
     from ..io.prefetch import iter_states
 
     readers = [PlotfileReader(p) for p in paths]
-    n_lev = min(r.meta.n_levels for r in readers)
+    # output is refined wherever ANY input is refined: MAX levels across
+    # the ensemble (avgPlotfiles.cpp:83 nlevels = max(getNlev()); r5 review
+    # fix — min() silently dropped the deeper files' refinement), with
+    # shallower files coarse-interpolated onto the missing levels
+    n_lev = max(r.meta.n_levels for r in readers)
     if output_max_level is not None:
         n_lev = min(n_lev, output_max_level + 1)
+    deep = max(readers, key=lambda r: r.meta.n_levels).meta
     m0 = readers[0].meta
     for r in readers:
+        nl = min(n_lev, r.meta.n_levels)
         if r.meta.geometry(0).domain != m0.geometry(0).domain:
             raise ValueError("avgPlotfiles: domains differ")
-        if (list(r.meta.ref_ratio[: n_lev - 1])
-                != list(m0.ref_ratio[: n_lev - 1])):
+        if (list(r.meta.ref_ratio[: nl - 1])
+                != list(deep.ref_ratio[: nl - 1])):
             raise ValueError("avgPlotfiles: ref ratios differ")
+    # per-dim refinement between output levels, from the deepest file's
+    # level domains (z stays 1 for promoted DIM=2 plotfiles)
+    ndim2 = deep.ndim == 2
+    rvecs = []
+    for l in range(n_lev - 1):
+        rr = int(deep.ref_ratio[l])
+        rvecs.append((rr, rr, 1 if ndim2 else rr))
     if names is None:
         # cross-check shared variables (avgPlotfiles.cpp:77-115)
         names = [n for n in readers[0].var_names
@@ -114,7 +166,9 @@ def average_paths(args: dict, paths: Sequence[str], names, interp: str,
 
     uboxes, unions = [], []
     for lev in range(n_lev):
-        bas = [ba3(r, lev) for r in readers]
+        # only files that HAVE this level contribute footprint (the others
+        # are interpolated onto it, they do not refine it)
+        bas = [ba3(r, lev) for r in readers if lev < r.meta.n_levels]
         bbs = [ba.minimal_box() for ba in bas]
         ubox = Box(tuple(min(b.lo[d] for b in bbs) for d in range(3)),
                    tuple(max(b.hi[d] for b in bbs) for d in range(3)))
@@ -134,14 +188,26 @@ def average_paths(args: dict, paths: Sequence[str], names, interp: str,
             meta0, time0 = st.meta, st.meta.time
         ds = DenseAmrState.from_batched(st)
         for lev in range(n_lev):
-            _accumulate_one(ds, lev, names, uboxes[lev], interp, accs[lev])
+            _accumulate_one(ds, lev, names, uboxes[lev], interp, accs[lev],
+                            rvecs)
     out_data = [jnp.asarray(a / len(paths)) for a in accs]
     lmeta = [(ub, un) for ub, un in zip(uboxes, unions)]
-    return out_data, lmeta, meta0, n_lev, list(names), time0
+    return out_data, lmeta, meta0, n_lev, list(names), time0, rvecs
 
 
 def write_averaged(path: str, out_data, lmeta, meta0, n_lev,
-                   names, time, max_grid_size: int = 32) -> None:
+                   names, time, max_grid_size: int = 32,
+                   rvecs=None) -> None:
+    # output geoms span n_lev levels even when meta0 (the FIRST file) has
+    # fewer: refine level 0 through the per-stage ratios
+    if rvecs is None:
+        out_geoms = list(meta0.geoms[:n_lev])
+        out_rr = list(meta0.ref_ratio[: n_lev - 1])
+    else:
+        out_geoms = [meta0.geoms[0]]
+        for rv in rvecs[: n_lev - 1]:
+            out_geoms.append(out_geoms[-1].refine(rv))
+        out_rr = [int(rv[0]) for rv in rvecs[: n_lev - 1]]
     geoms, bas, fabs_all = [], [], []
     for lev in range(n_lev):
         ubox, union = lmeta[lev]
@@ -162,7 +228,7 @@ def write_averaged(path: str, out_data, lmeta, meta0, n_lev,
                                  b.hi[d] - ubox.lo[d] + 1) for d in range(3))
             boxes.append(b)
             fabs.append(np.ascontiguousarray(dense[(slice(None),) + sl]))
-        geoms.append(meta0.geoms[lev])
+        geoms.append(out_geoms[lev])
         bas.append(BoxArray(boxes))
         fabs_all.append(fabs)
     if getattr(meta0, "ndim2", False):   # demote back to a DIM=2 plotfile
@@ -172,8 +238,7 @@ def write_averaged(path: str, out_data, lmeta, meta0, n_lev,
         bas = [BoxArray([Box(b.lo[:2], b.hi[:2]) for b in ba])
                for ba in bas]
         fabs_all = [[f[..., 0] for f in fabs] for fabs in fabs_all]
-    write_plotfile(path, names, time, geoms, meta0.ref_ratio[: n_lev - 1],
-                   bas, fabs_all)
+    write_plotfile(path, names, time, geoms, out_rr, bas, fabs_all)
 
 
 def main(args: dict) -> None:
@@ -182,15 +247,17 @@ def main(args: dict) -> None:
     [prefetch=1 — ensemble read-ahead (io/prefetch.py); 0 = serial]"""
     pp = ParmParse(args)
     infiles = pp.get_str_list("infiles" if pp.contains("infiles") else "infile")
-    itype = pp.query_int("interp_type", 2)
+    # reference default is interp_type=1 / PCInterp (avgPlotfiles.cpp:69;
+    # r5 review fix: this defaulted to 2/linear)
+    itype = pp.query_int("interp_type", 1)
     interp = "pc" if itype == 1 else "linear"
     names = (pp.query_str_list("variables", None)
              or pp.query_str_list("vars", None))
     from ..io.prefetch import query_prefetch
-    out_data, lmeta, meta0, n_lev, names, time0 = average_paths(
+    out_data, lmeta, meta0, n_lev, names, time0, rvecs = average_paths(
         args, infiles, names, interp, pp.query_int("output_max_level", None),
         depth=query_prefetch(pp))
     outfile = pp.query_str("outfile", infiles[0] + "_avg")
     write_averaged(outfile, out_data, lmeta, meta0, n_lev, names, time0,
-                   pp.query_int("output_max_grid_size", 32))
+                   pp.query_int("output_max_grid_size", 32), rvecs=rvecs)
     print(f"wrote {outfile}")

@@ -22,12 +22,11 @@ Output: MEF with element-centered values duplicated at the element's nodes
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
 from ..io.mef import MEF, write_mef, write_mef_tecplot, read_mef
-from ..io.stream_data import read_stream_data
 from ..parmparse import ParmParse
 from ..stream.surface import arc_length
 
@@ -58,19 +57,18 @@ def wedge_volumes_ints(lines: np.ndarray, elements: np.ndarray,
                        ((l2, j), (l0, j + 1), (l1, j + 1), (l2, j + 1))]
         vjs = [np.abs(_tet_vol(*t)) for t in tets]
         vol += sum(vjs)
+        if comp_idx:
+            a_mid = 0.5 * (_tri_area(p[0], p[1], p[2])
+                           + _tri_area(q[0], q[1], q[2]))
         for kk, c in enumerate(comp_idx):
             for vj, corners in zip(vjs, tet_corners):
                 mean = sum(lines[li, jj, c] for (li, jj) in corners) / 4.0
                 ints[:, kk] += vj * mean
-        if comp_idx:
-            a0 = _tri_area(p[0], p[1], p[2])
-            a1 = _tri_area(q[0], q[1], q[2])
-            # area_wtAvg: int * mid-area for the first intComp (:680-686)
-            kk = 0
-            for vj, corners in zip(vjs, tet_corners):
-                mean = sum(lines[li, jj, comp_idx[0]]
-                           for (li, jj) in corners) / 4.0
-                wa += vj * mean * 0.5 * (a0 + a1)
+                if kk == 0:
+                    # area_wtAvg: int * mid-area for the first intComp
+                    # (:680-686); accumulated in the same pass (the corner
+                    # means were recomputed in a second loop before r5)
+                    wa += vj * mean * a_mid
     return vol, ints, wa
 
 

@@ -132,6 +132,31 @@ def test_amr_to_fe(plt, tmp_path):
     assert txt.startswith("VARIABLES = X Y Z temp")
 
 
+def test_avg_plotfiles_mixed_level_counts(tmp_path):
+    """r5 review fix: the output carries MAX levels across the ensemble
+    (avgPlotfiles.cpp:83) — a 2-level file averaged with a 1-level file
+    keeps level 1, with the shallow file's data interpolated up (min()
+    silently dropped the refinement before)."""
+    pa, pb = str(tmp_path / "a2"), str(tmp_path / "b1")
+    # identical analytic fields, different depths -> average == the field,
+    # so level-1 values must match the 2-level input's own level 1
+    write_synthetic_plotfile(pa, n_cell=16, n_levels=2)
+    write_synthetic_plotfile(pb, n_cell=16, n_levels=1)
+    out = str(tmp_path / "avg_ml")
+    assert main(["avgPlotfiles", f"infile={pa} {pb}",
+                 f"outfile={out}"]) == 0
+    r = PlotfileReader(out)
+    assert r.meta.n_levels == 2
+    ra = PlotfileReader(pa)
+    assert r.box_array(1).total_cells() == ra.box_array(1).total_cells()
+    va = np.concatenate([f.ravel() for f in ra.read_level(1)])
+    vo = np.concatenate([f.ravel() for f in r.read_level(1)])
+    assert np.isfinite(vo).all()
+    # smooth analytic fields: PC-interp of the 1-level file deviates by
+    # O(h) from the fine truth, so the average sits within that band
+    assert np.abs(vo - va).max() < 0.5 * np.abs(va).max()
+
+
 def test_amr_to_fe_2d_quads(tmp_path, monkeypatch):
     # r5 review fix: on a promoted DIM=2 plotfile the brick stencil had
     # zero z-extent and no elements were ever emitted; 2-D meshes are

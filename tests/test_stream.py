@@ -312,9 +312,16 @@ def test_surface_decorators_unit():
     # cold strain sampled at c=0.5 crossing
     cs = surf.cold_strain(lines, names, "strain", "c", 0.5)
     np.testing.assert_allclose(cs, 7.0, atol=1e-12)
-    # angle: lines run along x => 90 deg from the y (up) axis
-    ang = surf.inclination_angle(lines, up_dir=1)
-    np.testing.assert_allclose(ang, 90.0, atol=1e-9)
+    # angle: lines run along x => pi/2 RADIANS from vertical (the
+    # reference's acos(dx[2]/mag), stream.cpp:1265; r5 fix)
+    ang = surf.inclination_angle(lines)
+    np.testing.assert_allclose(ang, np.pi / 2, atol=1e-9)
+    # a line rising along +z: dx = pth(mid-1)-pth(mid+1) = (0,0,-dz)
+    # => angle = acos(-1) = pi (unfolded, unlike the old abs())
+    lz = np.zeros((1, npts, 5))
+    lz[0, :, 2] = s
+    np.testing.assert_allclose(surf.inclination_angle(lz), np.pi,
+                               atol=1e-9)
     # advect by u*dt
     names2 = ["X", "Y", "Z", "x_velocity", "y_velocity", "z_velocity"]
     pts2 = np.zeros((3, 6))
