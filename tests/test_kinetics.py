@@ -179,6 +179,43 @@ H + O2 + M => HO2 + M     6.0D17 -0.8 0.
     assert rxns[0].A == 6.0e17
 
 
+def test_isomer_prefix_formulas():
+    # r5 review fix: NC7H16 (n-heptane) parsed a phantom nitrogen atom
+    from peleanalysis_tpu.chem.mechanism import (molecular_weight,
+                                                 parse_formula)
+    assert parse_formula("NC7H16") == {"C": 7, "H": 16}
+    assert abs(molecular_weight("NC7H16") - 100.2) < 0.1
+    assert parse_formula("N-C4H10") == {"C": 4, "H": 10}
+    assert parse_formula("IC8H18") == {"C": 8, "H": 18}
+    # genuine nitrogen species stay nitrogen
+    assert parse_formula("NH3") == {"N": 1, "H": 3}
+    assert parse_formula("NO2") == {"N": 1, "O": 2}
+    assert parse_formula("HCN") == {"H": 1, "C": 1, "N": 1}
+
+
+def test_thermo_blank_tmid_uses_header_default(tmp_path):
+    # r5 review fix: species relying on the global THERMO range line were
+    # silently dropped (float('') raised, except skipped the species)
+    from peleanalysis_tpu.chem.mechanism import parse_chemkin_thermo
+    l1 = "H2O               L 8/89H   2O   1          G   200.000  3500.000"
+    l1 = l1.ljust(79) + "1"
+    c = ["4.19864056E+00", "-2.03643410E-03", "6.52040211E-06",
+         "-5.48797062E-09", "1.77197817E-12", "-3.02937267E+04",
+         "-8.49032208E-01"]
+    h = ["3.03399249E+00", "2.17691804E-03", "-1.64072518E-07",
+         "-9.70419870E-11", "1.68200992E-14", "-3.00042971E+04",
+         "4.96677010E+00"]
+    l2 = "".join(f"{v:>15}" for v in h[:5]).ljust(79) + "2"
+    l3 = "".join(f"{v:>15}" for v in (h[5:] + c[:3])).ljust(79) + "3"
+    l4 = "".join(f"{v:>15}" for v in c[3:]).ljust(79) + "4"
+    p = tmp_path / "therm.dat"
+    p.write_text("THERMO\n   300.000  1250.000  5000.000\n"
+                 + "\n".join([l1, l2, l3, l4]) + "\nEND\n")
+    th = parse_chemkin_thermo(str(p))
+    assert "H2O" in th
+    assert th["H2O"].t_mid == 1250.0
+
+
 def test_g_RT_matches_nasa7_oracle():
     # Kinetics._g_RT (batched tables) == Nasa7.h_RT - Nasa7.s_R per species
     th = _h2o_thermo()
