@@ -95,8 +95,10 @@ class PlotfileReader:
             if hbox.shape != box.shape:
                 raise ValueError(f"FAB/box mismatch at lev {lev} box {ibox}")
             data_start = f.tell()
-            sel = range(ncomp) if comps is None else comps
-            out = np.empty((len(list(sel)),) + box.shape, dtype=np.float64)
+            # normalize once: an iterator comps would be consumed by the
+            # sizing list() and enumerate nothing (r5 review fix)
+            sel = list(range(ncomp)) if comps is None else list(comps)
+            out = np.empty((len(sel),) + box.shape, dtype=np.float64)
             for oi, c in enumerate(sel):
                 f.seek(data_start + c * cells * dtype.itemsize)
                 raw = np.fromfile(f, dtype=dtype, count=cells)
@@ -113,11 +115,18 @@ class PlotfileReader:
         nbox = len(idx["boxes"])
         try:
             from ..native import load_fabs
+            if idx.get("ngrow", 0) != 0:
+                # grown-box FABs: the native loader memcpys VALID-box
+                # strides and would silently mis-stride (r5 review fix) —
+                # the python path validates per-FAB headers and raises
+                raise OSError("ngrow>0 VisMF: python fallback")
             # dtype/ncomp are uniform across a VisMF: probe the first FAB
             with open(os.path.join(idx["dir"], idx["fabs"][0][0]),
                       "rb") as f:
                 f.seek(idx["fabs"][0][1])
-                _, ncomp, dtype = read_fab_header(f)
+                hbox0, ncomp, dtype = read_fab_header(f)
+                if hbox0.shape != idx["boxes"][0].shape:
+                    raise OSError("FAB/box mismatch: python fallback")
             if dtype.byteorder == ">":
                 # the native loader memcpys raw floats: little-endian only
                 raise OSError("big-endian FAB: python fallback")
@@ -310,9 +319,13 @@ def _write_vismf(dirname: str, base: str, ba: BoxArray,
                 i += 1
         ifile += 1
 
-    mins = np.array([[float(fab_data[i][c].min()) for c in range(ncomp)]
+    # range tables must describe the STORED values: cast to the output
+    # dtype first (r5 review fix: an f32 write rounded values past the f64
+    # min/max the _H declared)
+    cast = [np.asarray(fab_data[i], dtype=dtype) for i in range(nfab)]
+    mins = np.array([[float(cast[i][c].min()) for c in range(ncomp)]
                      for i in range(nfab)])
-    maxs = np.array([[float(fab_data[i][c].max()) for c in range(ncomp)]
+    maxs = np.array([[float(cast[i][c].max()) for c in range(ncomp)]
                      for i in range(nfab)])
     with open(os.path.join(dirname, base + "_H"), "w") as f:
         f.write("1\n1\n")

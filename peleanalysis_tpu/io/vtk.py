@@ -30,7 +30,8 @@ def write_vtk_legacy(path: str, mef: MEF) -> None:
         if npe == 3:
             f.write(f"POLYGONS {mef.n_elts} {mef.n_elts * 4}\n")
         else:
-            f.write(f"LINES {mef.n_elts} {mef.n_elts * 3}\n")
+            # cell-list size = per-row (count + npe ids), any npe (r5 fix)
+            f.write(f"LINES {mef.n_elts} {mef.n_elts * (npe + 1)}\n")
         conn = np.concatenate(
             [np.full((mef.n_elts, 1), npe, dtype=np.int64),
              mef.elements.astype(np.int64)], axis=1)

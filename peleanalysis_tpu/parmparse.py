@@ -86,7 +86,12 @@ class ParmParse:
         self.touched.add(key)
         if key not in self.table:
             raise KeyError(f"ParmParse: required key '{key}' not found")
-        return self.table[key]
+        vals = self.table[key]
+        if not vals:
+            # 'key=' with no value (trailing-= typo or a blank inputs-file
+            # line); r5 review fix: this IndexError'd deep in get_str
+            raise KeyError(f"ParmParse: key '{key}' has no value")
+        return vals
 
     # typed get (required) / query (optional with default)
     def get_str(self, key: str) -> str:
@@ -110,7 +115,7 @@ class ParmParse:
     def query_bool(self, key: str, default: bool) -> bool:
         if not self.contains(key):
             return default
-        v = self.table[key][0].lower()
+        v = self._raw(key)[0].lower()
         return v not in ("0", "false", "no")
 
     def get_str_list(self, key: str) -> List[str]:

@@ -77,6 +77,7 @@ class Session:
     do).  The Python-API default stays synchronous."""
 
     def __init__(self, async_writes: bool = False) -> None:
+        import threading
         self._states: Dict[Tuple, Tuple] = {}   # key -> (Header mtime, state)
         self._dense: Dict[Tuple, DenseAmrState] = {}
         # retain every state we keyed by id(): without this, a replaced
@@ -90,6 +91,13 @@ class Session:
         self.async_writes = bool(async_writes)
         self._wb_pool = None
         self._wb: List[Tuple[str, object]] = []    # (path, Future)
+        self._var_names: Dict[Tuple, List[str]] = {}  # (path, mtime) -> vars
+        # guards the cache dicts against the prefetch worker thread
+        # (io/prefetch.py runs session.load concurrently; r5 review fix:
+        # an mtime eviction could `del` while the main thread iterates).
+        # The heavy work (file parse, device upload) stays OUTSIDE the
+        # lock so prefetch overlap is preserved.
+        self._cache_lock = threading.RLock()
 
     # -- async write-back ----------------------------------------------------
 
@@ -123,16 +131,15 @@ class Session:
             return (match is None or os.path.abspath(p) in toks
                     or any(p in m for m in match))
 
-        rest, err = [], None
-        for p, fut in self._wb:
-            if hits(p):
-                try:
-                    fut.result()
-                except Exception as e:          # surface on the flush point
-                    err = err or e
-            else:
-                rest.append((p, fut))
-        self._wb = rest
+        with self._cache_lock:
+            take = [(p, f) for p, f in self._wb if hits(p)]
+            self._wb = [(p, f) for p, f in self._wb if not hits(p)]
+        err = None
+        for p, fut in take:
+            try:
+                fut.result()
+            except Exception as e:              # surface on the flush point
+                err = err or e
         if err is not None:
             raise err
 
@@ -140,7 +147,7 @@ class Session:
 
     def load(self, path: str, names: Optional[Sequence[str]] = None,
              max_level=None, is_periodic=None, dtype=None,
-             cache: bool = True) -> AmrState:
+             cache: bool = True, widen_ok: bool = False) -> AmrState:
         """Cached AmrState.from_plotfile; extends the comp set in place.
 
         cache=False reuses an existing entry (and the in-memory output
@@ -161,12 +168,17 @@ class Session:
                       == tuple(bool(p) for p in st.meta.geoms[0].is_periodic))
             lev_ok = (max_level is None
                       or max_level >= st.meta.n_levels - 1)
-            # a WIDER request than the registered dtype is value-preserving
-            # (a written plotfile stores f64 copies of f32 values, so the
-            # file-chained run would read the identical values); only a
-            # narrowing request forces the disk fallback
+            # EXACT dtype match by default (r5 review fix: serving an f32
+            # shadow to a dtype=float64 stage silently downgraded that
+            # stage's COMPUTE precision — jnp ops follow the array dtype);
+            # a mismatch falls back to the on-disk file, which reads at
+            # the requested precision.  COPY-ONLY consumers (combinePlts,
+            # subPlt, ... — no arithmetic) pass widen_ok=True: for them a
+            # narrower shadow is value-identical to reading the wider file.
             req = jnp.zeros((), dtype or config.compute_dtype).dtype
-            dt_ok = np.dtype(req).itemsize >= st.data[0].dtype.itemsize
+            dt_ok = (np.dtype(req) == st.data[0].dtype
+                     or (widen_ok and np.dtype(req).itemsize
+                         >= st.data[0].dtype.itemsize))
             comp_ok = (names is None
                        or all(n in st.names for n in names))
             if per_ok and lev_ok and dt_ok and comp_ok:
@@ -184,27 +196,40 @@ class Session:
                     f"write=0 (no file on disk). Re-run the producer "
                     f"with write=1 or align the options.")
             # fall through: reload the richer on-disk file
+        # settle any pending async write-back of THIS path before touching
+        # the on-disk copy (r5 review fix: the pipeline driver's argv-token
+        # matching missed read paths named only inside a ParmParse inputs
+        # FILE; settling at the open point is input-source-agnostic)
+        self.flush_writes(match=[path])
         key = _state_key(path, max_level, is_periodic, dtype)
         mtime = _header_mtime(path)
-        ent = self._states.get(key)
-        if ent is not None and ent[0] != mtime:
-            self._evict(ent[1])             # superseded by an on-disk rewrite
-            del self._states[key]
-            ent = None
-        st = ent[1] if ent is not None else None
+        with self._cache_lock:
+            ent = self._states.get(key)
+            if ent is not None and ent[0] != mtime:
+                self._evict(ent[1])         # superseded by an on-disk rewrite
+                del self._states[key]
+                ent = None
+            st = ent[1] if ent is not None else None
         if st is None:
             st = AmrState.from_plotfile(path, names=names,
                                         max_level=max_level,
                                         is_periodic=is_periodic, dtype=dtype)
             if cache:
-                self._states[key] = (mtime, st)
+                with self._cache_lock:
+                    self._states[key] = (mtime, st)
             return st
         missing = [] if names is None else [n for n in names
                                             if n not in st.names]
         if names is None:
-            from .io.plotfile import PlotfileReader
-            missing = [n for n in PlotfileReader(path).var_names
-                       if n not in st.names]
+            vn = self._var_names.get((path, mtime))
+            if vn is None:
+                # parse once per (path, mtime) — this ran on EVERY warm
+                # cache hit before r5
+                from .io.plotfile import PlotfileReader
+                vn = list(PlotfileReader(path).var_names)
+                with self._cache_lock:
+                    self._var_names[(path, mtime)] = vn
+            missing = [n for n in vn if n not in st.names]
         if missing:
             self._extend(st, path, missing, max_level, dtype)
         return st
@@ -215,13 +240,15 @@ class Session:
     def _evict(self, st: AmrState) -> None:
         """Drop a state's derived caches (its _states entry is the
         caller's to remove) so the device arrays can be freed."""
-        for k in [k for k in self._dense if k[0] == id(st)]:
-            del self._dense[k]
-        self._retain.pop(id(st), None)
+        with self._cache_lock:
+            for k in [k for k in self._dense if k[0] == id(st)]:
+                del self._dense[k]
+            self._retain.pop(id(st), None)
 
     def _owns(self, st: AmrState) -> bool:
-        return (any(ent[1] is st for ent in self._states.values())
-                or any(v is st for v in self.plotfiles.values()))
+        with self._cache_lock:
+            return (any(ent[1] is st for ent in self._states.values())
+                    or any(v is st for v in self.plotfiles.values()))
 
     def _extend(self, st: AmrState, path: str, missing: Sequence[str],
                 max_level, dtype) -> None:
@@ -258,8 +285,9 @@ class Session:
             # multi-file load (Session.load cache=False) must not leak one
             # dense copy per ensemble member
             if self._owns(st):
-                self._dense[(id(st), bucket)] = ds
-                self._retain[id(st)] = st
+                with self._cache_lock:
+                    self._dense[(id(st), bucket)] = ds
+                    self._retain[id(st)] = st
         return ds
 
     # -- artifact registry ----------------------------------------------------
@@ -297,12 +325,14 @@ class Session:
         plotfiles should reset between files they no longer need; the
         cross-instance ENGINE caches (amr/dense.shared_engine) survive, so
         the next file still skips the re-trace."""
-        self._states.clear()
-        self._dense.clear()
-        self._retain.clear()
-        self.plotfiles.clear()
-        self.surfaces.clear()
-        self.lines.clear()
+        with self._cache_lock:
+            self._states.clear()
+            self._dense.clear()
+            self._retain.clear()
+            self.plotfiles.clear()
+            self.surfaces.clear()
+            self.lines.clear()
+            self._var_names.clear()
 
     def run(self, tool: str, **kw) -> None:
         """Run one tool with this session attached (Python-API pipeline)."""
@@ -313,6 +343,10 @@ class Session:
                 argv.append(f"{k}=" + " ".join(str(x) for x in v))
             else:
                 argv.append(f"{k}={v}")
+        # settle pending write-backs this stage might read (the CLI
+        # pipeline driver and server do the same; Session.load additionally
+        # settles by exact path at its open point)
+        self.flush_writes(match=argv)
         rc = cli_main(argv, session=self)
         if rc != 0:
             raise RuntimeError(f"pipeline stage '{tool}' failed (rc={rc})")
@@ -326,12 +360,15 @@ def get_session(args: dict) -> Optional[Session]:
 
 
 def load_state(args: dict, path: str, names=None, max_level=None,
-               is_periodic=None, dtype=None, cache: bool = True) -> AmrState:
-    """Session-aware AmrState.from_plotfile (cache: see Session.load)."""
+               is_periodic=None, dtype=None, cache: bool = True,
+               widen_ok: bool = False) -> AmrState:
+    """Session-aware AmrState.from_plotfile (cache/widen_ok: see
+    Session.load)."""
     s = get_session(args)
     if s is not None:
         return s.load(path, names=names, max_level=max_level,
-                      is_periodic=is_periodic, dtype=dtype, cache=cache)
+                      is_periodic=is_periodic, dtype=dtype, cache=cache,
+                      widen_ok=widen_ok)
     return AmrState.from_plotfile(path, names=names, max_level=max_level,
                                   is_periodic=is_periodic, dtype=dtype)
 

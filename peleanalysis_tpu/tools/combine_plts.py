@@ -55,7 +55,7 @@ def main(args: dict) -> None:
                 # a session-registered state may carry MORE comps than
                 # requested: keep the selected list alongside
                 sts.append((load_state(args, f, names=have,
-                                       dtype=np.float64,
+                                       dtype=np.float64, widen_ok=True,
                                        max_level=finest), have))
                 remaining = [v for v in remaining if v not in have]
         if remaining:
@@ -71,8 +71,8 @@ def main(args: dict) -> None:
     else:
         f1 = pp.get_str("infile1")
         f2 = pp.get_str("infile2")
-        st1 = load_state(args, f1, dtype=np.float64)
-        st2 = load_state(args, f2, dtype=np.float64)
+        st1 = load_state(args, f1, dtype=np.float64, widen_ok=True)
+        st2 = load_state(args, f2, dtype=np.float64, widen_ok=True)
         comps1 = pp.query_str_list("comps1", st1.names)
         comps2 = pp.query_str_list("comps2", [n for n in st2.names
                                               if n not in comps1])

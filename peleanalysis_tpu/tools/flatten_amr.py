@@ -51,7 +51,7 @@ def main(args: dict) -> None:
     pp = ParmParse(args)
     infile = pp.get_str("infile")
     from ..session import load_state
-    st = load_state(args, infile, dtype=np.float64)
+    st = load_state(args, infile, dtype=np.float64, widen_ok=True)
     lev = pp.query_int("output_level", st.meta.n_levels - 1)
     mgs = pp.query_int("output_max_grid_size", 32)
     dense = np.asarray(flatten_to_level(st, lev,

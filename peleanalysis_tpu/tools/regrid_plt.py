@@ -56,7 +56,7 @@ def main(args: dict) -> None:
     infile = pp.get_str("infile")
     mgs = pp.query_int("max_grid_size", 32)
     from ..session import load_state
-    st = load_state(args, infile, dtype=np.float64)
+    st = load_state(args, infile, dtype=np.float64, widen_ok=True)
     geoms, bas, data = regrid(st, mgs)
     outfile = pp.query_str("outfile", infile + "_rg")
     write_plotfile(outfile, st.names, st.meta.time, geoms, st.meta.ref_ratio,

@@ -59,7 +59,7 @@ def main(args: dict) -> None:
     infile = pp.get_str("infile")
     b = pp.get_int_list("box")
     from ..session import load_state
-    st = load_state(args, infile, dtype=np.float64,
+    st = load_state(args, infile, dtype=np.float64, widen_ok=True,
                                 max_level=pp.query_int("finestLevel", None))
     if getattr(st.meta, "ndim2", False) and len(b) == 4:
         # 2-D plotfile: box=lox loy hix hiy (z promoted to the unit cell)

@@ -215,6 +215,30 @@ def test_session_output_option_mismatch_errors(plt, tmp_path, monkeypatch):
     assert "write=1" in str(ei.value)
 
 
+def test_session_shadow_not_served_to_wider_compute_dtype(plt, tmp_path,
+                                                          monkeypatch):
+    """r5 review fix: a dtype=float64 COMPUTE stage must not silently run
+    on an f32 in-session shadow (jnp ops follow the array dtype).  With
+    write=1 it falls back to the on-disk f64 read; with write=0 it errors;
+    copy-only tools (combinePlts) still accept the narrower shadow."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["pipeline",
+                 "grad", f"infile={plt}", "gradVar=temp", "outfile=g64",
+                 "--",
+                 "curvature", "infile=g64", "progressName=||gradtemp||",
+                 "dtype=float64", "outfile=K64"]) == 0
+    st = AmrState.from_plotfile("K64", dtype=np.float64)
+    assert "MeanCurvature_||gradtemp||" in st.names
+    with pytest.raises((ValueError, RuntimeError)) as ei:
+        main(["pipeline",
+              "grad", f"infile={plt}", "gradVar=temp", "outfile=gnw",
+              "write=0",
+              "--",
+              "curvature", "infile=gnw", "progressName=||gradtemp||",
+              "dtype=float64", "outfile=Knw"])
+    assert "write=1" in str(ei.value)
+
+
 def test_pipeline_2d_plotfile(tmp_path, monkeypatch):
     """The session machinery is dimension-agnostic: a DIM=2 plotfile chains
     isosurface (marching squares) -> scaleMEF through the session."""
