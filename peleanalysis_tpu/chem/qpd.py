@@ -4,10 +4,16 @@ Edge class representing atom transfer between species through reactions,
 util.H:8-97) re-implemented on a runtime mechanism instead of a compiled-in
 Fuego mechanism.
 
-Edges: for a tracked element e, each reaction with reactant atoms a_i and
-product atoms b_j transfers a_i*b_j/N atoms from species i to species j per
-unit reaction rate (N = total e atoms through the reaction) — the standard
-reaction-path splitting (util.cpp getEdges' HackSplitting mode).
+Edges follow the reference's getEdges algorithm exactly
+(util.cpp:542-686): stoichiometric coefficients are NETTED per species
+(spectators/collision partners vanish), then
+
+  * one tracked species on either side: all (reac, prod) pairs with
+    w = min(c_r * n_r, c_p * n_p) tracked atoms;
+  * two on each side (every H-abstraction): the group-difference "pick"
+    assigns the primary pairing (smaller same-sign composition change,
+    atomic-weight tie-break), min/remainder weights;
+  * anything bigger is reported un-decomposable, like the reference.
 """
 from __future__ import annotations
 
@@ -145,32 +151,86 @@ class Group:
                    self.counts.items())
 
 
+def _group_of(sp: str) -> Group:
+    from .mechanism import parse_formula
+    try:
+        return Group({k: int(v) for k, v in parse_formula(sp).items()})
+    except (ValueError, KeyError):
+        return Group({})
+
+
 def get_edges(reactions: Sequence[Reaction], tr_elt: str) -> List[Edge]:
     """All atom-transfer edges for the tracked element, combined across
-    reactions (getEdges, util.H:92-96)."""
+    reactions — the reference algorithm (getEdges, util.cpp:542-686; r5
+    review fix: the previous proportional a*b/N splitting neither netted
+    spectators nor matched the reference's min/pick weights)."""
     acc: Dict[Tuple[str, str], Edge] = {}
+
+    def push(s1, s2, ir, w):
+        if w == 0 or s1 == s2:
+            return
+        e = Edge(s1, s2, [(ir, float(w))])
+        k = e.key()
+        if k in acc:
+            acc[k].combine(e, acc[k].equiv_sign(e))
+        else:
+            acc[k] = e
+
+    def n_at(sp):
+        return atom_count(sp, tr_elt)
+
     for ir, rxn in enumerate(reactions):
-        a = {s: c * atom_count(s, tr_elt)
-             for s, c in rxn.reactants.items()
-             if atom_count(s, tr_elt) > 0}
-        b = {s: c * atom_count(s, tr_elt)
-             for s, c in rxn.products.items()
-             if atom_count(s, tr_elt) > 0}
-        N = sum(b.values())
-        if N <= 0:
+        # net stoichiometry: spectators/collision partners cancel
+        # (util.cpp:546-558)
+        net: Dict[str, float] = {}
+        for s, c in rxn.reactants.items():
+            net[s] = net.get(s, 0.0) - c
+        for s, c in rxn.products.items():
+            net[s] = net.get(s, 0.0) + c
+        reac = {s: -c for s, c in net.items() if c < 0 and n_at(s) > 0}
+        prod = {s: c for s, c in net.items() if c > 0 and n_at(s) > 0}
+        LR, LP = len(reac), len(prod)
+        if LR == 0 or LP == 0:
             continue
-        for si, ai in a.items():
-            for sj, bj in b.items():
-                if si == sj:
-                    continue
-                w = ai * bj / N
-                e = Edge(si, sj, [(ir, w)])
-                k = e.key()
-                if k in acc:
-                    sgn = acc[k].equiv_sign(e)
-                    acc[k].combine(e, sgn)
-                else:
-                    acc[k] = e
+        if LR == 1 or LP == 1:            # util.cpp:581-596
+            for spcr, cor in reac.items():
+                for spcp, cop in prod.items():
+                    push(spcr, spcp, ir,
+                         min(cor * n_at(spcr), cop * n_at(spcp)))
+            continue
+        if LR == 2 and LP == 2:           # util.cpp:598-682
+            (rs0, rc0), (rs1, rc1) = sorted(reac.items())  # std::map order
+            (ps0, pc0), (ps1, pc1) = sorted(prod.items())
+            b0 = _group_of(ps0) * int(pc0) - _group_of(rs0) * int(rc0)
+            b1 = _group_of(ps1) * int(pc1) - _group_of(rs0) * int(rc0)
+            pick = 0
+            if b0.same_sign() and b1.same_sign():
+                if b1.size() < b0.size():
+                    pick = 1
+                elif b1.size() == b0.size() and b0.awt() > b1.awt():
+                    pick = 1
+            elif b1.same_sign():
+                pick = 1
+            nR0 = rc0 * n_at(rs0)
+            nR1 = rc1 * n_at(rs1)
+            nP0 = pc0 * n_at(ps0)
+            nP1 = pc1 * n_at(ps1)
+            if pick == 0:
+                push(rs0, ps0, ir, min(nR0, nP0))
+                if nP0 < nR0:
+                    push(rs0, ps1, ir, nR0 - nP0)
+                push(rs1, ps1, ir, min(nR1, nP1))
+                if nR0 < nP0:
+                    push(rs1, ps0, ir, nP0 - nR0)
+            else:
+                push(rs0, ps1, ir, min(nR0, nP1))
+                if nP1 < nR0:
+                    push(rs0, ps0, ir, nR0 - nP1)
+                push(rs1, ps0, ir, min(nR1, nP0))
+                if nR0 < nP1:
+                    push(rs1, ps1, ir, nP1 - nR0)
+            continue
+        print(f"Cannot decompose rxn: {ir} {LR} {LP}")
     return sorted(acc.values())
 
 

@@ -119,30 +119,42 @@ def band_seed_device(tri_verts: np.ndarray, origin, dx,
         return phi, closest
     tlo_all = np.floor((tri_verts.min(axis=1) - oa) / dxa - 0.5).astype(int)
     thi_all = np.floor((tri_verts.max(axis=1) - oa) / dxa - 0.5).astype(int)
-    span = tuple(int(s) for s in
-                 (thi_all - tlo_all).max(axis=0) + 1 + 2 * exact_band)
+    # per-dim pow2 SPAN BUCKETS (r5 review fix: a single global max span
+    # made the window O(T x max_span^3) — one large facet blew the device
+    # arrays up to the big triangle's window for EVERY small triangle);
+    # equal-bucket groups still share one compiled kernel each
+    spans_i = thi_all - tlo_all + 1 + 2 * exact_band
+    keys = 1 << np.ceil(np.log2(np.maximum(spans_i, 1))).astype(int)
     phi_f = phi.reshape(-1)
     cls_f = closest.reshape(-1)
-    for s in range(0, len(tri_verts), chunk):
-        tri_c = tri_verts[s: s + chunk]
-        tlo_c = tlo_all[s: s + chunk] - exact_band
-        d, flat, ok = _band_distances_dev(
-            jnp.asarray(tri_c, jnp.float32), jnp.asarray(tlo_c, jnp.int32),
-            tuple(oa), tuple(dxa), span, tuple(int(v) for v in shape))
-        d = np.asarray(d, np.float64).ravel()
-        flat = np.asarray(flat).ravel()
-        okv = np.asarray(ok).ravel() & (d < dmax)
-        d, flat = d[okv], flat[okv]
-        tid = np.repeat(np.arange(s, s + len(tri_c)),
-                        int(np.prod(span)))[okv]
-        # min-reduce per cell: first row in (flat, d) order wins
-        order = np.lexsort((d, flat))
-        flat_o, d_o, t_o = flat[order], d[order], tid[order]
-        first = np.concatenate([[True], flat_o[1:] != flat_o[:-1]])
-        flat_u, d_u, t_u = flat_o[first], d_o[first], t_o[first]
-        upd = d_u < phi_f[flat_u]
-        phi_f[flat_u[upd]] = d_u[upd]
-        cls_f[flat_u[upd]] = t_u[upd]
+    ukeys, kinv = np.unique(keys, axis=0, return_inverse=True)
+    for ki in range(len(ukeys)):
+        sel = np.nonzero(kinv == ki)[0]
+        span = tuple(int(v) for v in ukeys[ki])
+        # bound the per-dispatch working set to ~2^20 window cells
+        chunk_eff = max(16, min(chunk, (1 << 20) // max(
+            int(np.prod(span)), 1)))
+        for s in range(0, len(sel), chunk_eff):
+            ids = sel[s: s + chunk_eff]
+            tri_c = tri_verts[ids]
+            tlo_c = tlo_all[ids] - exact_band
+            d, flat, ok = _band_distances_dev(
+                jnp.asarray(tri_c, jnp.float32),
+                jnp.asarray(tlo_c, jnp.int32),
+                tuple(oa), tuple(dxa), span, tuple(int(v) for v in shape))
+            d = np.asarray(d, np.float64).ravel()
+            flat = np.asarray(flat).ravel()
+            okv = np.asarray(ok).ravel() & (d < dmax)
+            d, flat = d[okv], flat[okv]
+            tid = np.repeat(ids, int(np.prod(span)))[okv]
+            # min-reduce per cell: first row in (flat, d) order wins
+            order = np.lexsort((d, flat))
+            flat_o, d_o, t_o = flat[order], d[order], tid[order]
+            first = np.concatenate([[True], flat_o[1:] != flat_o[:-1]])
+            flat_u, d_u, t_u = flat_o[first], d_o[first], t_o[first]
+            upd = d_u < phi_f[flat_u]
+            phi_f[flat_u[upd]] = d_u[upd]
+            cls_f[flat_u[upd]] = t_u[upd]
     return phi, closest
 
 
@@ -170,79 +182,126 @@ def unsigned_distance_grid(tri_verts: np.ndarray, origin, dx,
     else:
         phi = np.full(shape, dmax, dtype=np.float64)
         closest = np.full(shape, -1, dtype=np.int64)
-        # --- exact band seeding, vectorized over (triangle, band offsets) ---
-        tlo = np.floor((tri_verts.min(axis=1) - origin) / dx
-                       - 0.5).astype(int)
-        thi = np.floor((tri_verts.max(axis=1) - origin) / dx
-                       - 0.5).astype(int)
-        span = (thi - tlo).max(axis=0) + 1 + 2 * exact_band
-        offs = np.stack(np.meshgrid(*[np.arange(s) for s in span],
-                                    indexing="ij"), -1).reshape(-1, 3)
-        for o in offs:
-            idx = tlo - exact_band + o[None, :]
-            ok = np.all((idx >= 0) & (idx < np.array(shape)), axis=1) \
-                & np.all(idx <= thi + exact_band, axis=1)
-            if not ok.any():
-                continue
-            ii = idx[ok]
-            p = origin + (ii + 0.5) * dx
-            d = point_tri_distance(p, A[ok], B[ok], C[ok])
-            flat = (ii[:, 0] * ny + ii[:, 1]) * nz + ii[:, 2]
-            # resolve duplicates within this batch deterministically
-            order = np.argsort(d)
-            flat_o = flat[order]
-            d_o = d[order]
-            t_o = np.nonzero(ok)[0][order]
-            first = np.unique(flat_o, return_index=True)[1]
-            flat_u, d_u, t_u = flat_o[first], d_o[first], t_o[first]
-            cur = phi.reshape(-1)[flat_u]
-            upd = d_u < cur
-            phi.reshape(-1)[flat_u[upd]] = d_u[upd]
-            closest.reshape(-1)[flat_u[upd]] = t_u[upd]
+        # --- exact band seeding, vectorized over (triangle, band offsets),
+        # grouped by per-dim pow2 span buckets (r5: a single global max
+        # span made this O(T x max_span^3) when one facet was large) ---
+        tlo_a = np.floor((tri_verts.min(axis=1) - origin) / dx
+                         - 0.5).astype(int)
+        thi_a = np.floor((tri_verts.max(axis=1) - origin) / dx
+                         - 0.5).astype(int)
+        spans_i = thi_a - tlo_a + 1 + 2 * exact_band
+        keys = 1 << np.ceil(np.log2(np.maximum(spans_i, 1))).astype(int)
+        ukeys, kinv = np.unique(keys, axis=0, return_inverse=True)
+        for ki in range(len(ukeys)):
+            sel = np.nonzero(kinv == ki)[0]
+            tlo, thi = tlo_a[sel], thi_a[sel]
+            Ag, Bg, Cg = A[sel], B[sel], C[sel]
+            span = ukeys[ki]
+            offs = np.stack(np.meshgrid(*[np.arange(s) for s in span],
+                                        indexing="ij"), -1).reshape(-1, 3)
+            for o in offs:
+                idx = tlo - exact_band + o[None, :]
+                ok = np.all((idx >= 0) & (idx < np.array(shape)), axis=1) \
+                    & np.all(idx <= thi + exact_band, axis=1)
+                if not ok.any():
+                    continue
+                ii = idx[ok]
+                p = origin + (ii + 0.5) * dx
+                d = point_tri_distance(p, Ag[ok], Bg[ok], Cg[ok])
+                flat = (ii[:, 0] * ny + ii[:, 1]) * nz + ii[:, 2]
+                # resolve duplicates within this batch deterministically
+                order = np.argsort(d)
+                flat_o = flat[order]
+                d_o = d[order]
+                t_o = sel[np.nonzero(ok)[0][order]]
+                first = np.unique(flat_o, return_index=True)[1]
+                flat_u, d_u, t_u = flat_o[first], d_o[first], t_o[first]
+                cur = phi.reshape(-1)[flat_u]
+                upd = d_u < cur
+                phi.reshape(-1)[flat_u[upd]] = d_u[upd]
+                closest.reshape(-1)[flat_u[upd]] = t_u[upd]
 
-    # --- 8 directional sweeps ------------------------------------------------
+    # --- directional sweeps ---------------------------------------------------
+    # AXIS-SEQUENTIAL plane sweeps (r5 review fix — the previous version
+    # applied single-cell Jacobi shifts a fixed number of times, so ids
+    # propagated only ~30 cells and everything farther silently stayed at
+    # dmax): each of the 6 axis directions walks its planes in order,
+    # carrying candidate ids from the just-updated previous plane under the
+    # 9 perpendicular shifts and re-evaluating the EXACT point-triangle
+    # distance, exactly like the reference's Gauss-Seidel sweeps
+    # (makelevelset3.cpp:58-81).  Repeated until a full 6-direction round
+    # changes nothing (information only ever flows "downhill", so this
+    # terminates; 1-2 rounds typical).  Cells whose source phi >= dmax are
+    # skipped — the output is clamped at dmax (isosurface.cpp:1643), so
+    # propagation past the dmax band is wasted work.
     centers = [origin[d] + (np.arange(shape[d]) + 0.5) * dx[d]
                for d in range(3)]
-    X = centers[0][:, None, None]
-    Y = centers[1][None, :, None]
-    Z = centers[2][None, None, :]
 
-    def try_from(shift):
-        """Propagate closest ids from the neighbor at -shift, re-evaluating
-        the exact distance; returns True if anything improved."""
-        sx, sy, sz = shift
-        src = closest[max(sx, 0): nx + min(sx, 0) or None,
-                      max(sy, 0): ny + min(sy, 0) or None,
-                      max(sz, 0): nz + min(sz, 0) or None]
-        dst_sl = (slice(max(-sx, 0), nx + min(-sx, 0) or None),
-                  slice(max(-sy, 0), ny + min(-sy, 0) or None),
-                  slice(max(-sz, 0), nz + min(-sz, 0) or None))
-        cand = src
-        have = cand >= 0
-        if not have.any():
-            return
-        t = np.where(have, cand, 0)
-        p = np.stack(np.broadcast_arrays(
-            X[dst_sl[0]], Y[:, dst_sl[1]], Z[:, :, dst_sl[2]]), axis=-1)
-        d = point_tri_distance(p, A[t], B[t], C[t])
-        d = np.where(have, d, np.inf)
-        cur = phi[dst_sl]
-        upd = d < cur
-        phi[dst_sl] = np.where(upd, d, cur)
-        cl = closest[dst_sl]
-        closest[dst_sl] = np.where(upd, t, cl)
+    def sweep_axis(axis: int, step: int) -> bool:
+        n_ax = shape[axis]
+        perp = [d for d in range(3) if d != axis]
+        # in-plane physical coordinates [n1, n2, 3] for a given plane index
+        g1, g2 = np.meshgrid(centers[perp[0]], centers[perp[1]],
+                             indexing="ij")
+        changed = False
+        rng = range(1, n_ax) if step == 1 else range(n_ax - 2, -1, -1)
+        for i in rng:
+            prev = i - step
 
-    for _ in range(2):  # two rounds of 8 sweeps like the reference
-        for sx in (1, -1):
-            for sy in (1, -1):
-                for sz in (1, -1):
-                    try_from((sx, 0, 0))
-                    try_from((0, sy, 0))
-                    try_from((0, 0, sz))
-                    try_from((sx, sy, 0))
-                    try_from((sx, 0, sz))
-                    try_from((0, sy, sz))
-                    try_from((sx, sy, sz))
+            def plane(arr, j):
+                sl = [slice(None)] * 3
+                sl[axis] = j
+                return arr[tuple(sl)]
+
+            src_cl = plane(closest, prev)
+            src_ph = plane(phi, prev)
+            cur_phi = plane(phi, i).copy()
+            cur_cl = plane(closest, i).copy()
+            p = np.empty(cur_phi.shape + (3,))
+            p[..., axis] = centers[axis][i]
+            p[..., perp[0]] = g1
+            p[..., perp[1]] = g2
+            any_upd = False
+            for d1 in (-1, 0, 1):
+                for d2 in (-1, 0, 1):
+                    cand = np.full_like(cur_cl, -1)
+                    s1 = slice(max(d1, 0), cand.shape[0] + min(d1, 0)
+                               or None)
+                    s0 = slice(max(-d1, 0), cand.shape[0] + min(-d1, 0)
+                               or None)
+                    t1 = slice(max(d2, 0), cand.shape[1] + min(d2, 0)
+                               or None)
+                    t0 = slice(max(-d2, 0), cand.shape[1] + min(-d2, 0)
+                               or None)
+                    cand[s0, t0] = src_cl[s1, t1]
+                    keep = np.full(cand.shape, False)
+                    keep[s0, t0] = src_ph[s1, t1] < dmax
+                    have = (cand >= 0) & keep
+                    if not have.any():
+                        continue
+                    t = np.where(have, cand, 0)
+                    d = point_tri_distance(p, A[t], B[t], C[t])
+                    d = np.where(have, d, np.inf)
+                    upd = d < cur_phi
+                    if upd.any():
+                        cur_phi = np.where(upd, d, cur_phi)
+                        cur_cl = np.where(upd, t, cur_cl)
+                        any_upd = True
+            if any_upd:
+                sl = [slice(None)] * 3
+                sl[axis] = i
+                phi[tuple(sl)] = cur_phi
+                closest[tuple(sl)] = cur_cl
+                changed = True
+        return changed
+
+    for _ in range(8):          # converges in 1-2 full rounds typically
+        round_changed = False
+        for axis in range(3):
+            for step in (1, -1):
+                round_changed |= sweep_axis(axis, step)
+        if not round_changed:
+            break
     np.clip(phi, 0.0, dmax, out=phi)
     return phi, closest
 
@@ -255,8 +314,15 @@ def parity_sign(tri_verts: np.ndarray, origin, dx,
     dx = np.asarray(dx, dtype=np.float64)
     origin = np.asarray(origin, dtype=np.float64)
     cnt = np.zeros((nx, ny, nz), dtype=np.int64)
-    yc = origin[1] + (np.arange(ny) + 0.5) * dx[1]
-    zc = origin[2] + (np.arange(nz) + 0.5) * dx[2]
+    # consistent symbolic perturbation of the QUERY rows (the reference
+    # breaks edge/vertex ties with simulation-of-simplicity orientation
+    # tests, makelevelset3.cpp:125-160; r5 review fix: a ray exactly
+    # through an edge shared by two triangles satisfied w>=0 in BOTH and
+    # double-counted, sign-flipping whole x-rows on axis-aligned meshes).
+    # The same perturbed (y,z) is used against every triangle, so a tie on
+    # a shared edge resolves strictly inside exactly one of the two.
+    yc = origin[1] + (np.arange(ny) + 0.5 + 1.3e-7) * dx[1]
+    zc = origin[2] + (np.arange(nz) + 0.5 + 2.9e-7) * dx[2]
     xc = origin[0] + (np.arange(nx) + 0.5) * dx[0]
     for (a, b, c) in tri_verts:
         ylo = max(int(np.ceil((min(a[1], b[1], c[1]) - origin[1]) / dx[1]

@@ -213,7 +213,12 @@ def read_stream_data(path: str) -> StreamData:
         npe = int(_next_nonblank(f))
         face = []
         while len(face) < n_elts * npe:
-            face.extend(int(x) for x in f.readline().split())
+            ln = f.readline()
+            if not ln:
+                raise EOFError(
+                    f"truncated Elements file: {len(face)} of "
+                    f"{n_elts * npe} connectivity tokens")
+            face.extend(int(x) for x in ln.split())
         elements = (np.array(face[: n_elts * npe], dtype=np.int32)
                     .reshape(n_elts, npe) - 1) if n_elts else \
             np.zeros((0, npe), np.int32)

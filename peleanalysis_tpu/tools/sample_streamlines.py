@@ -129,12 +129,15 @@ def main(args: dict) -> None:
     for i in range(0, len(names), per_pass):
         grp = names[i : i + per_pass]
         from ..session import load_state
+        # reference default: periodic in every dim
+        # (sampleStreamlines.cpp:163 'Vector<int> is_per(BL_SPACEDIM,1)';
+        # r5 review fix — this defaulted non-periodic)
         st = load_state(args, plotfile, names=grp,
                                     max_level=pp.query_int("finestLevel",
                                                            None),
                                     is_periodic=[bool(p) for p in
                                                  pp.query_int_list(
-                                                     "is_per", [0, 0, 0])],
+                                                     "is_per", [1, 1, 1])],
                                     dtype=np.float64)
         from ..amr.cluster import needs_clustering
         if (st.meta.n_levels > 1 and needs_clustering(st.meta.bas[-1])
@@ -144,8 +147,16 @@ def main(args: dict) -> None:
         else:
             ds = DenseAmrState.from_batched(st)
             sampled.append(sample_onto_lines(ds, sd.lines, grp))
-    new_lines = np.concatenate([sd.lines[:, :, :3]] + sampled, axis=2)
-    new_names = ["X", "Y", "Z"] + names
+    # the reference schema is X,Y,Z, distance_from_seed, <vars>
+    # (sampleStreamlines.cpp:145,203 set_sample_distance; r5 review fix:
+    # the distance component was dropped, mis-indexing reference-schema
+    # consumers by one): signed arclength, zero at the seed station
+    from ..stream.surface import arc_length
+    s = arc_length(sd.lines)
+    mid = (sd.lines.shape[1] - 1) // 2
+    dist = (s - s[:, mid:mid + 1])[:, :, None]
+    new_lines = np.concatenate([sd.lines[:, :, :3], dist] + sampled, axis=2)
+    new_names = ["X", "Y", "Z", "distance_from_seed"] + names
     out_sd = StreamData(new_names, sd.elements, sd.inside_nodes, new_lines)
     if pp.contains("streamSampleFile") or pp.contains("outfile"):
         dst = pp.query_str("streamSampleFile", None) \

@@ -73,10 +73,20 @@ def test_reaction_parse_and_edges():
     assert abs(flux[("CH4", "CH3")] - 1.0) < 1e-12
     # H edges from rxn 1: CH4 -> CH3 (3 of 4 H... no: a=4, b: CH3 has 3,
     # H2O has 2, N=5 -> CH4->CH3 weight 4*3/5)
+    # reference 2x2 min/pick splitting (util.cpp:598-682; r5 fix — the old
+    # proportional a*b/N weights were 2.4/1.6): CH4->CH3 carries
+    # min(4,3)=3, the remaining CH4 H goes to H2O (1), OH->H2O min(1,2)=1
     hedges = get_edges(rxns[:1], "H")
     hflux = edge_fluxes(hedges, np.ones(1))
-    assert abs(hflux[("CH4", "CH3")] - 4 * 3 / 5) < 1e-12
-    assert abs(hflux[("CH4", "H2O")] - 4 * 2 / 5) < 1e-12
+    assert abs(hflux[("CH4", "CH3")] - 3.0) < 1e-12
+    assert abs(hflux[("CH4", "H2O")] - 1.0) < 1e-12
+    assert abs(hflux[("OH", "H2O")] - 1.0) < 1e-12
+    # spectator netting (util.cpp:546-558): a species on both sides nets
+    # to zero and generates NO edges through itself
+    sp = get_edges([parse_reaction("CH2GSG + H2O <=> CH2 + H2O")], "H")
+    spflux = edge_fluxes(sp, np.ones(1))
+    assert set(spflux) == {("CH2GSG", "CH2")}
+    assert abs(spflux[("CH2GSG", "CH2")] - 2.0) < 1e-12
 
 
 def test_group_ops():

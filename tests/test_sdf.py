@@ -154,3 +154,60 @@ def test_isosurface_inrun_distance(tmp_path, monkeypatch):
         if sel.any():
             assert np.abs(np.abs(phi[sel])
                           - np.abs(r - r_iso)[sel]).max() < 1.5 * geom.dx[0]
+
+
+def test_sweeps_propagate_across_whole_grid():
+    # r5 review fix (reproduced): the old fixed-count Jacobi shifts only
+    # propagated ids ~30 cells, leaving distant cells at dmax.  One small
+    # triangle, 64^3 grid, dmax larger than the domain: EVERY cell must
+    # carry its true (exact) distance.
+    from peleanalysis_tpu.geom.sdf import (point_tri_distance,
+                                           unsigned_distance_grid)
+    tri = np.array([[[0.49, 0.49, 0.50], [0.51, 0.49, 0.50],
+                     [0.50, 0.52, 0.50]]])
+    n = 64
+    dx = (1.0 / n,) * 3
+    phi, _ = unsigned_distance_grid(tri, (0.0, 0.0, 0.0), dx,
+                                    (n, n, n), dmax=2.0, engine="host")
+    cs = (np.arange(n) + 0.5) / n
+    X, Y, Z = np.meshgrid(cs, cs, cs, indexing="ij")
+    P = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    want = point_tri_distance(P, np.broadcast_to(tri[0, 0], P.shape),
+                              np.broadcast_to(tri[0, 1], P.shape),
+                              np.broadcast_to(tri[0, 2], P.shape))
+    assert (phi < 2.0).all(), f"{(phi >= 2.0).mean():.0%} cells stuck at dmax"
+    np.testing.assert_allclose(phi.reshape(-1), want, atol=1e-9)
+
+
+def test_parity_sign_diagonal_edges_not_double_counted():
+    # r5 review fix (reproduced): rays exactly through an edge shared by
+    # two triangles double-counted and sign-flipped whole x-rows.  A cube
+    # whose quad faces are split along diagonals, sampled on a grid whose
+    # rows hit those diagonals: interior must be -1.
+    from peleanalysis_tpu.geom.sdf import parity_sign
+    lo, hi = 0.25, 0.75
+    quads = []
+    for axis in range(3):
+        for side in (lo, hi):
+            c = [[lo, lo], [hi, lo], [hi, hi], [lo, hi]]
+            pts = []
+            for u, v in c:
+                p = [0.0, 0.0, 0.0]
+                p[axis] = side
+                p[(axis + 1) % 3] = u
+                p[(axis + 2) % 3] = v
+                pts.append(p)
+            quads.append(pts)
+    tris = []
+    for q in quads:
+        tris.append([q[0], q[1], q[2]])
+        tris.append([q[0], q[2], q[3]])
+    tris = np.asarray(tris)
+    n = 8   # cell centers at (k+0.5)/8 = 0.0625..., row y==z hits diagonals
+    sgn = parity_sign(tris, (0.0, 0.0, 0.0), (1.0 / n,) * 3, (n, n, n))
+    cs = (np.arange(n) + 0.5) / n
+    inside = ((cs[:, None, None] > lo) & (cs[:, None, None] < hi)
+              & (cs[None, :, None] > lo) & (cs[None, :, None] < hi)
+              & (cs[None, None, :] > lo) & (cs[None, None, :] < hi))
+    assert (sgn[inside] == -1).all()
+    assert (sgn[~inside] == 1).all()

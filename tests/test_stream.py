@@ -114,10 +114,15 @@ def test_stream_cli_and_downstream(ds, tmp_path, monkeypatch):
                "comps=density", f"streamSampleFile={out2}"])
     assert rc == 0
     sd2 = read_stream_data(out2)
-    assert sd2.names == ["X", "Y", "Z", "density"]
+    # reference schema: distance_from_seed after the coordinates
+    # (sampleStreamlines.cpp:145,203; r5 fix)
+    assert sd2.names == ["X", "Y", "Z", "distance_from_seed", "density"]
+    mid = (sd2.lines.shape[1] - 1) // 2
+    np.testing.assert_allclose(sd2.lines[:, mid, 3], 0.0, atol=1e-14)
+    assert (np.diff(sd2.lines[:, :, 3], axis=1) >= -1e-14).all()
     # density sampled at line midpoints should be within field range
-    assert sd2.lines[:, :, 3].min() > 0.1
-    assert sd2.lines[:, :, 3].max() < 1.01
+    assert sd2.lines[:, :, 4].min() > 0.1
+    assert sd2.lines[:, :, 4].max() < 1.01
 
     # memory-limited component groups (nCompsPerPass,
     # Src/sampleStreamlines.cpp:16-48 + docs): identical output per-pass
@@ -127,8 +132,9 @@ def test_stream_cli_and_downstream(ds, tmp_path, monkeypatch):
                f"streamSampleFile={out3}"])
     assert rc == 0
     sd3 = read_stream_data(out3)
-    assert sd3.names == ["X", "Y", "Z", "density", "temp", "progress"]
-    np.testing.assert_allclose(sd3.lines[:, :, 3], sd2.lines[:, :, 3],
+    assert sd3.names == ["X", "Y", "Z", "distance_from_seed",
+                         "density", "temp", "progress"]
+    np.testing.assert_allclose(sd3.lines[:, :, 4], sd2.lines[:, :, 4],
                                rtol=1e-12)
 
     # stream2plt
